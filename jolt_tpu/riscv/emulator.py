@@ -1,0 +1,380 @@
+"""RV64IM emulator producing the Jolt execution trace.
+
+Host-side analog of the reference tracer
+(`/root/reference/tracer/src/emulator/cpu.rs` fetch-decode-execute loop,
+`tracer/src/instruction/mod.rs:424-445` RISCVCycle capture): each executed
+instruction records pre/post register state and the RAM access into a
+structure-of-arrays trace (see `jolt_tpu/tracer/formats.py`).
+
+Memory-mapped I/O follows `common/src/jolt_device.rs`: the region below
+RAM_START_ADDRESS holds advice/input/output/panic/termination words; writing
+a nonzero byte to the termination address halts execution; writing to the
+panic address sets the panic output bit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+from . import isa
+from .isa import KIND_ID
+
+RAM_START_ADDRESS = 0x80000000
+DEFAULT_MAX_INPUT = 4096
+DEFAULT_MAX_OUTPUT = 4096
+DEFAULT_STACK = 4096
+DEFAULT_HEAP = 1024 * 1024 * 32
+
+_M64 = (1 << 64) - 1
+_M32 = (1 << 32) - 1
+
+
+def _s64(x: int) -> int:
+    x &= _M64
+    return x - (1 << 64) if x >> 63 else x
+
+
+def _s32(x: int) -> int:
+    x &= _M32
+    return x - (1 << 32) if x >> 31 else x
+
+
+def _sext32(x: int) -> int:
+    return _s32(x) & _M64
+
+
+@dataclasses.dataclass
+class MemoryLayout:
+    """Mirror of `common/src/jolt_device.rs:230` MemoryLayout::new, with
+    advice sizes zero (advice support lands with the advice claim
+    reductions)."""
+    max_input_size: int = DEFAULT_MAX_INPUT
+    max_output_size: int = DEFAULT_MAX_OUTPUT
+    stack_size: int = DEFAULT_STACK
+    heap_size: int = DEFAULT_HEAP
+
+    def __post_init__(self):
+        def align8(v):
+            return (v + 7) // 8 * 8
+        inp = align8(self.max_input_size)
+        out = align8(self.max_output_size)
+        io_bytes = inp + out + 16
+        io_words = 1
+        while io_words < (io_bytes + 7) // 8:
+            io_words *= 2
+        io_bytes = io_words * 8
+        self.input_start = RAM_START_ADDRESS - io_bytes
+        self.input_end = self.input_start + inp
+        self.output_start = self.input_end
+        self.output_end = self.output_start + out
+        self.panic = self.output_end
+        self.termination = self.panic + 8
+        self.io_end = self.termination + 8
+
+
+class JoltDevice:
+    """Inputs/outputs/panic/termination as a memory-mapped peripheral
+    (`common/src/jolt_device.rs:49-56`).  The contents are the public
+    statement of the proof."""
+
+    def __init__(self, layout: MemoryLayout, inputs: bytes = b""):
+        assert len(inputs) <= layout.max_input_size
+        self.layout = layout
+        self.inputs = inputs
+        self.outputs = bytearray()
+        self.panic = False
+        self.terminated = False
+
+    def load(self, addr: int) -> int:
+        l = self.layout
+        if addr == l.panic:
+            return 1 if self.panic else 0
+        if l.panic <= addr < l.termination:
+            return 0
+        if addr == l.termination or (l.termination <= addr < l.io_end):
+            return 0
+        if l.input_start <= addr < l.input_end:
+            off = addr - l.input_start
+            return self.inputs[off] if off < len(self.inputs) else 0
+        if l.output_start <= addr < l.output_end:
+            off = addr - l.output_start
+            return self.outputs[off] if off < len(self.outputs) else 0
+        return 0
+
+    def store(self, addr: int, value: int) -> None:
+        l = self.layout
+        if addr == l.panic:
+            self.panic = True
+            return
+        if addr == l.termination:
+            self.terminated = True
+            return
+        if l.output_start <= addr < l.output_end:
+            off = addr - l.output_start
+            if len(self.outputs) <= off:
+                self.outputs.extend(b"\x00" * (off + 1 - len(self.outputs)))
+            self.outputs[off] = value & 0xFF
+
+
+class Emulator:
+    """Single-hart RV64IM machine with Jolt trace capture."""
+
+    def __init__(self, device: JoltDevice, entry: int = RAM_START_ADDRESS):
+        self.pc = entry
+        self.regs: List[int] = [0] * 32
+        self.pages: Dict[int, bytearray] = {}
+        self.device = device
+        self.decode_cache: Dict[int, isa.Decoded] = {}
+        self.trace: Optional[List] = None  # rows appended by step()
+        self.instret = 0
+
+    # ---- memory --------------------------------------------------------
+
+    def _page(self, addr: int) -> bytearray:
+        pg = addr >> 12
+        page = self.pages.get(pg)
+        if page is None:
+            page = bytearray(4096)
+            self.pages[pg] = page
+        return page
+
+    def load_bytes(self, addr: int, data: bytes) -> None:
+        for i, b in enumerate(data):
+            a = addr + i
+            self._page(a)[a & 0xFFF] = b
+
+    def read_u8(self, addr: int) -> int:
+        if addr < RAM_START_ADDRESS:
+            return self.device.load(addr)
+        return self._page(addr)[addr & 0xFFF]
+
+    def write_u8(self, addr: int, value: int) -> None:
+        if addr < RAM_START_ADDRESS:
+            self.device.store(addr, value)
+            return
+        self._page(addr)[addr & 0xFFF] = value & 0xFF
+
+    def read_mem(self, addr: int, size: int) -> int:
+        out = 0
+        for i in range(size):
+            out |= self.read_u8(addr + i) << (8 * i)
+        return out
+
+    def write_mem(self, addr: int, value: int, size: int) -> None:
+        for i in range(size):
+            self.write_u8(addr + i, (value >> (8 * i)) & 0xFF)
+
+    # ---- aligned-dword RAM view (the witness address space) -------------
+
+    def read_dword(self, addr8: int) -> int:
+        """Read an aligned 8-byte word -- the RAM value as the Twist memory
+        argument sees it (one witness cell per 8-byte word)."""
+        return self.read_mem(addr8, 8)
+
+    # ---- execution -----------------------------------------------------
+
+    def fetch(self) -> isa.Decoded:
+        word = self.read_mem(self.pc, 4)
+        dec = self.decode_cache.get(word)
+        if dec is None:
+            dec = isa.decode(word)
+            self.decode_cache[word] = dec
+        return dec
+
+    def step(self) -> None:
+        pc = self.pc
+        dec = self.fetch()
+        kind = dec.kind
+        regs = self.regs
+        rs1_val = regs[dec.rs1]
+        rs2_val = regs[dec.rs2]
+        imm = dec.imm
+        rd = dec.rd
+        rd_pre = regs[rd]
+        next_pc = pc + dec.length
+        rd_post = rd_pre
+        ram_addr = 0
+        ram_pre = 0
+        ram_post = 0
+
+        if kind == "LUI":
+            rd_post = imm & _M64
+        elif kind == "AUIPC":
+            rd_post = (pc + imm) & _M64
+        elif kind == "JAL":
+            rd_post = next_pc
+            next_pc = (pc + imm) & _M64
+        elif kind == "JALR":
+            rd_post = next_pc
+            next_pc = (rs1_val + imm) & _M64 & ~1
+        elif kind in ("BEQ", "BNE", "BLT", "BGE", "BLTU", "BGEU"):
+            a, b = rs1_val, rs2_val
+            sa, sb = _s64(a), _s64(b)
+            taken = {
+                "BEQ": a == b, "BNE": a != b, "BLT": sa < sb,
+                "BGE": sa >= sb, "BLTU": a < b, "BGEU": a >= b,
+            }[kind]
+            if taken:
+                next_pc = (pc + imm) & _M64
+        elif kind in ("LB", "LH", "LW", "LD", "LBU", "LHU", "LWU"):
+            size = {"LB": 1, "LBU": 1, "LH": 2, "LHU": 2,
+                    "LW": 4, "LWU": 4, "LD": 8}[kind]
+            addr = (rs1_val + imm) & _M64
+            raw = self.read_mem(addr, size)
+            if kind in ("LB", "LH", "LW"):
+                raw = {1: lambda v: v - (1 << 8) if v >> 7 else v,
+                       2: lambda v: v - (1 << 16) if v >> 15 else v,
+                       4: lambda v: v - (1 << 32) if v >> 31 else v}[size](raw) & _M64
+            rd_post = raw
+            ram_addr = addr & ~7
+            ram_pre = ram_post = self.read_dword(ram_addr)
+        elif kind in ("SB", "SH", "SW", "SD"):
+            size = {"SB": 1, "SH": 2, "SW": 4, "SD": 8}[kind]
+            addr = (rs1_val + imm) & _M64
+            ram_addr = addr & ~7
+            ram_pre = self.read_dword(ram_addr)
+            self.write_mem(addr, rs2_val, size)
+            ram_post = self.read_dword(ram_addr)
+        elif kind in ("ADDI", "SLTI", "SLTIU", "XORI", "ORI", "ANDI",
+                      "SLLI", "SRLI", "SRAI", "ADDIW", "SLLIW", "SRLIW", "SRAIW"):
+            rd_post = self._alu_imm(kind, rs1_val, imm)
+        elif kind in ("ADD", "SUB", "SLL", "SLT", "SLTU", "XOR", "SRL", "SRA",
+                      "OR", "AND", "ADDW", "SUBW", "SLLW", "SRLW", "SRAW",
+                      "MUL", "MULH", "MULHSU", "MULHU", "DIV", "DIVU", "REM",
+                      "REMU", "MULW", "DIVW", "DIVUW", "REMW", "REMUW"):
+            rd_post = self._alu_reg(kind, rs1_val, rs2_val)
+        elif kind in ("FENCE", "ECALL", "EBREAK"):
+            pass  # no-ops at the architectural level used here
+        else:  # pragma: no cover
+            raise isa.DecodeError(f"unhandled kind {kind}")
+
+        has_rd = kind not in ("SB", "SH", "SW", "SD", "BEQ", "BNE", "BLT",
+                              "BGE", "BLTU", "BGEU", "FENCE", "ECALL", "EBREAK")
+        if has_rd and rd != 0:
+            regs[rd] = rd_post & _M64
+        if rd == 0:
+            rd_post = 0
+            rd_pre = 0
+
+        if self.trace is not None:
+            self.trace.append((
+                dec.kind_id, pc, dec.rd if has_rd else 255, dec.rs1, dec.rs2,
+                rs1_val, rs2_val, rd_pre, regs[rd] if (has_rd and rd != 0) else 0,
+                ram_addr, ram_pre, ram_post, imm, next_pc,
+            ))
+        self.pc = next_pc
+        self.instret += 1
+
+    @staticmethod
+    def _alu_imm(kind: str, a: int, imm: int) -> int:
+        if kind == "ADDI":
+            return (a + imm) & _M64
+        if kind == "SLTI":
+            return 1 if _s64(a) < imm else 0
+        if kind == "SLTIU":
+            return 1 if a < (imm & _M64) else 0
+        if kind == "XORI":
+            return a ^ (imm & _M64)
+        if kind == "ORI":
+            return a | (imm & _M64)
+        if kind == "ANDI":
+            return a & (imm & _M64)
+        if kind == "SLLI":
+            return (a << imm) & _M64
+        if kind == "SRLI":
+            return a >> imm
+        if kind == "SRAI":
+            return (_s64(a) >> imm) & _M64
+        if kind == "ADDIW":
+            return _sext32(a + imm)
+        if kind == "SLLIW":
+            return _sext32(a << imm)
+        if kind == "SRLIW":
+            return _sext32((a & _M32) >> imm)
+        if kind == "SRAIW":
+            return _sext32(_s32(a) >> imm)
+        raise AssertionError(kind)
+
+    @staticmethod
+    def _alu_reg(kind: str, a: int, b: int) -> int:
+        sh6, sh5 = b & 0x3F, b & 0x1F
+        if kind == "ADD":
+            return (a + b) & _M64
+        if kind == "SUB":
+            return (a - b) & _M64
+        if kind == "SLL":
+            return (a << sh6) & _M64
+        if kind == "SLT":
+            return 1 if _s64(a) < _s64(b) else 0
+        if kind == "SLTU":
+            return 1 if a < b else 0
+        if kind == "XOR":
+            return a ^ b
+        if kind == "SRL":
+            return a >> sh6
+        if kind == "SRA":
+            return (_s64(a) >> sh6) & _M64
+        if kind == "OR":
+            return a | b
+        if kind == "AND":
+            return a & b
+        if kind == "ADDW":
+            return _sext32(a + b)
+        if kind == "SUBW":
+            return _sext32(a - b)
+        if kind == "SLLW":
+            return _sext32(a << sh5)
+        if kind == "SRLW":
+            return _sext32((a & _M32) >> sh5)
+        if kind == "SRAW":
+            return _sext32(_s32(a) >> sh5)
+        if kind == "MUL":
+            return (a * b) & _M64
+        if kind == "MULH":
+            return (_s64(a) * _s64(b) >> 64) & _M64
+        if kind == "MULHSU":
+            return (_s64(a) * b >> 64) & _M64
+        if kind == "MULHU":
+            return (a * b >> 64) & _M64
+        if kind == "MULW":
+            return _sext32(a * b)
+        if kind in ("DIV", "DIVW", "REM", "REMW"):
+            w = kind.endswith("W")
+            sa = _s32(a) if w else _s64(a)
+            sb = _s32(b) if w else _s64(b)
+            bits = 32 if w else 64
+            if sb == 0:
+                q, r = -1, sa
+            elif sa == -(1 << (bits - 1)) and sb == -1:
+                q, r = sa, 0
+            else:
+                q = abs(sa) // abs(sb)
+                if (sa < 0) != (sb < 0):
+                    q = -q
+                r = sa - q * sb
+            out = q if kind.startswith("DIV") else r
+            return _sext32(out) if w else out & _M64
+        if kind in ("DIVU", "DIVUW", "REMU", "REMUW"):
+            w = kind.endswith("W")
+            ua = a & _M32 if w else a
+            ub = b & _M32 if w else b
+            if ub == 0:
+                q = (1 << (32 if w else 64)) - 1
+                r = ua
+            else:
+                q, r = ua // ub, ua % ub
+            out = q if kind.startswith("DIVU") else r
+            return _sext32(out) if w else out & _M64
+        raise AssertionError(kind)
+
+    # ---- run loop ------------------------------------------------------
+
+    def run(self, max_cycles: int = 1 << 24, record_trace: bool = True):
+        if record_trace:
+            self.trace = []
+        while not self.device.terminated:
+            if self.instret >= max_cycles:
+                raise RuntimeError(f"exceeded max_cycles={max_cycles}")
+            self.step()
+        return self.trace

@@ -1,0 +1,161 @@
+"""RV64IM instruction decoding.
+
+TPU-stack analog of the reference tracer's decoder
+(`/root/reference/tracer/src/instruction/mod.rs`, 132 instruction modules,
+fetch/decode in `tracer/src/emulator/cpu.rs`).  Round-1 scope: RV64I + M
+(+ ECALL/EBREAK/FENCE); A (atomics) and C (compressed) follow in later
+rounds (the decoder interface already returns instruction length so C drops
+in without changing callers).
+
+Decoded form: (kind, rd, rs1, rs2, imm) with imm sign-extended as the ISA
+specifies.  Register ids are plain ints 0..31 (virtual registers 32..127 are
+used only by virtual instruction sequences, added with the bytecode-expansion
+layer).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+# Instruction kinds -- stable small ints used in the SoA trace. Order is
+# protocol-relevant later (bytecode Shout); keep append-only.
+KINDS = [
+    "NOOP",  # padding rows
+    # RV64I
+    "LUI", "AUIPC", "JAL", "JALR",
+    "BEQ", "BNE", "BLT", "BGE", "BLTU", "BGEU",
+    "LB", "LH", "LW", "LD", "LBU", "LHU", "LWU",
+    "SB", "SH", "SW", "SD",
+    "ADDI", "SLTI", "SLTIU", "XORI", "ORI", "ANDI", "SLLI", "SRLI", "SRAI",
+    "ADD", "SUB", "SLL", "SLT", "SLTU", "XOR", "SRL", "SRA", "OR", "AND",
+    "ADDIW", "SLLIW", "SRLIW", "SRAIW",
+    "ADDW", "SUBW", "SLLW", "SRLW", "SRAW",
+    "FENCE", "ECALL", "EBREAK",
+    # RV64M
+    "MUL", "MULH", "MULHSU", "MULHU", "DIV", "DIVU", "REM", "REMU",
+    "MULW", "DIVW", "DIVUW", "REMW", "REMUW",
+]
+KIND_ID = {name: i for i, name in enumerate(KINDS)}
+
+
+@dataclasses.dataclass(frozen=True)
+class Decoded:
+    kind: str
+    rd: int = 0
+    rs1: int = 0
+    rs2: int = 0
+    imm: int = 0      # sign-extended
+    length: int = 4   # bytes (2 for compressed, later)
+
+    @property
+    def kind_id(self) -> int:
+        return KIND_ID[self.kind]
+
+
+def _sext(value: int, bits: int) -> int:
+    sign = 1 << (bits - 1)
+    return (value & (sign - 1)) - (value & sign)
+
+
+class DecodeError(Exception):
+    pass
+
+
+_BRANCH = {0: "BEQ", 1: "BNE", 4: "BLT", 5: "BGE", 6: "BLTU", 7: "BGEU"}
+_LOAD = {0: "LB", 1: "LH", 2: "LW", 3: "LD", 4: "LBU", 5: "LHU", 6: "LWU"}
+_STORE = {0: "SB", 1: "SH", 2: "SW", 3: "SD"}
+_OPIMM = {0: "ADDI", 2: "SLTI", 3: "SLTIU", 4: "XORI", 6: "ORI", 7: "ANDI"}
+_OP = {  # (funct3, funct7) -> kind
+    (0, 0x00): "ADD", (0, 0x20): "SUB", (1, 0x00): "SLL", (2, 0x00): "SLT",
+    (3, 0x00): "SLTU", (4, 0x00): "XOR", (5, 0x00): "SRL", (5, 0x20): "SRA",
+    (6, 0x00): "OR", (7, 0x00): "AND",
+    (0, 0x01): "MUL", (1, 0x01): "MULH", (2, 0x01): "MULHSU", (3, 0x01): "MULHU",
+    (4, 0x01): "DIV", (5, 0x01): "DIVU", (6, 0x01): "REM", (7, 0x01): "REMU",
+}
+_OP32 = {
+    (0, 0x00): "ADDW", (0, 0x20): "SUBW", (1, 0x00): "SLLW",
+    (5, 0x00): "SRLW", (5, 0x20): "SRAW",
+    (0, 0x01): "MULW", (4, 0x01): "DIVW", (5, 0x01): "DIVUW",
+    (6, 0x01): "REMW", (7, 0x01): "REMUW",
+}
+
+
+def decode(word: int) -> Decoded:
+    """Decode one 32-bit instruction word."""
+    opcode = word & 0x7F
+    rd = (word >> 7) & 0x1F
+    funct3 = (word >> 12) & 0x7
+    rs1 = (word >> 15) & 0x1F
+    rs2 = (word >> 20) & 0x1F
+    funct7 = (word >> 25) & 0x7F
+
+    if opcode == 0x37:
+        return Decoded("LUI", rd=rd, imm=_sext(word & 0xFFFFF000, 32))
+    if opcode == 0x17:
+        return Decoded("AUIPC", rd=rd, imm=_sext(word & 0xFFFFF000, 32))
+    if opcode == 0x6F:
+        imm = (((word >> 31) & 1) << 20) | (((word >> 12) & 0xFF) << 12) \
+            | (((word >> 20) & 1) << 11) | (((word >> 21) & 0x3FF) << 1)
+        return Decoded("JAL", rd=rd, imm=_sext(imm, 21))
+    if opcode == 0x67 and funct3 == 0:
+        return Decoded("JALR", rd=rd, rs1=rs1, imm=_sext(word >> 20, 12))
+    if opcode == 0x63:
+        if funct3 not in _BRANCH:
+            raise DecodeError(f"bad branch funct3 {funct3}")
+        imm = (((word >> 31) & 1) << 12) | (((word >> 7) & 1) << 11) \
+            | (((word >> 25) & 0x3F) << 5) | (((word >> 8) & 0xF) << 1)
+        return Decoded(_BRANCH[funct3], rs1=rs1, rs2=rs2, imm=_sext(imm, 13))
+    if opcode == 0x03:
+        if funct3 not in _LOAD:
+            raise DecodeError(f"bad load funct3 {funct3}")
+        return Decoded(_LOAD[funct3], rd=rd, rs1=rs1, imm=_sext(word >> 20, 12))
+    if opcode == 0x23:
+        if funct3 not in _STORE:
+            raise DecodeError(f"bad store funct3 {funct3}")
+        imm = ((word >> 25) << 5) | rd
+        return Decoded(_STORE[funct3], rs1=rs1, rs2=rs2, imm=_sext(imm, 12))
+    if opcode == 0x13:
+        if funct3 == 1 and (word >> 26) == 0:
+            return Decoded("SLLI", rd=rd, rs1=rs1, imm=(word >> 20) & 0x3F)
+        if funct3 == 5:
+            shamt = (word >> 20) & 0x3F
+            top = word >> 26
+            if top == 0x00:
+                return Decoded("SRLI", rd=rd, rs1=rs1, imm=shamt)
+            if top == 0x10:
+                return Decoded("SRAI", rd=rd, rs1=rs1, imm=shamt)
+            raise DecodeError("bad shift funct")
+        if funct3 in _OPIMM:
+            return Decoded(_OPIMM[funct3], rd=rd, rs1=rs1, imm=_sext(word >> 20, 12))
+        raise DecodeError(f"bad op-imm funct3 {funct3}")
+    if opcode == 0x1B:
+        if funct3 == 0:
+            return Decoded("ADDIW", rd=rd, rs1=rs1, imm=_sext(word >> 20, 12))
+        shamt = (word >> 20) & 0x1F
+        if funct3 == 1 and funct7 == 0:
+            return Decoded("SLLIW", rd=rd, rs1=rs1, imm=shamt)
+        if funct3 == 5 and funct7 == 0x00:
+            return Decoded("SRLIW", rd=rd, rs1=rs1, imm=shamt)
+        if funct3 == 5 and funct7 == 0x20:
+            return Decoded("SRAIW", rd=rd, rs1=rs1, imm=shamt)
+        raise DecodeError("bad op-imm-32")
+    if opcode == 0x33:
+        key = (funct3, funct7)
+        if key not in _OP:
+            raise DecodeError(f"bad op {key}")
+        return Decoded(_OP[key], rd=rd, rs1=rs1, rs2=rs2)
+    if opcode == 0x3B:
+        key = (funct3, funct7)
+        if key not in _OP32:
+            raise DecodeError(f"bad op-32 {key}")
+        return Decoded(_OP32[key], rd=rd, rs1=rs1, rs2=rs2)
+    if opcode == 0x0F:
+        return Decoded("FENCE")
+    if opcode == 0x73:
+        if word == 0x00000073:
+            return Decoded("ECALL")
+        if word == 0x00100073:
+            return Decoded("EBREAK")
+        raise DecodeError(f"unsupported SYSTEM instruction {word:#010x}")
+    raise DecodeError(f"unsupported opcode {opcode:#04x} (word {word:#010x})")
