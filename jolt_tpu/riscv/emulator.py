@@ -120,9 +120,13 @@ class JoltDevice:
 class Emulator:
     """Single-hart RV64IM machine with Jolt trace capture."""
 
+    # 32 architectural + 96 virtual registers (common/src/constants.rs:2-5);
+    # virtual regs are used by virtual sequences and by the rd=x0 jump rewrite.
+    NUM_REGS = 128
+
     def __init__(self, device: JoltDevice, entry: int = RAM_START_ADDRESS):
         self.pc = entry
-        self.regs: List[int] = [0] * 32
+        self.regs: List[int] = [0] * self.NUM_REGS
         self.pages: Dict[int, bytearray] = {}
         self.device = device
         self.decode_cache: Dict[int, isa.Decoded] = {}
@@ -191,6 +195,11 @@ class Emulator:
         rs2_val = regs[dec.rs2]
         imm = dec.imm
         rd = dec.rd
+        # Jumps writing x0 are remapped to a virtual register so the R1CS
+        # constraint RdWriteValue == UnexpandedPC + 4 stays satisfiable
+        # (reference: trace rewriting, zkvm/r1cs/constraints.rs:332-335).
+        if rd == 0 and kind in ("JAL", "JALR"):
+            rd = 32
         rd_pre = regs[rd]
         next_pc = pc + dec.length
         rd_post = rd_pre
@@ -234,8 +243,13 @@ class Emulator:
             addr = (rs1_val + imm) & _M64
             ram_addr = addr & ~7
             ram_pre = self.read_dword(ram_addr)
+            # The witness records the WRITE view (pre-dword with the stored
+            # bytes patched in), which for MMIO stores (outputs/termination)
+            # can differ from a device read-back.
+            off = addr - ram_addr
+            mask = ((1 << (8 * size)) - 1) << (8 * off)
+            ram_post = (ram_pre & ~mask) | ((rs2_val << (8 * off)) & mask)
             self.write_mem(addr, rs2_val, size)
-            ram_post = self.read_dword(ram_addr)
         elif kind in ("ADDI", "SLTI", "SLTIU", "XORI", "ORI", "ANDI",
                       "SLLI", "SRLI", "SRAI", "ADDIW", "SLLIW", "SRLIW", "SRAIW"):
             rd_post = self._alu_imm(kind, rs1_val, imm)
@@ -259,7 +273,7 @@ class Emulator:
 
         if self.trace is not None:
             self.trace.append((
-                dec.kind_id, pc, dec.rd if has_rd else 255, dec.rs1, dec.rs2,
+                dec.kind_id, pc, rd if has_rd else 255, dec.rs1, dec.rs2,
                 rs1_val, rs2_val, rd_pre, regs[rd] if (has_rd and rd != 0) else 0,
                 ram_addr, ram_pre, ram_post, imm, next_pc,
             ))

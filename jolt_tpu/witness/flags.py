@@ -1,0 +1,109 @@
+"""Per-instruction circuit and instruction flags.
+
+Mirrors the `jolt_instruction!` declarations in
+`/root/reference/crates/jolt-riscv/src/instructions/{i,m}/*.rs` for the
+RV64IM subset, plus the NoOp special case
+(`instructions/mod.rs:499-502`: NoOp sets only DoNotUpdateUnexpandedPC).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, FrozenSet, Tuple
+
+# CircuitFlags (jolt-riscv/src/flags.rs:24-53); order = bit index
+CIRCUIT_FLAGS = [
+    "AddOperands", "SubtractOperands", "MultiplyOperands", "Load", "Store",
+    "Jump", "WriteLookupOutputToRD", "VirtualInstruction", "Assert",
+    "DoNotUpdateUnexpandedPC", "Advice", "IsCompressed",
+    "IsFirstInSequence", "IsLastInSequence",
+]
+# InstructionFlags (flags.rs:84-97)
+INSTRUCTION_FLAGS = [
+    "LeftOperandIsPC", "RightOperandIsImm", "LeftOperandIsRs1Value",
+    "RightOperandIsRs2Value", "Branch", "IsNoop",
+]
+
+_RS1_RS2 = ("LeftOperandIsRs1Value", "RightOperandIsRs2Value")
+_RS1_IMM = ("LeftOperandIsRs1Value", "RightOperandIsImm")
+_PC_IMM = ("LeftOperandIsPC", "RightOperandIsImm")
+_WR = ("WriteLookupOutputToRD",)
+
+# kind -> (circuit_flags, instruction_flags)
+FLAGS: Dict[str, Tuple[Tuple[str, ...], Tuple[str, ...]]] = {
+    "NOOP": (("DoNotUpdateUnexpandedPC",), ("IsNoop",)),
+    "LUI": (("AddOperands",) + _WR, ("RightOperandIsImm",)),
+    "AUIPC": (("AddOperands",) + _WR, _PC_IMM),
+    "JAL": (("AddOperands", "Jump"), _PC_IMM),
+    "JALR": (("AddOperands", "Jump"), _RS1_IMM),
+    "BEQ": ((), _RS1_RS2 + ("Branch",)),
+    "BNE": ((), _RS1_RS2 + ("Branch",)),
+    "BLT": ((), _RS1_RS2 + ("Branch",)),
+    "BGE": ((), _RS1_RS2 + ("Branch",)),
+    "BLTU": ((), _RS1_RS2 + ("Branch",)),
+    "BGEU": ((), _RS1_RS2 + ("Branch",)),
+    # loads/stores: operands feed the address lookup via R1CS, not rs1/rs2
+    "LB": (("Load",), ()), "LH": (("Load",), ()), "LW": (("Load",), ()),
+    "LD": (("Load",), ()), "LBU": (("Load",), ()), "LHU": (("Load",), ()),
+    "LWU": (("Load",), ()),
+    "SB": (("Store",), ()), "SH": (("Store",), ()), "SW": (("Store",), ()),
+    "SD": (("Store",), ()),
+    "ADDI": (("AddOperands",) + _WR, _RS1_IMM),
+    "SLTI": (_WR, _RS1_IMM),
+    "SLTIU": (_WR, _RS1_IMM),
+    "XORI": (_WR, _RS1_IMM),
+    "ORI": (_WR, _RS1_IMM),
+    "ANDI": (_WR, _RS1_IMM),
+    "SLLI": (_WR, _RS1_IMM),
+    "SRLI": (_WR, _RS1_IMM),
+    "SRAI": (_WR, _RS1_IMM),
+    "ADD": (("AddOperands",) + _WR, _RS1_RS2),
+    "SUB": (("SubtractOperands",) + _WR, _RS1_RS2),
+    "SLL": (_WR, _RS1_RS2),
+    "SLT": (_WR, _RS1_RS2),
+    "SLTU": (_WR, _RS1_RS2),
+    "XOR": (_WR, _RS1_RS2),
+    "SRL": (_WR, _RS1_RS2),
+    "SRA": (_WR, _RS1_RS2),
+    "OR": (_WR, _RS1_RS2),
+    "AND": (_WR, _RS1_RS2),
+    "ADDIW": (("AddOperands",) + _WR, _RS1_IMM),
+    "SLLIW": (_WR, _RS1_IMM),
+    "SRLIW": (_WR, _RS1_IMM),
+    "SRAIW": (_WR, _RS1_IMM),
+    "ADDW": (("AddOperands",) + _WR, _RS1_RS2),
+    "SUBW": (("SubtractOperands",) + _WR, _RS1_RS2),
+    "SLLW": (_WR, _RS1_RS2),
+    "SRLW": (_WR, _RS1_RS2),
+    "SRAW": (_WR, _RS1_RS2),
+    "FENCE": ((), ()),
+    "ECALL": ((), ()),
+    "EBREAK": ((), ()),
+    "MUL": (("MultiplyOperands",) + _WR, _RS1_RS2),
+    "MULHU": (("MultiplyOperands",) + _WR, _RS1_RS2),
+    "MULW": (("MultiplyOperands",) + _WR, _RS1_RS2),
+    # MULH/MULHSU/DIV*/REM* are virtual-sequence expanded in the reference
+    # (no direct lookup); until bytecode expansion lands they are emulate-only.
+    "MULH": (("MultiplyOperands",) + _WR, _RS1_RS2),
+    "MULHSU": (("MultiplyOperands",) + _WR, _RS1_RS2),
+    "DIV": (_WR, _RS1_RS2), "DIVU": (_WR, _RS1_RS2),
+    "REM": (_WR, _RS1_RS2), "REMU": (_WR, _RS1_RS2),
+    "DIVW": (_WR, _RS1_RS2), "DIVUW": (_WR, _RS1_RS2),
+    "REMW": (_WR, _RS1_RS2), "REMUW": (_WR, _RS1_RS2),
+}
+
+# Instructions whose R1CS witness semantics are fully supported today.
+# Sub-word loads/stores and div/rem/mulh need virtual-sequence expansion.
+PROVABLE_KINDS: FrozenSet[str] = frozenset(
+    k for k in FLAGS
+    if k not in ("LB", "LH", "LW", "LBU", "LHU", "LWU", "SB", "SH", "SW",
+                 "MULH", "MULHSU", "DIV", "DIVU", "REM", "REMU",
+                 "DIVW", "DIVUW", "REMW", "REMUW")
+)
+
+
+def circuit_flag(kind: str, flag: str) -> int:
+    return 1 if flag in FLAGS[kind][0] else 0
+
+
+def instruction_flag(kind: str, flag: str) -> int:
+    return 1 if flag in FLAGS[kind][1] else 0
