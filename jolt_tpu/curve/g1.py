@@ -1,0 +1,200 @@
+"""Batched BN254 G1 arithmetic on TPU (Jacobian coordinates over Fq limbs).
+
+TPU-native replacement for the arkworks-fork G1 kernels the reference links
+(`crates/jolt-prover-legacy/src/msm/mod.rs:7-10`, Pippenger + small-scalar
+entry points).  A batch of N points is three Fq limb arrays (X, Y, Z) of
+shape (L, N); Z == 0 encodes infinity.
+
+Formulas (a = 0 curve):
+  * double: dbl-2009-l (7M)
+  * add: add-2007-bl (11M+5S) with branchless edge handling -- compute both
+    the generic sum and the doubling and select per lane on
+    {p_inf, q_inf, same-x} masks.
+
+MSM tier-1 (this round): per-bit subset sums -- exactly the reference's
+`msm_binary` pay-per-bit structure (`msm/mod.rs:16-80`): a b-bit MSM costs
+b masked tree-reductions + b doublings.  Pippenger bucket accumulation via
+sorted segmented reduction is the planned upgrade for full-width scalars.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..field import FQ, ops
+from ..field.params import int_to_limbs, limbs_to_int
+from . import bn254_host as host
+
+Point3 = Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]  # (X, Y, Z) limb arrays
+
+
+def _mul(a, b):
+    return ops.mont_mul(a, b, FQ)
+
+def _sqr(a):
+    return ops.mont_mul(a, a, FQ)
+
+def _add(a, b):
+    return ops.add(a, b, FQ)
+
+def _sub(a, b):
+    return ops.sub(a, b, FQ)
+
+def _dbl(a):
+    return ops.add(a, a, FQ)
+
+
+@partial(jax.jit)
+def jacobian_double(P: Point3) -> Point3:
+    """dbl-2009-l.  Handles infinity naturally (Z=0 -> Z3=0)."""
+    X, Y, Z = P
+    A = _sqr(X)
+    B = _sqr(Y)
+    Cc = _sqr(B)
+    D = _dbl(_sub(_sub(_sqr(_add(X, B)), A), Cc))
+    E = _add(_dbl(A), A)
+    F = _sqr(E)
+    X3 = _sub(F, _dbl(D))
+    Y3 = _sub(_mul(E, _sub(D, X3)), _dbl(_dbl(_dbl(Cc))))
+    Z3 = _dbl(_mul(Y, Z))
+    return (X3, Y3, Z3)
+
+
+@partial(jax.jit)
+def jacobian_add(P: Point3, Q: Point3) -> Point3:
+    """add-2007-bl with branchless edge-case selection."""
+    X1, Y1, Z1 = P
+    X2, Y2, Z2 = Q
+    Z1Z1 = _sqr(Z1)
+    Z2Z2 = _sqr(Z2)
+    U1 = _mul(X1, Z2Z2)
+    U2 = _mul(X2, Z1Z1)
+    S1 = _mul(_mul(Y1, Z2), Z2Z2)
+    S2 = _mul(_mul(Y2, Z1), Z1Z1)
+    H = _sub(U2, U1)
+    rr = _dbl(_sub(S2, S1))
+    I = _sqr(_dbl(H))
+    J = _mul(H, I)
+    V = _mul(U1, I)
+    X3 = _sub(_sub(_sqr(rr), J), _dbl(V))
+    Y3 = _sub(_mul(rr, _sub(V, X3)), _dbl(_mul(S1, J)))
+    Z3 = _mul(_sub(_sub(_sqr(_add(Z1, Z2)), Z1Z1), Z2Z2), H)
+
+    p_inf = ops.is_zero(Z1)
+    q_inf = ops.is_zero(Z2)
+    same_x = ops.is_zero(H)
+    same_y = ops.is_zero(rr)
+    dX, dY, dZ = jacobian_double(P)
+
+    def sel(m, a, b):
+        return ops.select(m, a, b)
+
+    # default: generic add; same_x&&same_y -> double; same_x&&!same_y -> inf
+    inf_pt = (jnp.zeros_like(X3), jnp.zeros_like(Y3), jnp.zeros_like(Z3))
+    outX = sel(same_x, sel(same_y, dX, inf_pt[0]), X3)
+    outY = sel(same_x, sel(same_y, dY, inf_pt[1]), Y3)
+    outZ = sel(same_x, sel(same_y, dZ, inf_pt[2]), Z3)
+    # infinity inputs
+    outX = sel(p_inf, X2, sel(q_inf, X1, outX))
+    outY = sel(p_inf, Y2, sel(q_inf, Y1, outY))
+    outZ = sel(p_inf, Z2, sel(q_inf, Z1, outZ))
+    return (outX, outY, outZ)
+
+
+@partial(jax.jit)
+def tree_sum(P: Point3) -> Point3:
+    """Sum all points over the last axis -> batch 1 (binary tree of adds)."""
+    X, Y, Z = P
+    n = X.shape[-1]
+    m = 1
+    while m < n:
+        m *= 2
+    if m != n:
+        pad = [(0, 0)] * (X.ndim - 1) + [(0, m - n)]
+        X, Y, Z = (jnp.pad(a, pad) for a in (X, Y, Z))  # pads Z=0 = infinity
+    while X.shape[-1] > 1:
+        h = X.shape[-1] // 2
+        X, Y, Z = jacobian_add((X[..., :h], Y[..., :h], Z[..., :h]),
+                               (X[..., h:], Y[..., h:], Z[..., h:]))
+    return (X, Y, Z)
+
+
+@partial(jax.jit)
+def mask_points(P: Point3, mask: jnp.ndarray) -> Point3:
+    """Zero out (-> infinity) points where mask is False."""
+    X, Y, Z = P
+    return (X, Y, ops.select(mask, Z, jnp.zeros_like(Z)))
+
+
+@partial(jax.jit)
+def msm_binary(P: Point3, bits: jnp.ndarray) -> Point3:
+    """Subset sum: sum of points where bits[n] == 1 (msm/mod.rs msm_binary)."""
+    return tree_sum(mask_points(P, bits.astype(jnp.bool_)))
+
+
+def msm_u8(P: Point3, scalars: jnp.ndarray) -> Point3:
+    """MSM with u8 scalars: 8 subset sums combined by doubling."""
+    return msm(P, scalars.astype(jnp.uint32), 8)
+
+
+def msm(P: Point3, scalars: jnp.ndarray, bits: int) -> Point3:
+    """MSM with `bits`-bit scalars (uint32 words; for >32 bits pass a
+    (W, N) array of LE 32-bit words).
+
+    acc = sum_i 2^i * subset_sum(points, bit i) evaluated MSB-first with
+    doubling between bits.  The bit loop runs on the host so each jitted
+    kernel (subset sum, double+add) compiles once and is reused per bit;
+    fully unrolling `bits` tree reductions into one graph explodes XLA
+    compile time.
+    """
+    if scalars.ndim == 1:
+        scalars = scalars[None, :]
+    acc = None
+    for i in reversed(range(bits)):
+        word, sh = divmod(i, 32)
+        bit = (scalars[word] >> np.uint32(sh)) & np.uint32(1)
+        sub = msm_binary(P, bit)
+        acc = sub if acc is None else jacobian_add(jacobian_double(acc), sub)
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# host <-> device
+# ---------------------------------------------------------------------------
+
+def pack_points(points: Sequence[host.Point]) -> Point3:
+    """Affine host points -> device Jacobian batch (Z=1, infinity Z=0)."""
+    n = len(points)
+    X = np.zeros((FQ.num_limbs, n), dtype=np.uint32)
+    Y = np.zeros((FQ.num_limbs, n), dtype=np.uint32)
+    Z = np.zeros((FQ.num_limbs, n), dtype=np.uint32)
+    one = FQ.int_to_mont_limbs(1)
+    for i, p in enumerate(points):
+        if p is None:
+            continue
+        X[:, i] = FQ.int_to_mont_limbs(p[0])
+        Y[:, i] = FQ.int_to_mont_limbs(p[1])
+        Z[:, i] = one
+    return (jnp.asarray(X), jnp.asarray(Y), jnp.asarray(Z))
+
+
+def unpack_points(P: Point3) -> List[host.Point]:
+    """Device Jacobian batch -> affine host points."""
+    X, Y, Z = (np.asarray(jax.device_get(a)) for a in P)
+    out: List[host.Point] = []
+    for i in range(X.shape[-1]):
+        z = FQ.mont_limbs_to_int(Z[:, i])
+        if z == 0:
+            out.append(None)
+            continue
+        x = FQ.mont_limbs_to_int(X[:, i])
+        y = FQ.mont_limbs_to_int(Y[:, i])
+        zinv = pow(z, -1, FQ.modulus)
+        out.append((x * zinv * zinv % FQ.modulus,
+                    y * zinv * zinv * zinv % FQ.modulus))
+    return out
