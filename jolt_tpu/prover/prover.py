@@ -1,10 +1,16 @@
-"""The Jolt prover pipeline (round 1: stage 1 -- Spartan outer).
+"""The Jolt prover pipeline (round 1: stages 1-3).
 
 Mirrors the stage structure of
 `crates/jolt-prover-legacy/src/zkvm/prover.rs:449-607` (prove_parts):
-Fiat-Shamir preamble, then the staged sumcheck DAG.  Stages 2-8 (memory
-checking, lookups, bytecode, opening proof) land in subsequent rounds; the
-proof container carries per-stage slots from day one.
+Fiat-Shamir preamble, then the staged sumcheck DAG:
+
+  stage 1: Spartan outer (R1CS)           [reference stage 1]
+  stage 2: registers read/write checking  [reference stage 4 instance]
+  stage 3: registers Val evaluation       [reference stage 5 instance]
+
+RAM Twist, instruction/bytecode Shout, claim reductions, commitments and
+the batched opening proof land in subsequent rounds; the proof container
+carries per-stage slots from day one.
 """
 
 from __future__ import annotations
@@ -14,11 +20,14 @@ from typing import Dict, List, Optional
 
 from ..field.params import FR
 from ..r1cs import constraints as C
+from ..relations.registers_rw import (RegistersReadWriteChecking,
+                                      RegistersValEvaluation)
 from ..relations.spartan_outer import SpartanOuterProver
 from ..sumcheck.engine import BatchedSumcheck, OpeningAccumulator
 from ..tracer.trace import Trace
 from ..transcript import Blake2bTranscript
 from ..witness.r1cs_inputs import extract_r1cs_inputs
+from ..witness.registers import LOG_K, extract_register_witness
 
 P = FR.modulus
 
@@ -31,7 +40,10 @@ class JoltProof:
     padded_length: int
     stage1_polys: List[List[int]]      # compressed round polys
     r1cs_input_openings: List[int]     # 38 openings at r_cycle
-    # later stages: stage2..7 sumchecks, commitments, joint opening proof
+    stage2_polys: List[List[int]]      # registers read/write checking
+    stage2_openings: Dict[str, int]    # wa/ra1/ra2/val/inc at bound point
+    stage3_polys: List[List[int]]      # registers Val evaluation
+    stage3_openings: Dict[str, int]    # wa/inc at new bound point
 
 
 def fiat_shamir_preamble(transcript: Blake2bTranscript, trace: Trace) -> None:
@@ -53,16 +65,38 @@ def prove(trace: Trace) -> JoltProof:
 
     inputs = extract_r1cs_inputs(trace)
     accumulator = OpeningAccumulator()
+    log_T = trace.log_T
 
-    # Stage 1: Spartan outer
-    num_rounds = C.LOG_PADDED_CONSTRAINTS + trace.log_T
+    # ---- Stage 1: Spartan outer ----------------------------------------
+    num_rounds = C.LOG_PADDED_CONSTRAINTS + log_T
     tau = transcript.challenge_vector(num_rounds)
     outer = SpartanOuterProver(inputs, tau)
-    stage1_polys, _r = BatchedSumcheck.prove([outer], accumulator, transcript)
+    stage1_polys, _ = BatchedSumcheck.prove([outer], accumulator, transcript)
+
+    # ---- Stage 2: registers read/write checking ------------------------
+    # r_cycle and the rd/rs1/rs2 claims are the stage-1 openings.
+    r_cycle = list(accumulator.get_point(("r1cs_input", "rs1_value")))
+    claims = [accumulator.get_claim(("r1cs_input", "rd_write_value")),
+              accumulator.get_claim(("r1cs_input", "rs1_value")),
+              accumulator.get_claim(("r1cs_input", "rs2_value"))]
+    gamma = transcript.challenge_scalar()
+    reg_wit = extract_register_witness(trace)
+    rw = RegistersReadWriteChecking(reg_wit, gamma, r_cycle, claims)
+    stage2_polys, r2 = BatchedSumcheck.prove([rw], accumulator, transcript)
+
+    # ---- Stage 3: registers Val evaluation -----------------------------
+    r2_cyc, r2_addr = r2[:log_T], r2[log_T:]
+    val_claim = accumulator.get_claim(("registers", "val"))
+    ve = RegistersValEvaluation(reg_wit, r2_addr, r2_cyc, val_claim)
+    stage3_polys, _ = BatchedSumcheck.prove([ve], accumulator, transcript)
 
     return JoltProof(
         trace_length=trace.length,
         padded_length=trace.padded_length,
         stage1_polys=stage1_polys,
         r1cs_input_openings=list(outer.input_openings),
+        stage2_polys=stage2_polys,
+        stage2_openings=dict(rw.final_openings),
+        stage3_polys=stage3_polys,
+        stage3_openings=dict(ve.final_openings),
     )

@@ -1,10 +1,14 @@
-"""The Jolt verifier (round 1: stage 1 -- Spartan outer).
+"""The Jolt verifier (round 1: stages 1-3).
 
 Mirrors `crates/jolt-verifier/src/verifier.rs:176-230` (clear-mode verify):
-replay the preamble, then check each stage's sumcheck, threading opening
-claims through the accumulator.  The R1CS input openings are validated
-against the constraint matrices inside the Spartan verifier; proving the
-openings themselves (PCS + later-stage sumchecks) lands with stages 2-8.
+replay the preamble, then check each stage's sumcheck sequentially,
+threading typed stage outputs through the accumulator.
+
+Trust status after round 1: the R1CS input openings are validated against
+the constraint matrices (stage 1); the rd/rs1/rs2 openings are further
+validated against register-file semantics (stages 2-3, Twist); the
+remaining leaf claims (wa/ra/inc openings) await commitments + the batched
+opening proof (later rounds).
 """
 
 from __future__ import annotations
@@ -12,13 +16,16 @@ from __future__ import annotations
 from typing import List
 
 from ..field.params import FR
-from ..prover.prover import JoltProof, fiat_shamir_preamble
+from ..prover.prover import JoltProof
 from ..r1cs import constraints as C
+from ..relations.registers_rw import (RegistersReadWriteCheckingVerifier,
+                                      RegistersValEvaluationVerifier)
 from ..relations.spartan_outer import SpartanOuterVerifier
 from ..sumcheck.engine import BatchedSumcheck, OpeningAccumulator, SumcheckError
 from ..tracer.trace import Trace
 from ..transcript import Blake2bTranscript
 from ..witness.r1cs_inputs import NUM_VARS, VAR_NAMES
+from ..witness.r1cs_inputs import (V_RD_WRITE_VALUE, V_RS1_VALUE, V_RS2_VALUE)
 
 P = FR.modulus
 
@@ -54,27 +61,64 @@ def verify(proof: JoltProof, io: PublicIO) -> bool:
     transcript.append_u64(b"panic", 1 if io.panic else 0)
 
     log_T = io.padded_length.bit_length() - 1
+    accumulator = OpeningAccumulator()
+
+    # ---- Stage 1: Spartan outer ----------------------------------------
     num_rounds = C.LOG_PADDED_CONSTRAINTS + log_T
     tau = transcript.challenge_vector(num_rounds)
 
     if len(proof.r1cs_input_openings) != NUM_VARS:
         raise VerificationError("wrong number of R1CS input openings")
-    # The constant column's MLE is identically 1.
     if proof.r1cs_input_openings[0] != 1:
         raise VerificationError("const-column opening must be 1")
 
-    inst = SpartanOuterVerifier(num_rounds, tau, proof.r1cs_input_openings)
-    accumulator = OpeningAccumulator()
+    inst1 = SpartanOuterVerifier(num_rounds, tau, proof.r1cs_input_openings)
     try:
-        r = BatchedSumcheck.verify(proof.stage1_polys, [inst], accumulator, transcript)
+        r1 = BatchedSumcheck.verify(proof.stage1_polys, [inst1], accumulator,
+                                    transcript)
     except SumcheckError as e:
-        raise VerificationError(str(e)) from e
+        raise VerificationError(f"stage1: {e}") from e
 
-    # Replay the prover's opening-claim absorbs to keep transcripts in sync
-    # for subsequent stages (prover side: cache_openings + flush).
-    r_cycle = r[C.LOG_PADDED_CONSTRAINTS:]
+    r_cycle = r1[C.LOG_PADDED_CONSTRAINTS:]
     for v in range(NUM_VARS):
         accumulator.insert(("r1cs_input", VAR_NAMES[v]), r_cycle,
                            proof.r1cs_input_openings[v])
     accumulator.flush_to_transcript(transcript)
+
+    # ---- Stage 2: registers read/write checking ------------------------
+    gamma = transcript.challenge_scalar()
+    claims = [proof.r1cs_input_openings[V_RD_WRITE_VALUE],
+              proof.r1cs_input_openings[V_RS1_VALUE],
+              proof.r1cs_input_openings[V_RS2_VALUE]]
+    inst2 = RegistersReadWriteCheckingVerifier(
+        log_T, gamma, r_cycle, claims, proof.stage2_openings)
+    try:
+        r2 = BatchedSumcheck.verify(proof.stage2_polys, [inst2], accumulator,
+                                    transcript)
+    except SumcheckError as e:
+        raise VerificationError(f"stage2: {e}") from e
+    r2_cyc, r2_addr = r2[:log_T], r2[log_T:]
+    for name in ("wa", "ra1", "ra2", "val"):
+        accumulator.insert(("registers", name), r2,
+                           proof.stage2_openings[name])
+    accumulator.insert(("registers", "inc"), r2_cyc,
+                       proof.stage2_openings["inc"])
+    accumulator.flush_to_transcript(transcript)
+
+    # ---- Stage 3: registers Val evaluation -----------------------------
+    val_claim = proof.stage2_openings["val"]
+    inst3 = RegistersValEvaluationVerifier(
+        log_T, r2_addr, r2_cyc, val_claim, proof.stage3_openings)
+    try:
+        r3 = BatchedSumcheck.verify(proof.stage3_polys, [inst3], accumulator,
+                                    transcript)
+    except SumcheckError as e:
+        raise VerificationError(f"stage3: {e}") from e
+    r3_cyc = r3[:log_T]
+    accumulator.insert(("registers_val_eval", "wa"), r3,
+                       proof.stage3_openings["wa"])
+    accumulator.insert(("registers_val_eval", "inc"), r3_cyc,
+                       proof.stage3_openings["inc"])
+    accumulator.flush_to_transcript(transcript)
+
     return True

@@ -1,0 +1,91 @@
+"""Register-file witness for the Twist read/write-checking argument.
+
+Builds the (K x T) one-hot access matrices and value table from the trace
+(reference: `crates/jolt-witness/src/witnesses/{one_hot,registers,increments}.rs`,
+relation spec in `zkvm/registers/read_write_checking.rs:51-68`):
+
+  * wa(k,j)  = 1 iff register k is written at cycle j (rd == k)
+  * ra1(k,j) = 1 iff rs1 == k;  ra2(k,j) = 1 iff rs2 == k
+  * Val(k,j) = value of register k *before* cycle j  (Val(k,0) = 0)
+  * inc(j)   = RdWriteValue(j) - Val(rd,j) if a write occurs else 0
+
+Layout: cycle-major, flat index = j*K + k (cycle bits are the index MSBs),
+so HighToLow sumcheck binding does the cycle phase first, matching the
+reference's phase order (`ReadWriteConfig`, zkvm/config.rs:95-115).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List
+
+from ..field.params import FR
+from ..riscv import isa
+from ..tracer.trace import Trace
+
+P = FR.modulus
+K = 128          # REGISTER_COUNT (common/src/constants.rs:2-5)
+LOG_K = 7
+M64 = (1 << 64) - 1
+
+
+@dataclasses.dataclass
+class RegisterWitness:
+    wa: List[int]     # [K*T] 0/1
+    ra1: List[int]
+    ra2: List[int]
+    val: List[int]    # [K*T] u64 register values
+    inc: List[int]    # [T] field ints (rd_post - rd_pre mod p)
+    rd_write: List[int]   # [T] RdWriteValue(j) (u64)
+    rs1_read: List[int]   # [T]
+    rs2_read: List[int]   # [T]
+    T: int
+
+
+def extract_register_witness(trace: Trace) -> RegisterWitness:
+    T = trace.padded_length
+    kinds = trace.col("kind").tolist()
+    rd = trace.col("rd").tolist()
+    rs1 = trace.col("rs1").tolist()
+    rs2 = trace.col("rs2").tolist()
+
+    def u64(name):
+        import numpy as np
+        lo, hi = trace.u64_col(name)
+        return (lo.astype(np.uint64) | (hi.astype(np.uint64) << np.uint64(32))).tolist()
+
+    rs1_val = u64("rs1_val")
+    rs2_val = u64("rs2_val")
+    rd_pre = u64("rd_pre")
+    rd_post = u64("rd_post")
+
+    wa = [0] * (K * T)
+    ra1 = [0] * (K * T)
+    ra2 = [0] * (K * T)
+    val = [0] * (K * T)
+    inc = [0] * T
+
+    regs = [0] * K
+    noop = isa.KIND_ID["NOOP"]
+    for j in range(T):
+        base = j * K
+        for k in range(K):
+            val[base + k] = regs[k]
+        if kinds[j] != noop:
+            ra1[base + rs1[j]] = 1
+            ra2[base + rs2[j]] = 1
+            assert regs[rs1[j]] == rs1_val[j], f"rs1 mismatch at {j}"
+            assert regs[rs2[j]] == rs2_val[j], f"rs2 mismatch at {j}"
+        if rd[j] != 255:
+            k = rd[j]
+            wa[base + k] = 1
+            assert regs[k] == rd_pre[j], f"rd_pre mismatch at {j}"
+            inc[j] = (rd_post[j] - rd_pre[j]) % P
+            regs[k] = rd_post[j]
+
+    rd_write = [rd_post[j] if rd[j] != 255 else 0 for j in range(T)]
+    rs1_read = [rs1_val[j] if kinds[j] != noop else 0 for j in range(T)]
+    rs2_read = [rs2_val[j] if kinds[j] != noop else 0 for j in range(T)]
+    return RegisterWitness(wa=wa, ra1=ra1, ra2=ra2, val=val, inc=inc,
+                           rd_write=rd_write, rs1_read=rs1_read,
+                           rs2_read=rs2_read, T=T)

@@ -65,6 +65,24 @@ def test_reject_tampered_opening(fib_proof):
         verify(bad, PublicIO.from_trace(tr))
 
 
+def test_reject_tampered_register_val(fib_proof):
+    tr, proof = fib_proof
+    import copy
+    bad = copy.deepcopy(proof)
+    bad.stage2_openings["val"] = (bad.stage2_openings["val"] + 1) % P
+    with pytest.raises(VerificationError):
+        verify(bad, PublicIO.from_trace(tr))
+
+
+def test_reject_tampered_val_eval_inc(fib_proof):
+    tr, proof = fib_proof
+    import copy
+    bad = copy.deepcopy(proof)
+    bad.stage3_openings["inc"] = (bad.stage3_openings["inc"] + 1) % P
+    with pytest.raises(VerificationError):
+        verify(bad, PublicIO.from_trace(tr))
+
+
 def test_reject_wrong_public_io(fib_proof):
     tr, proof = fib_proof
     io = PublicIO.from_trace(tr)
