@@ -107,8 +107,20 @@ def jacobian_add(P: Point3, Q: Point3) -> Point3:
 
 
 @partial(jax.jit)
+def _halve(P: Point3) -> Point3:
+    X, Y, Z = P
+    h = X.shape[-1] // 2
+    return jacobian_add((X[..., :h], Y[..., :h], Z[..., :h]),
+                        (X[..., h:], Y[..., h:], Z[..., h:]))
+
+
 def tree_sum(P: Point3) -> Point3:
-    """Sum all points over the last axis -> batch 1 (binary tree of adds)."""
+    """Sum all points over the last axis -> batch 1 (binary tree of adds).
+
+    Host loop over per-level jitted halvings: each level's kernel is shared
+    by every caller whose suffix sizes coincide (all MSM bit-iterations,
+    all fold sizes), instead of one monolithic compile per input size.
+    """
     X, Y, Z = P
     n = X.shape[-1]
     m = 1
@@ -117,11 +129,10 @@ def tree_sum(P: Point3) -> Point3:
     if m != n:
         pad = [(0, 0)] * (X.ndim - 1) + [(0, m - n)]
         X, Y, Z = (jnp.pad(a, pad) for a in (X, Y, Z))  # pads Z=0 = infinity
-    while X.shape[-1] > 1:
-        h = X.shape[-1] // 2
-        X, Y, Z = jacobian_add((X[..., :h], Y[..., :h], Z[..., :h]),
-                               (X[..., h:], Y[..., h:], Z[..., h:]))
-    return (X, Y, Z)
+    P = (X, Y, Z)
+    while P[0].shape[-1] > 1:
+        P = _halve(P)
+    return P
 
 
 @partial(jax.jit)
@@ -140,6 +151,28 @@ def msm_binary(P: Point3, bits: jnp.ndarray) -> Point3:
 def msm_u8(P: Point3, scalars: jnp.ndarray) -> Point3:
     """MSM with u8 scalars: 8 subset sums combined by doubling."""
     return msm(P, scalars.astype(jnp.uint32), 8)
+
+
+@partial(jax.jit, static_argnames=('bits',))
+def batch_scalar_mul(P: Point3, scalar_words: jnp.ndarray, bits: int) -> Point3:
+    """Per-lane scalar multiplication: out[n] = scalars[n] * P[n].
+
+    scalar_words: (W, N) LE uint32 words.  One fori_loop of MSB-first
+    double-and-add with per-lane selection -- compiles once, O(bits) steps.
+    """
+    X, Y, Z = P
+    inf = (jnp.zeros_like(X), jnp.zeros_like(Y), jnp.zeros_like(Z))
+
+    def body(i, acc):
+        bit_idx = bits - 1 - i
+        w = jax.lax.dynamic_index_in_dim(
+            scalar_words, bit_idx // jnp.int32(32), 0, keepdims=False)
+        sh = (bit_idx % jnp.int32(32)).astype(jnp.uint32)
+        bit = ((w >> sh) & jnp.uint32(1)).astype(jnp.bool_)
+        acc = jacobian_double(acc)
+        return jacobian_add(acc, mask_points(P, bit))
+
+    return jax.lax.fori_loop(0, bits, body, inf)
 
 
 def msm(P: Point3, scalars: jnp.ndarray, bits: int) -> Point3:

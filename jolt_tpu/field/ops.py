@@ -304,22 +304,67 @@ def batch_inverse(a: jnp.ndarray, fp: FieldParams = FR) -> jnp.ndarray:
 # reductions
 # ---------------------------------------------------------------------------
 
+_LAZY_CHUNK = 1 << 18  # sum of < 2^18 13-bit limbs stays < 2^31 in uint32
+
+
+@_fieldop('fp')
+def reduce_lazy_cols(cols: jnp.ndarray, fp: FieldParams = FR) -> jnp.ndarray:
+    """Reduce raw uint32 column sums (value < 2^19 * p) to a normalized
+    field element.
+
+    The WideAccumulator idea (`jolt-field/src/arkworks/wide_accumulator.rs`)
+    applied to addition: columns hold unpropagated sums S with
+    S = S_lo + S_hi * R (R = 2^260); S mod p = mont_mul(S_lo, oneM)
+    + mont_mul(S_hi, R2)  (mont_mul by the Montgomery rep of 1 computes
+    x*R*R^-1 = x mod p)."""
+    n = fp.num_limbs
+    ext = _propagate_ext(cols, n + 2)
+    s_lo = ext[:n]
+    s_hi = jnp.zeros_like(s_lo).at[0].set(ext[n]).at[1].set(ext[n + 1])
+    one_m = jnp.asarray(fp.one_mont_limbs, dtype=_U32).reshape(
+        (n,) + (1,) * (s_lo.ndim - 1))
+    r2 = jnp.asarray(fp.r2_limbs, dtype=_U32).reshape(
+        (n,) + (1,) * (s_lo.ndim - 1))
+    lo = mont_mul(s_lo, jnp.broadcast_to(one_m, s_lo.shape), fp)
+    hi = mont_mul(s_hi, jnp.broadcast_to(r2, s_hi.shape), fp)
+    return add(lo, hi, fp)
+
+
+def _propagate_ext(cols: jnp.ndarray, n_out: int) -> jnp.ndarray:
+    """Carry-propagate uint32 columns into n_out 13-bit limbs (value must
+    fit n_out limbs)."""
+    def step(carry, col):
+        v = col + carry
+        return v >> _W, v & _MASK
+    pad = n_out - cols.shape[0]
+    if pad > 0:
+        cols = jnp.concatenate(
+            [cols, jnp.zeros((pad,) + cols.shape[1:], dtype=_U32)], axis=0)
+    _, out = jax.lax.scan(step, jnp.zeros_like(cols[0]), cols[:n_out])
+    return out
+
+
 @_fieldop('fp')
 def sum_mod(a: jnp.ndarray, fp: FieldParams = FR) -> jnp.ndarray:
     """Sum field elements over the LAST axis -> shape (..., 1).
 
-    Tree reduction of modular adds (exact, order-free).  Pads to pow2."""
+    Lazy accumulation: 13-bit limbs sum natively in uint32 for up to 2^18
+    terms (one XLA reduction), then a single wide reduction; recursion
+    handles larger axes.  Exact and order-free (mod-p ints)."""
     n = a.shape[-1]
-    m = 1
-    while m < n:
-        m *= 2
-    if m != n:
-        pad = [(0, 0)] * (a.ndim - 1) + [(0, m - n)]
-        a = jnp.pad(a, pad)
-    while a.shape[-1] > 1:
-        half = a.shape[-1] // 2
-        a = add(a[..., :half], a[..., half:], fp)
-    return a
+    if n <= _LAZY_CHUNK:
+        cols = jnp.sum(a, axis=-1, dtype=_U32, keepdims=True)
+        return reduce_lazy_cols(cols, fp)
+    # split into chunks of <= 2^18, reduce each, then recurse
+    m = _LAZY_CHUNK
+    full = (n // m) * m
+    head = a[..., :full].reshape(a.shape[:-1] + (n // m, m))
+    cols = jnp.sum(head, axis=-1, dtype=_U32)
+    partial = reduce_lazy_cols(cols, fp)  # (..., n//m)
+    if full != n:
+        tail = sum_mod(a[..., full:], fp)
+        partial = jnp.concatenate([partial, tail], axis=-1)
+    return sum_mod(partial, fp)
 
 
 @_fieldop('fp')

@@ -22,6 +22,7 @@ from __future__ import annotations
 import dataclasses
 from typing import List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -37,21 +38,32 @@ P = FR.modulus
 
 @dataclasses.dataclass
 class KZGSetup:
-    g1_powers: List[host.Point]        # [tau^i] G1, i < N
-    g1_powers_dev: tuple               # device-packed for MSM
+    g1_powers: Optional[List[host.Point]]  # host affine (lazy; tests only)
+    g1_powers_dev: tuple               # device Jacobian batch for MSM
     tau_g2: G2Point                    # [tau] G2
+
+    def host_powers(self) -> List[host.Point]:
+        if self.g1_powers is None:
+            self.g1_powers = g1dev.unpack_points(self.g1_powers_dev)
+        return self.g1_powers
 
     @classmethod
     def generate(cls, max_len: int, tau: int = None) -> "KZGSetup":
-        """Toy ceremony: derives tau in-process (INSECURE; test/dev tier)."""
+        """Toy ceremony: derives tau in-process (INSECURE; test/dev tier).
+
+        Device-batched: [tau^i]G1 for all i via one batched scalar-mul."""
         tau = tau if tau is not None else 0x1234567890ABCDEF1122334455667788
-        powers = []
+        scalars = []
         acc = 1
         for _ in range(max_len):
-            powers.append(host.g1_mul(host.G1_GEN, acc))
+            scalars.append(acc)
             acc = acc * tau % P
-        return cls(g1_powers=powers,
-                   g1_powers_dev=g1dev.pack_points(powers),
+        base = g1dev.pack_points([host.G1_GEN] * max_len)
+        powers_dev = g1dev.batch_scalar_mul(base, _scalars_to_words(scalars), 254)
+        # keep the SRS in device Jacobian form (tree_sum/MSM accept Jacobian
+        # inputs); host affine copies are derived lazily for tests only.
+        return cls(g1_powers=None,
+                   g1_powers_dev=jax.block_until_ready(powers_dev),
                    tau_g2=g2_mul(G2_GEN, tau))
 
 
@@ -107,13 +119,16 @@ class HyperKZG:
 
     # ---- commit --------------------------------------------------------
 
-    def commit_ints(self, coeffs: Sequence[int]) -> host.Point:
-        """MSM of the coefficient vector against the SRS (device)."""
+    def commit_ints(self, coeffs: Sequence[int], bits: int = 254) -> host.Point:
+        """MSM of the coefficient vector against the SRS (device).
+
+        `bits` enables the pay-per-bit small-scalar path (msm/mod.rs:16-80):
+        b-bit coefficients cost ~b/254 of a full-width MSM."""
         n = len(coeffs)
         pts = (self.setup.g1_powers_dev[0][:, :n],
                self.setup.g1_powers_dev[1][:, :n],
                self.setup.g1_powers_dev[2][:, :n])
-        acc = g1dev.msm(pts, _scalars_to_words(coeffs), 254)
+        acc = g1dev.msm(pts, _scalars_to_words(coeffs), bits)
         return g1dev.unpack_points(acc)[0]
 
     # ---- open ----------------------------------------------------------

@@ -19,6 +19,8 @@ import dataclasses
 from typing import Dict, List, Optional
 
 from ..field.params import FR
+from ..pcs import HyperKZG, HyperKZGProof, KZGSetup
+from ..pcs.hyperkzg import _absorb_point
 from ..r1cs import constraints as C
 from ..relations.registers_rw import (RegistersReadWriteChecking,
                                       RegistersValEvaluation)
@@ -44,6 +46,8 @@ class JoltProof:
     stage2_openings: Dict[str, int]    # wa/ra1/ra2/val/inc at bound point
     stage3_polys: List[List[int]]      # registers Val evaluation
     stage3_openings: Dict[str, int]    # wa/inc at new bound point
+    commitments: Dict[str, object]     # committed register polys (G1 points)
+    opening_proofs: Dict[str, object]  # (name, stage) -> HyperKZGProof
 
 
 def fiat_shamir_preamble(transcript: Blake2bTranscript, trace: Trace) -> None:
@@ -59,13 +63,31 @@ def fiat_shamir_preamble(transcript: Blake2bTranscript, trace: Trace) -> None:
     transcript.append_u64(b"panic", 1 if trace.device.panic else 0)
 
 
-def prove(trace: Trace) -> JoltProof:
+def prove(trace: Trace, setup: "KZGSetup" = None) -> JoltProof:
+    """Prove the trace.  `setup` enables the commitment layer; without it the
+    proof carries bare opening claims (sumcheck-only mode for tests)."""
     transcript = Blake2bTranscript(b"Jolt")
     fiat_shamir_preamble(transcript, trace)
 
     inputs = extract_r1cs_inputs(trace)
     accumulator = OpeningAccumulator()
     log_T = trace.log_T
+
+    # ---- Stage 0: commit the register witness polynomials ---------------
+    # (zkvm/prover.rs:689-800 generate_and_commit_witness_polynomials --
+    # commitments absorb BEFORE any challenge so they bind the witness.)
+    reg_wit = extract_register_witness(trace)
+    commitments: Dict[str, object] = {}
+    pcs = HyperKZG(setup) if setup is not None else None
+    committed_cols = {}
+    if pcs is not None:
+        # pay-per-bit commits (msm/mod.rs:16-80): one-hot access matrices
+        # are binary (1 subset-sum); increments are 64-bit.
+        committed_cols = {"wa": (reg_wit.wa, 1), "ra1": (reg_wit.ra1, 1),
+                          "ra2": (reg_wit.ra2, 1), "inc": (reg_wit.inc, 64)}
+        for name, (coeffs, bits) in committed_cols.items():
+            commitments[name] = pcs.commit_ints(coeffs, bits=bits)
+            _absorb_point(transcript, b"commitment", commitments[name])
 
     # ---- Stage 1: Spartan outer ----------------------------------------
     num_rounds = C.LOG_PADDED_CONSTRAINTS + log_T
@@ -80,7 +102,6 @@ def prove(trace: Trace) -> JoltProof:
               accumulator.get_claim(("r1cs_input", "rs1_value")),
               accumulator.get_claim(("r1cs_input", "rs2_value"))]
     gamma = transcript.challenge_scalar()
-    reg_wit = extract_register_witness(trace)
     rw = RegistersReadWriteChecking(reg_wit, gamma, r_cycle, claims)
     stage2_polys, r2 = BatchedSumcheck.prove([rw], accumulator, transcript)
 
@@ -88,7 +109,23 @@ def prove(trace: Trace) -> JoltProof:
     r2_cyc, r2_addr = r2[:log_T], r2[log_T:]
     val_claim = accumulator.get_claim(("registers", "val"))
     ve = RegistersValEvaluation(reg_wit, r2_addr, r2_cyc, val_claim)
-    stage3_polys, _ = BatchedSumcheck.prove([ve], accumulator, transcript)
+    stage3_polys, r3 = BatchedSumcheck.prove([ve], accumulator, transcript)
+    r3_cyc = r3[:log_T]
+
+    # ---- Stage 8 (minimal): prove the terminal committed-poly openings --
+    # The reference batches all committed claims into ONE Dory opening
+    # (zkvm/prover.rs:2097-2260); round-1 opens each claim individually.
+    opening_proofs: Dict[str, object] = {}
+    if pcs is not None:
+        # TODO(batched opening): reduce ALL terminal claims to one opening
+        # via the joint-opening sumcheck (prove_packed_openings) -- round-1
+        # proves the cheapest leaf (inc at the val-evaluation point); the
+        # other claims are carried in the proof and verified structurally.
+        terminal = [
+            ("inc@ve", reg_wit.inc, r3_cyc, ve.final_openings["inc"]),
+        ]
+        for name, coeffs, point, claim in terminal:
+            opening_proofs[name] = pcs.open(coeffs, point, claim, transcript)
 
     return JoltProof(
         trace_length=trace.length,
@@ -99,4 +136,6 @@ def prove(trace: Trace) -> JoltProof:
         stage2_openings=dict(rw.final_openings),
         stage3_polys=stage3_polys,
         stage3_openings=dict(ve.final_openings),
+        commitments=commitments,
+        opening_proofs=opening_proofs,
     )

@@ -16,6 +16,8 @@ from __future__ import annotations
 from typing import List
 
 from ..field.params import FR
+from ..pcs import HyperKZG, KZGSetup
+from ..pcs.hyperkzg import _absorb_point
 from ..prover.prover import JoltProof
 from ..r1cs import constraints as C
 from ..relations.registers_rw import (RegistersReadWriteCheckingVerifier,
@@ -52,13 +54,20 @@ class PublicIO:
                    trace.device.panic)
 
 
-def verify(proof: JoltProof, io: PublicIO) -> bool:
+def verify(proof: JoltProof, io: PublicIO, setup: "KZGSetup" = None) -> bool:
     transcript = Blake2bTranscript(b"Jolt")
     transcript.append_u64(b"T", io.trace_length)
     transcript.append_u64(b"padded_T", io.padded_length)
     transcript.append_bytes(b"inputs", io.inputs)
     transcript.append_bytes(b"outputs", io.outputs)
     transcript.append_u64(b"panic", 1 if io.panic else 0)
+
+    pcs = HyperKZG(setup) if setup is not None else None
+    if pcs is not None:
+        for name in ("wa", "ra1", "ra2", "inc"):
+            if name not in proof.commitments:
+                raise VerificationError(f"missing commitment {name}")
+            _absorb_point(transcript, b"commitment", proof.commitments[name])
 
     log_T = io.padded_length.bit_length() - 1
     accumulator = OpeningAccumulator()
@@ -120,5 +129,15 @@ def verify(proof: JoltProof, io: PublicIO) -> bool:
     accumulator.insert(("registers_val_eval", "inc"), r3_cyc,
                        proof.stage3_openings["inc"])
     accumulator.flush_to_transcript(transcript)
+
+    # ---- Stage 8 (minimal): verify the terminal committed-poly opening --
+    if pcs is not None:
+        op = proof.opening_proofs.get("inc@ve")
+        if op is None:
+            raise VerificationError("missing inc@ve opening proof")
+        ok = pcs.verify(proof.commitments["inc"], r3_cyc,
+                        proof.stage3_openings["inc"], op, transcript)
+        if not ok:
+            raise VerificationError("inc@ve opening proof invalid")
 
     return True
