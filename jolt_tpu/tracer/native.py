@@ -1,0 +1,126 @@
+"""ctypes bindings for the native C++ tracer (native/tracer.cpp).
+
+Produces the identical SoA `Trace` as the Python emulator; equivalence is a
+test gate (the reference's serial-vs-parallel tracer paranoia checks,
+`tracer/src/parallel.rs:54-60`).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+from ..riscv.assembler import assemble
+from ..riscv.emulator import JoltDevice, MemoryLayout, RAM_START_ADDRESS
+from .trace import TRACE_FIELDS, Trace, _padded_length
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_SO = os.path.join(_NATIVE_DIR, "libjolt_tracer.so")
+_SRC = os.path.join(_NATIVE_DIR, "tracer.cpp")
+
+_ROW_DTYPE = np.dtype([
+    ("kind", np.uint16), ("rd", np.uint8), ("rs1", np.uint8),
+    ("rs2", np.uint8), ("_pad", np.uint8, 3),
+    ("pc", np.uint64),
+    ("rs1_val", np.uint64), ("rs2_val", np.uint64),
+    ("rd_pre", np.uint64), ("rd_post", np.uint64),
+    ("ram_addr", np.uint64), ("ram_pre", np.uint64), ("ram_post", np.uint64),
+    ("imm", np.int64), ("next_pc", np.uint64),
+])
+
+
+class _TraceResult(ctypes.Structure):
+    _fields_ = [
+        ("rows", ctypes.c_void_p), ("count", ctypes.c_uint64),
+        ("outputs", ctypes.c_void_p), ("outputs_len", ctypes.c_uint64),
+        ("panic_flag", ctypes.c_int32), ("status", ctypes.c_int32),
+        ("rows_owner", ctypes.c_void_p), ("machine_owner", ctypes.c_void_p),
+    ]
+
+
+_lib: Optional[ctypes.CDLL] = None
+
+
+def _load() -> ctypes.CDLL:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC], check=True)
+    lib = ctypes.CDLL(_SO)
+    lib.jolt_trace.restype = ctypes.POINTER(_TraceResult)
+    lib.jolt_trace.argtypes = [
+        ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint64,
+        ctypes.c_char_p, ctypes.c_uint64,
+        ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64,
+        ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64,
+    ]
+    lib.jolt_trace_free.argtypes = [ctypes.POINTER(_TraceResult)]
+    lib.jolt_trace_fill_columns.argtypes = [ctypes.POINTER(_TraceResult)] + \
+        [ctypes.c_void_p] * 24
+    _lib = lib
+    return lib
+
+
+def trace_program_native(code: bytes | str, inputs: bytes = b"",
+                         layout: Optional[MemoryLayout] = None,
+                         max_cycles: int = 1 << 24,
+                         entry: int = RAM_START_ADDRESS) -> Trace:
+    """Native-tracer twin of `trace_program` (same Trace output)."""
+    if isinstance(code, str):
+        code = assemble(code, base=entry)
+    layout = layout or MemoryLayout()
+    lib = _load()
+    res_p = lib.jolt_trace(
+        code, len(code), entry, inputs, len(inputs),
+        layout.input_start, layout.input_end,
+        layout.output_start, layout.output_end,
+        layout.panic, layout.termination, layout.io_end,
+        max_cycles)
+    res = res_p.contents
+    try:
+        if res.status == 1:
+            raise ValueError("native tracer: decode error")
+        if res.status == 2:
+            raise RuntimeError(f"exceeded max_cycles={max_cycles}")
+        T = int(res.count)
+        padded = _padded_length(T)
+        cols = {}
+        for name, dt in TRACE_FIELDS:
+            if dt in ("u64", "i64"):
+                cols[name + "_lo"] = np.zeros(padded, dtype=np.uint32)
+                cols[name + "_hi"] = np.zeros(padded, dtype=np.uint32)
+            else:
+                cols[name] = np.zeros(padded, dtype=dt)
+        ptr_order = ["kind", "rd", "rs1", "rs2"] + [
+            f"{n}_{w}" for n, dt in TRACE_FIELDS if dt in ("u64", "i64")
+            for w in ("lo", "hi")]
+        ptrs = [cols[k].ctypes.data_as(ctypes.c_void_p) for k in ptr_order]
+        lib.jolt_trace_fill_columns(res_p, *ptrs)
+        outputs = bytes(np.ctypeslib.as_array(
+            ctypes.cast(res.outputs, ctypes.POINTER(ctypes.c_uint8)),
+            shape=(int(res.outputs_len),))) if res.outputs_len else b""
+        panic = bool(res.panic_flag)
+    finally:
+        lib.jolt_trace_free(res_p)
+
+    if T and padded > T:
+        final_pc = (int(cols["next_pc_lo"][T - 1])
+                    | int(cols["next_pc_hi"][T - 1]) << 32)
+        cols["pc_lo"][T:] = final_pc & 0xFFFFFFFF
+        cols["pc_hi"][T:] = final_pc >> 32
+        cols["next_pc_lo"][T:] = final_pc & 0xFFFFFFFF
+        cols["next_pc_hi"][T:] = final_pc >> 32
+        cols["rd"][T:] = 255
+
+    device = JoltDevice(layout, inputs)
+    device.outputs = bytearray(outputs)
+    device.panic = panic
+    device.terminated = True
+    return Trace(columns=cols, length=T, padded_length=padded,
+                 device=device, memory_layout=layout)
