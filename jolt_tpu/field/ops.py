@@ -378,8 +378,20 @@ def dot(a: jnp.ndarray, b: jnp.ndarray, fp: FieldParams = FR) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def pack_ints(vals, fp: FieldParams = FR) -> jnp.ndarray:
-    """Python ints -> Montgomery limb array of shape (NUM_LIMBS, len(vals))."""
-    arr = np.stack([fp.int_to_mont_limbs(int(v)) for v in vals], axis=1)
+    """Python ints -> Montgomery limb array of shape (NUM_LIMBS, len(vals)).
+
+    Witness columns repeat values heavily (one-hot flags, register values),
+    so conversions are memoized per call."""
+    cache = {}
+    cols = []
+    for v in vals:
+        v = int(v)
+        limbs = cache.get(v)
+        if limbs is None:
+            limbs = fp.int_to_mont_limbs(v)
+            cache[v] = limbs
+        cols.append(limbs)
+    arr = np.stack(cols, axis=1) if cols else np.zeros((fp.num_limbs, 0), np.uint32)
     return jnp.asarray(arr, dtype=_U32)
 
 

@@ -22,6 +22,8 @@ from ..field.params import FR
 from ..pcs import HyperKZG, HyperKZGProof, KZGSetup
 from ..pcs.hyperkzg import _absorb_point
 from ..r1cs import constraints as C
+from ..relations.ram import (RamRafEvaluation, RamReadWriteChecking,
+                             RamValEvaluation)
 from ..relations.registers_rw import (RegistersReadWriteChecking,
                                       RegistersValEvaluation)
 from ..relations.spartan_outer import SpartanOuterProver
@@ -29,6 +31,9 @@ from ..sumcheck.engine import BatchedSumcheck, OpeningAccumulator
 from ..tracer.trace import Trace
 from ..transcript import Blake2bTranscript
 from ..witness.r1cs_inputs import extract_r1cs_inputs
+from ..witness.r1cs_inputs import (V_RAM_ADDRESS, V_RAM_READ_VALUE,
+                                   V_RAM_WRITE_VALUE)
+from ..witness.ram import extract_ram_witness
 from ..witness.registers import LOG_K, extract_register_witness
 
 P = FR.modulus
@@ -46,6 +51,11 @@ class JoltProof:
     stage2_openings: Dict[str, int]    # wa/ra1/ra2/val/inc at bound point
     stage3_polys: List[List[int]]      # registers Val evaluation
     stage3_openings: Dict[str, int]    # wa/inc at new bound point
+    stage4_polys: List[List[int]]      # RAM rw-checking + raf (batched)
+    stage4_openings: Dict[str, int]    # ra/val/inc (rw) + ra (raf)
+    stage5_polys: List[List[int]]      # RAM Val evaluation
+    stage5_openings: Dict[str, int]    # ra/inc at new bound point
+    ram_log_K: int
     commitments: Dict[str, object]     # committed register polys (G1 points)
     opening_proofs: Dict[str, object]  # (name, stage) -> HyperKZGProof
 
@@ -112,6 +122,23 @@ def prove(trace: Trace, setup: "KZGSetup" = None) -> JoltProof:
     stage3_polys, r3 = BatchedSumcheck.prove([ve], accumulator, transcript)
     r3_cyc = r3[:log_T]
 
+    # ---- Stage 4: RAM read/write checking + raf evaluation (batched) ----
+    ram_wit = extract_ram_witness(trace)
+    gamma_ram = transcript.challenge_scalar()
+    rv_claim = accumulator.get_claim(("r1cs_input", "ram_read_value"))
+    wv_claim = accumulator.get_claim(("r1cs_input", "ram_write_value"))
+    addr_claim = accumulator.get_claim(("r1cs_input", "ram_address"))
+    ram_rw = RamReadWriteChecking(ram_wit, gamma_ram, r_cycle, rv_claim, wv_claim)
+    ram_raf = RamRafEvaluation(ram_wit, r_cycle, addr_claim)
+    stage4_polys, r4 = BatchedSumcheck.prove([ram_rw, ram_raf], accumulator,
+                                             transcript)
+    r4_cyc, r4_addr = r4[:log_T], r4[log_T:]
+
+    # ---- Stage 5: RAM Val evaluation ------------------------------------
+    ram_val_claim = accumulator.get_claim(("ram", "val"))
+    ram_ve = RamValEvaluation(ram_wit, r4_addr, r4_cyc, ram_val_claim)
+    stage5_polys, _ = BatchedSumcheck.prove([ram_ve], accumulator, transcript)
+
     # ---- Stage 8 (minimal): prove the terminal committed-poly openings --
     # The reference batches all committed claims into ONE Dory opening
     # (zkvm/prover.rs:2097-2260); round-1 opens each claim individually.
@@ -136,6 +163,12 @@ def prove(trace: Trace, setup: "KZGSetup" = None) -> JoltProof:
         stage2_openings=dict(rw.final_openings),
         stage3_polys=stage3_polys,
         stage3_openings=dict(ve.final_openings),
+        stage4_polys=stage4_polys,
+        stage4_openings={**{f"rw_{k}": v for k, v in ram_rw.final_openings.items()},
+                         **{f"raf_{k}": v for k, v in ram_raf.final_openings.items()}},
+        stage5_polys=stage5_polys,
+        stage5_openings=dict(ram_ve.final_openings),
+        ram_log_K=ram_wit.log_K,
         commitments=commitments,
         opening_proofs=opening_proofs,
     )

@@ -20,6 +20,9 @@ from ..pcs import HyperKZG, KZGSetup
 from ..pcs.hyperkzg import _absorb_point
 from ..prover.prover import JoltProof
 from ..r1cs import constraints as C
+from ..relations.ram import (RamRafEvaluationVerifier,
+                             RamReadWriteCheckingVerifier,
+                             RamValEvaluationVerifier)
 from ..relations.registers_rw import (RegistersReadWriteCheckingVerifier,
                                       RegistersValEvaluationVerifier)
 from ..relations.spartan_outer import SpartanOuterVerifier
@@ -27,7 +30,10 @@ from ..sumcheck.engine import BatchedSumcheck, OpeningAccumulator, SumcheckError
 from ..tracer.trace import Trace
 from ..transcript import Blake2bTranscript
 from ..witness.r1cs_inputs import NUM_VARS, VAR_NAMES
-from ..witness.r1cs_inputs import (V_RD_WRITE_VALUE, V_RS1_VALUE, V_RS2_VALUE)
+from ..witness.r1cs_inputs import (V_RAM_ADDRESS, V_RAM_READ_VALUE,
+                                   V_RAM_WRITE_VALUE, V_RD_WRITE_VALUE,
+                                   V_RS1_VALUE, V_RS2_VALUE)
+from ..witness.ram import input_init_vals
 
 P = FR.modulus
 
@@ -40,18 +46,21 @@ class PublicIO:
     """The public statement: what the verifier actually gets (no trace)."""
 
     def __init__(self, trace_length: int, padded_length: int,
-                 inputs: bytes, outputs: bytes, panic: bool):
+                 inputs: bytes, outputs: bytes, panic: bool,
+                 memory_layout=None):
+        from ..riscv.emulator import MemoryLayout
         self.trace_length = trace_length
         self.padded_length = padded_length
         self.inputs = inputs
         self.outputs = outputs
         self.panic = panic
+        self.memory_layout = memory_layout or MemoryLayout()
 
     @classmethod
     def from_trace(cls, trace: Trace) -> "PublicIO":
         return cls(trace.length, trace.padded_length,
                    bytes(trace.device.inputs), bytes(trace.device.outputs),
-                   trace.device.panic)
+                   trace.device.panic, trace.memory_layout)
 
 
 def verify(proof: JoltProof, io: PublicIO, setup: "KZGSetup" = None) -> bool:
@@ -128,6 +137,45 @@ def verify(proof: JoltProof, io: PublicIO, setup: "KZGSetup" = None) -> bool:
                        proof.stage3_openings["wa"])
     accumulator.insert(("registers_val_eval", "inc"), r3_cyc,
                        proof.stage3_openings["inc"])
+    accumulator.flush_to_transcript(transcript)
+
+    # ---- Stage 4: RAM read/write checking + raf evaluation (batched) ----
+    gamma_ram = transcript.challenge_scalar()
+    rv_claim = proof.r1cs_input_openings[V_RAM_READ_VALUE]
+    wv_claim = proof.r1cs_input_openings[V_RAM_WRITE_VALUE]
+    addr_claim = proof.r1cs_input_openings[V_RAM_ADDRESS]
+    o4 = proof.stage4_openings
+    inst4a = RamReadWriteCheckingVerifier(
+        log_T, proof.ram_log_K, gamma_ram, r_cycle, rv_claim, wv_claim,
+        {"ra": o4["rw_ra"], "val": o4["rw_val"], "inc": o4["rw_inc"]})
+    inst4b = RamRafEvaluationVerifier(
+        log_T, proof.ram_log_K, r_cycle, addr_claim,
+        io.memory_layout.input_start, {"ra": o4["raf_ra"]})
+    try:
+        r4 = BatchedSumcheck.verify(proof.stage4_polys, [inst4a, inst4b],
+                                    accumulator, transcript)
+    except SumcheckError as e:
+        raise VerificationError(f"stage4: {e}") from e
+    r4_cyc, r4_addr = r4[:log_T], r4[log_T:]
+    for name in ("ra", "val"):
+        accumulator.insert(("ram", name), r4, o4[f"rw_{name}"])
+    accumulator.insert(("ram", "inc"), r4_cyc, o4["rw_inc"])
+    accumulator.insert(("ram_raf", "ra"), r4, o4["raf_ra"])
+    accumulator.flush_to_transcript(transcript)
+
+    # ---- Stage 5: RAM Val evaluation ------------------------------------
+    init_vals = input_init_vals(io.inputs, io.memory_layout)
+    inst5 = RamValEvaluationVerifier(
+        log_T, proof.ram_log_K, r4_addr, r4_cyc, o4["rw_val"], init_vals,
+        proof.stage5_openings)
+    try:
+        r5 = BatchedSumcheck.verify(proof.stage5_polys, [inst5], accumulator,
+                                    transcript)
+    except SumcheckError as e:
+        raise VerificationError(f"stage5: {e}") from e
+    accumulator.insert(("ram_val_eval", "ra"), r5, proof.stage5_openings["ra"])
+    accumulator.insert(("ram_val_eval", "inc"), r5[:log_T],
+                       proof.stage5_openings["inc"])
     accumulator.flush_to_transcript(transcript)
 
     # ---- Stage 8 (minimal): verify the terminal committed-poly opening --

@@ -1,0 +1,125 @@
+"""RAM witness for the Twist memory-checking argument.
+
+Reference: `zkvm/ram/*` + `crates/jolt-witness/src/witnesses/ram.rs`.
+
+Address space: witness index k = (dword_address - witness_base)/8 + 1, with
+k = 0 the dummy cell used by non-memory cycles (RamAddress == 0 constraint);
+witness_base = memory_layout.input_start, so the I/O region is part of the
+RAM witness (the layout comment in `common/src/constants.rs:34-40`).
+
+Per cycle: ra(k,j) one-hot at the accessed dword (k=0 if none);
+Val(k,j) = dword value before cycle j; inc(j) = post - pre (stores only).
+Val(:,0) = the initial memory image (inputs region; program image if the
+guest reads code -- cells are checked against first-access ram_pre).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List
+
+from ..field.params import FR
+from ..tracer.trace import Trace
+
+P = FR.modulus
+
+
+@dataclasses.dataclass
+class RamWitness:
+    ra: List[int]        # [K*T] 0/1, cycle-major (j*K + k)
+    val: List[int]       # [K*T]
+    inc: List[int]       # [T]
+    init_vals: Dict[int, int]   # sparse k -> initial dword value (public)
+    K: int
+    log_K: int
+    T: int
+    witness_base: int
+
+
+def remap_address(addr: int, witness_base: int) -> int:
+    if addr == 0:
+        return 0
+    assert addr >= witness_base and addr % 8 == 0, f"bad ram addr {addr:#x}"
+    return (addr - witness_base) // 8 + 1
+
+
+def address_of_index(k: int, witness_base: int) -> int:
+    return 0 if k == 0 else witness_base + 8 * (k - 1)
+
+
+def input_init_vals(inputs: bytes, layout) -> Dict[int, int]:
+    """Public initial-image cells implied by the inputs region (shared by
+    prover witness-gen and verifier)."""
+    wb = layout.input_start
+    out: Dict[int, int] = {}
+    for off in range(0, len(inputs), 8):
+        word = int.from_bytes(inputs[off:off + 8].ljust(8, b"\x00"), "little")
+        if word:
+            out[remap_address(layout.input_start + off, wb)] = word
+    return out
+
+
+def extract_ram_witness(trace: Trace) -> RamWitness:
+    T = trace.padded_length
+    wb = trace.memory_layout.input_start
+
+    import numpy as np
+    def u64(name):
+        lo, hi = trace.u64_col(name)
+        return (lo.astype(np.uint64) | (hi.astype(np.uint64) << np.uint64(32))).tolist()
+
+    ram_addr = u64("ram_addr")
+    ram_pre = u64("ram_pre")
+    ram_post = u64("ram_post")
+
+    ks = [remap_address(a, wb) for a in ram_addr]
+    max_k = max(ks) if ks else 0
+    K = 1
+    while K < max_k + 1:
+        K *= 2
+    K = max(K, 2)
+    log_K = K.bit_length() - 1
+
+    # initial memory image over accessed cells (inputs region; program-image
+    # cells get discovered below and are rejected until the program-image
+    # claim reduction lands)
+    init_vals = input_init_vals(bytes(trace.device.inputs), trace.memory_layout)
+
+    # phase 1: discover the full public initial image over accessed cells
+    # (a first access whose pre-value isn't implied by the inputs reveals a
+    # program-image/static-data cell, which is public).
+    seen: set = set()
+    for j in range(T):
+        k = ks[j]
+        if k == 0:
+            continue
+        if k not in seen:
+            seen.add(k)
+            expected = init_vals.get(k, 0)
+            if ram_pre[j] != expected:
+                raise ValueError(
+                    f"cycle {j}: first access of cell {k} reads "
+                    f"{ram_pre[j]:#x} not implied by inputs -- program-image "
+                    f"reads need the ProgramImageInit claim reduction "
+                    f"(future round)")
+
+    # phase 2: forward replay building ra / Val / inc exactly
+    ra = [0] * (K * T)
+    val = [0] * (K * T)
+    inc = [0] * T
+    mem: Dict[int, int] = dict(init_vals)
+    for j in range(T):
+        base = j * K
+        for kk, v in mem.items():
+            if v:
+                val[base + kk] = v
+        k = ks[j]
+        ra[base + k] = 1
+        if k != 0:
+            assert mem.get(k, 0) == ram_pre[j], f"ram pre mismatch cycle {j}"
+            if ram_post[j] != ram_pre[j]:
+                inc[j] = (ram_post[j] - ram_pre[j]) % P
+                mem[k] = ram_post[j]
+
+    return RamWitness(ra=ra, val=val, inc=inc, init_vals=init_vals,
+                      K=K, log_K=log_K, T=T, witness_base=wb)
