@@ -22,6 +22,7 @@ from ..field.params import FR
 from ..pcs import HyperKZG, HyperKZGProof, KZGSetup
 from ..pcs.hyperkzg import _absorb_point
 from ..r1cs import constraints as C
+from ..relations.bytecode import CLAIM_COLUMNS, BytecodeReadRaf
 from ..relations.ram import (RamRafEvaluation, RamReadWriteChecking,
                              RamValEvaluation)
 from ..relations.registers_rw import (RegistersReadWriteChecking,
@@ -33,6 +34,7 @@ from ..transcript import Blake2bTranscript
 from ..witness.r1cs_inputs import extract_r1cs_inputs
 from ..witness.r1cs_inputs import (V_RAM_ADDRESS, V_RAM_READ_VALUE,
                                    V_RAM_WRITE_VALUE)
+from ..witness.bytecode import extract_bytecode_witness
 from ..witness.ram import extract_ram_witness
 from ..witness.registers import LOG_K, extract_register_witness
 
@@ -56,6 +58,9 @@ class JoltProof:
     stage5_polys: List[List[int]]      # RAM Val evaluation
     stage5_openings: Dict[str, int]    # ra/inc at new bound point
     ram_log_K: int
+    stage6_polys: List[List[int]]      # bytecode read-raf Shout
+    stage6_openings: Dict[str, int]    # bytecode ra at bound point
+    bytecode_log_K: int
     commitments: Dict[str, object]     # committed register polys (G1 points)
     opening_proofs: Dict[str, object]  # (name, stage) -> HyperKZGProof
 
@@ -139,6 +144,14 @@ def prove(trace: Trace, setup: "KZGSetup" = None) -> JoltProof:
     ram_ve = RamValEvaluation(ram_wit, r4_addr, r4_cyc, ram_val_claim)
     stage5_polys, _ = BatchedSumcheck.prove([ram_ve], accumulator, transcript)
 
+    # ---- Stage 6: bytecode read-raf (decoded fields vs public program) --
+    bc_wit = extract_bytecode_witness(trace, trace.code, trace.entry)
+    gamma_bc = transcript.challenge_scalar()
+    bc_claims = [accumulator.get_claim(("r1cs_input", name))
+                 for name, _ in CLAIM_COLUMNS]
+    bc = BytecodeReadRaf(bc_wit, gamma_bc, r_cycle, bc_claims)
+    stage6_polys, _ = BatchedSumcheck.prove([bc], accumulator, transcript)
+
     # ---- Stage 8 (minimal): prove the terminal committed-poly openings --
     # The reference batches all committed claims into ONE Dory opening
     # (zkvm/prover.rs:2097-2260); round-1 opens each claim individually.
@@ -169,6 +182,9 @@ def prove(trace: Trace, setup: "KZGSetup" = None) -> JoltProof:
         stage5_polys=stage5_polys,
         stage5_openings=dict(ram_ve.final_openings),
         ram_log_K=ram_wit.log_K,
+        stage6_polys=stage6_polys,
+        stage6_openings=dict(bc.final_openings),
+        bytecode_log_K=bc_wit.log_K,
         commitments=commitments,
         opening_proofs=opening_proofs,
     )

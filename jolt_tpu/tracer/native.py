@@ -123,4 +123,4 @@ def trace_program_native(code: bytes | str, inputs: bytes = b"",
     device.panic = panic
     device.terminated = True
     return Trace(columns=cols, length=T, padded_length=padded,
-                 device=device, memory_layout=layout)
+                 device=device, memory_layout=layout, code=code, entry=entry)

@@ -53,6 +53,8 @@ class Trace:
     padded_length: int
     device: JoltDevice
     memory_layout: MemoryLayout
+    code: bytes = b""      # the (public) program image
+    entry: int = RAM_START_ADDRESS
 
     def col(self, name: str) -> np.ndarray:
         return self.columns[name]
@@ -119,4 +121,4 @@ def trace_program(code: bytes | str, inputs: bytes = b"",
         cols["rd"][T:] = 255
 
     return Trace(columns=cols, length=T, padded_length=padded,
-                 device=device, memory_layout=layout)
+                 device=device, memory_layout=layout, code=code, entry=entry)

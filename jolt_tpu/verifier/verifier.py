@@ -20,6 +20,7 @@ from ..pcs import HyperKZG, KZGSetup
 from ..pcs.hyperkzg import _absorb_point
 from ..prover.prover import JoltProof
 from ..r1cs import constraints as C
+from ..relations.bytecode import CLAIM_COLUMNS, BytecodeReadRafVerifier
 from ..relations.ram import (RamRafEvaluationVerifier,
                              RamReadWriteCheckingVerifier,
                              RamValEvaluationVerifier)
@@ -47,7 +48,7 @@ class PublicIO:
 
     def __init__(self, trace_length: int, padded_length: int,
                  inputs: bytes, outputs: bytes, panic: bool,
-                 memory_layout=None):
+                 memory_layout=None, code: bytes = b"", entry: int = 0):
         from ..riscv.emulator import MemoryLayout
         self.trace_length = trace_length
         self.padded_length = padded_length
@@ -55,12 +56,15 @@ class PublicIO:
         self.outputs = outputs
         self.panic = panic
         self.memory_layout = memory_layout or MemoryLayout()
+        self.code = code
+        self.entry = entry
 
     @classmethod
     def from_trace(cls, trace: Trace) -> "PublicIO":
         return cls(trace.length, trace.padded_length,
                    bytes(trace.device.inputs), bytes(trace.device.outputs),
-                   trace.device.panic, trace.memory_layout)
+                   trace.device.panic, trace.memory_layout,
+                   trace.code, trace.entry)
 
 
 def verify(proof: JoltProof, io: PublicIO, setup: "KZGSetup" = None) -> bool:
@@ -176,6 +180,22 @@ def verify(proof: JoltProof, io: PublicIO, setup: "KZGSetup" = None) -> bool:
     accumulator.insert(("ram_val_eval", "ra"), r5, proof.stage5_openings["ra"])
     accumulator.insert(("ram_val_eval", "inc"), r5[:log_T],
                        proof.stage5_openings["inc"])
+    accumulator.flush_to_transcript(transcript)
+
+    # ---- Stage 6: bytecode read-raf (decoded fields vs public program) --
+    gamma_bc = transcript.challenge_scalar()
+    name_to_idx = {n: i for i, n in enumerate(VAR_NAMES)}
+    bc_claims = [proof.r1cs_input_openings[name_to_idx[name]]
+                 for name, _ in CLAIM_COLUMNS]
+    inst6 = BytecodeReadRafVerifier(
+        log_T, proof.bytecode_log_K, gamma_bc, r_cycle, bc_claims,
+        io.code, io.entry, proof.stage6_openings)
+    try:
+        r6 = BatchedSumcheck.verify(proof.stage6_polys, [inst6], accumulator,
+                                    transcript)
+    except SumcheckError as e:
+        raise VerificationError(f"stage6: {e}") from e
+    accumulator.insert(("bytecode", "ra"), r6, proof.stage6_openings["ra"])
     accumulator.flush_to_transcript(transcript)
 
     # ---- Stage 8 (minimal): verify the terminal committed-poly opening --
