@@ -25,7 +25,8 @@ from ..r1cs import constraints as C
 from ..relations.bytecode import CLAIM_COLUMNS, BytecodeReadRaf
 from ..relations.ram import (RamRafEvaluation, RamReadWriteChecking,
                              RamValEvaluation)
-from ..relations.registers_rw import (RegistersReadWriteChecking,
+from ..relations.registers_rw import (RegistersRaf,
+                                      RegistersReadWriteChecking,
                                       RegistersValEvaluation)
 from ..relations.spartan_outer import SpartanOuterProver
 from ..sumcheck.engine import BatchedSumcheck, OpeningAccumulator
@@ -58,8 +59,9 @@ class JoltProof:
     stage5_polys: List[List[int]]      # RAM Val evaluation
     stage5_openings: Dict[str, int]    # ra/inc at new bound point
     ram_log_K: int
-    stage6_polys: List[List[int]]      # bytecode read-raf Shout
-    stage6_openings: Dict[str, int]    # bytecode ra at bound point
+    stage6_polys: List[List[int]]      # bytecode read-raf + register rafs
+    stage6_openings: Dict[str, int]    # bytecode ra + register one-hot opens
+    stage6_claims: List[int]           # virtual rd/rs1/rs2 index claims
     bytecode_log_K: int
     commitments: Dict[str, object]     # committed register polys (G1 points)
     opening_proofs: Dict[str, object]  # (name, stage) -> HyperKZGProof
@@ -144,13 +146,32 @@ def prove(trace: Trace, setup: "KZGSetup" = None) -> JoltProof:
     ram_ve = RamValEvaluation(ram_wit, r4_addr, r4_cyc, ram_val_claim)
     stage5_polys, _ = BatchedSumcheck.prove([ram_ve], accumulator, transcript)
 
-    # ---- Stage 6: bytecode read-raf (decoded fields vs public program) --
+    # ---- Stage 6: bytecode read-raf + register index rafs (batched) ------
+    # The rd/rs1/rs2 index streams are proven from BOTH sides against the
+    # same virtual claims: bytecode side (public decoded columns) and
+    # register side (the one-hot access matrices), closing the
+    # "wa points at the instruction's rd" gap.
+    from ..poly import eq as eq_mod
+    from ..field import ops as fops
     bc_wit = extract_bytecode_witness(trace, trace.code, trace.entry)
     gamma_bc = transcript.challenge_scalar()
+    E_cyc_dev = eq_mod.evals(r_cycle)
+    rd_col = trace.col("rd").tolist()
+    kinds = trace.col("kind").tolist()
+    rd_eff = [0 if r == 255 else r for r in rd_col]
+    rs1_eff = [0 if k == 0 else s for k, s in zip(kinds, trace.col("rs1").tolist())]
+    rs2_eff = [0 if k == 0 else s for k, s in zip(kinds, trace.col("rs2").tolist())]
+    idx_claims = [
+        fops.unpack_ints(fops.dot(E_cyc_dev, fops.pack_ints(col)))[0]
+        for col in (rd_eff, rs1_eff, rs2_eff)]
     bc_claims = [accumulator.get_claim(("r1cs_input", name))
-                 for name, _ in CLAIM_COLUMNS]
+                 for name, _ in CLAIM_COLUMNS[:-3]] + idx_claims
     bc = BytecodeReadRaf(bc_wit, gamma_bc, r_cycle, bc_claims)
-    stage6_polys, _ = BatchedSumcheck.prove([bc], accumulator, transcript)
+    raf_rd = RegistersRaf(reg_wit.wa, None, r_cycle, idx_claims[0], "wa")
+    raf_rs1 = RegistersRaf(reg_wit.ra1, None, r_cycle, idx_claims[1], "ra1")
+    raf_rs2 = RegistersRaf(reg_wit.ra2, None, r_cycle, idx_claims[2], "ra2")
+    stage6_polys, _ = BatchedSumcheck.prove(
+        [bc, raf_rd, raf_rs1, raf_rs2], accumulator, transcript)
 
     # ---- Stage 8 (minimal): prove the terminal committed-poly openings --
     # The reference batches all committed claims into ONE Dory opening
@@ -183,7 +204,11 @@ def prove(trace: Trace, setup: "KZGSetup" = None) -> JoltProof:
         stage5_openings=dict(ram_ve.final_openings),
         ram_log_K=ram_wit.log_K,
         stage6_polys=stage6_polys,
-        stage6_openings=dict(bc.final_openings),
+        stage6_openings={"ra": bc.final_openings["ra"],
+                         "raf_wa": raf_rd.final_openings["m"],
+                         "raf_ra1": raf_rs1.final_openings["m"],
+                         "raf_ra2": raf_rs2.final_openings["m"]},
+        stage6_claims=list(idx_claims),
         bytecode_log_K=bc_wit.log_K,
         commitments=commitments,
         opening_proofs=opening_proofs,

@@ -34,7 +34,9 @@ CLAIM_COLUMNS: List = [("pc", "pc"), ("unexpanded_pc", "pc"), ("imm", "imm"),
     for n in ("AddOperands", "SubtractOperands", "MultiplyOperands", "Load",
               "Store", "Jump", "WriteLookupOutputToRD", "VirtualInstruction",
               "Assert", "DoNotUpdateUnexpandedPC", "Advice", "IsCompressed",
-              "IsFirstInSequence", "IsLastInSequence")]
+              "IsFirstInSequence", "IsLastInSequence")] + [
+    ("_virtual_rd_idx", "rd_idx"), ("_virtual_rs1_idx", "rs1_idx"),
+    ("_virtual_rs2_idx", "rs2_idx")]
 
 
 def _pc_column(entry: int, K: int) -> List[int]:

@@ -262,3 +262,99 @@ class RegistersValEvaluationVerifier(SumcheckInstance):
         lt_eval = lt.lt_point_int(r_cyc_new, self.r_cyc)
         eq_addr = eq.eq_int(self.r_addr, r_addr_new)
         return lt_eval * eq_addr % P * o["wa"] % P * o["inc"] % P
+
+
+@partial(jax.jit, static_argnames=('fp',))
+def _raf_message_kernel(E, M, B, fp=FR):
+    e = dense.sumcheck_eval_points_high(E, 3, fp)
+    m = dense.sumcheck_eval_points_high(M, 3, fp)
+    b = dense.sumcheck_eval_points_high(B, 3, fp)
+    return ops.sum_mod(ops.mont_mul(e, ops.mont_mul(m, b, fp), fp), fp)
+
+
+def index_mle_eval(r_addr) -> int:
+    """B(r) for B(k) = k over the register space (big-endian)."""
+    n = len(r_addr)
+    acc = 0
+    for i, rb in enumerate(r_addr):
+        acc = (acc + (1 << (n - 1 - i)) * rb) % P
+    return acc
+
+
+class RegistersRaf(SumcheckInstance):
+    """Ties a register one-hot matrix to its per-cycle index stream:
+    sum_{k,j} eq(r_cycle,j) * M(k,j) * k = index_claim, where the same
+    index_claim is proven against the PUBLIC bytecode rd/rs1/rs2 column by
+    the bytecode read-raf instance batched alongside (cross-checked claims).
+    """
+
+    def __init__(self, onehot, gamma_unused, r_cycle, index_claim, label):
+        self.T = len(onehot) // K
+        self.log_T = self.T.bit_length() - 1
+        self.r_cycle = list(r_cycle)
+        self.index_claim = index_claim
+        self.label = label
+        self.M = ops.pack_ints(onehot)
+        import jax.numpy as jnp
+        L = FR.num_limbs
+        idx_col = ops.pack_ints(list(range(K)))
+        self.B = jnp.broadcast_to(idx_col[:, None, :],
+                                  (L, self.T, K)).reshape(L, -1)
+        E = eq.evals(self.r_cycle)
+        self.E = jnp.broadcast_to(E[:, :, None], (L, self.T, K)).reshape(L, -1)
+        self.final_openings = None
+
+    @property
+    def num_rounds(self) -> int:
+        return self.log_T + LOG_K
+
+    def input_claim(self, accumulator: OpeningAccumulator) -> int:
+        return self.index_claim % P
+
+    def compute_message(self, round: int, previous_claim: int) -> UniPoly:
+        evals = ops.unpack_ints(_raf_message_kernel(self.E, self.M, self.B))
+        return UniPoly.from_evals_and_hint(previous_claim, evals, P)
+
+    def ingest_challenge(self, r: int, round: int) -> None:
+        r_dev = ops.pack_ints([r])
+        b = partial(dense.bind_high, fp=FR)
+        self.E, self.M, self.B = (b(self.E, r_dev), b(self.M, r_dev),
+                                  b(self.B, r_dev))
+
+    def finalize(self) -> None:
+        self.final_openings = {"m": ops.unpack_ints(self.M)[0]}
+
+    def cache_openings(self, accumulator: OpeningAccumulator,
+                       r_slice) -> None:
+        accumulator.insert(("registers_raf", self.label), list(r_slice),
+                           self.final_openings["m"])
+
+    def expected_output_claim(self, accumulator, r):  # pragma: no cover
+        raise NotImplementedError
+
+
+class RegistersRafVerifier(SumcheckInstance):
+    def __init__(self, log_T: int, r_cycle, index_claim: int, m_opening: int):
+        self.log_T = log_T
+        self.r_cycle = list(r_cycle)
+        self.index_claim = index_claim
+        self.m_opening = m_opening
+
+    @property
+    def num_rounds(self) -> int:
+        return self.log_T + LOG_K
+
+    def input_claim(self, accumulator: OpeningAccumulator) -> int:
+        return self.index_claim % P
+
+    def compute_message(self, round, prev):  # pragma: no cover
+        raise NotImplementedError("verifier instance")
+
+    def ingest_challenge(self, r, round):  # pragma: no cover
+        raise NotImplementedError("verifier instance")
+
+    def expected_output_claim(self, accumulator: OpeningAccumulator, r) -> int:
+        r_cyc = list(r[:self.log_T])
+        r_addr = list(r[self.log_T:])
+        return (eq.eq_int(self.r_cycle, r_cyc) * self.m_opening % P
+                * index_mle_eval(r_addr) % P)

@@ -24,7 +24,8 @@ from ..relations.bytecode import CLAIM_COLUMNS, BytecodeReadRafVerifier
 from ..relations.ram import (RamRafEvaluationVerifier,
                              RamReadWriteCheckingVerifier,
                              RamValEvaluationVerifier)
-from ..relations.registers_rw import (RegistersReadWriteCheckingVerifier,
+from ..relations.registers_rw import (RegistersRafVerifier,
+                                      RegistersReadWriteCheckingVerifier,
                                       RegistersValEvaluationVerifier)
 from ..relations.spartan_outer import SpartanOuterVerifier
 from ..sumcheck.engine import BatchedSumcheck, OpeningAccumulator, SumcheckError
@@ -185,17 +186,28 @@ def verify(proof: JoltProof, io: PublicIO, setup: "KZGSetup" = None) -> bool:
     # ---- Stage 6: bytecode read-raf (decoded fields vs public program) --
     gamma_bc = transcript.challenge_scalar()
     name_to_idx = {n: i for i, n in enumerate(VAR_NAMES)}
+    idx_claims = list(proof.stage6_claims)
     bc_claims = [proof.r1cs_input_openings[name_to_idx[name]]
-                 for name, _ in CLAIM_COLUMNS]
+                 for name, _ in CLAIM_COLUMNS[:-3]] + idx_claims
+    o6 = proof.stage6_openings
     inst6 = BytecodeReadRafVerifier(
         log_T, proof.bytecode_log_K, gamma_bc, r_cycle, bc_claims,
-        io.code, io.entry, proof.stage6_openings)
+        io.code, io.entry, {"ra": o6["ra"]})
+    raf_insts = [RegistersRafVerifier(log_T, r_cycle, idx_claims[i],
+                                      o6[f"raf_{n}"])
+                 for i, n in enumerate(("wa", "ra1", "ra2"))]
     try:
-        r6 = BatchedSumcheck.verify(proof.stage6_polys, [inst6], accumulator,
+        r6 = BatchedSumcheck.verify(proof.stage6_polys,
+                                    [inst6] + raf_insts, accumulator,
                                     transcript)
     except SumcheckError as e:
         raise VerificationError(f"stage6: {e}") from e
-    accumulator.insert(("bytecode", "ra"), r6, proof.stage6_openings["ra"])
+    max6 = max(i.num_rounds for i in [inst6] + raf_insts)
+    accumulator.insert(("bytecode", "ra"),
+                       r6[max6 - inst6.num_rounds:], o6["ra"])
+    for i, n in enumerate(("wa", "ra1", "ra2")):
+        off = max6 - raf_insts[i].num_rounds
+        accumulator.insert(("registers_raf", n), r6[off:], o6[f"raf_{n}"])
     accumulator.flush_to_transcript(transcript)
 
     # ---- Stage 8 (minimal): verify the terminal committed-poly opening --

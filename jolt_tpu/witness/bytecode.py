@@ -23,10 +23,16 @@ from . import flags as F
 
 P = FR.modulus
 
-# ordered public table columns; each proves one stage-1 opening
+# ordered public table columns; each proves one stage-1 opening (register
+# index columns prove the register-raf virtual claims instead)
 TABLE_COLUMNS = (
     ["imm", "branch"] + [f"flag_{name}" for name in F.CIRCUIT_FLAGS]
+    + ["rd_idx", "rs1_idx", "rs2_idx"]
 )
+
+_NO_RD_KINDS = frozenset(
+    ["NOOP", "SB", "SH", "SW", "SD", "BEQ", "BNE", "BLT", "BGE", "BLTU",
+     "BGEU", "FENCE", "ECALL", "EBREAK"])
 
 
 @dataclasses.dataclass
@@ -45,21 +51,27 @@ def decode_table(code: bytes, entry: int, K: int) -> Dict[str, List[int]]:
     table: Dict[str, List[int]] = {c: [0] * K for c in TABLE_COLUMNS}
     n = len(code) // 4
     for k in range(K):
+        kind, imm, rd, rs1, rs2 = "NOOP", 0, 0, 0, 0
         if k < n:
             word = int.from_bytes(code[4 * k:4 * k + 4], "little")
             try:
                 dec = isa.decode(word)
-                kind = dec.kind
-                imm = dec.imm
+                kind, imm = dec.kind, dec.imm
+                rd, rs1, rs2 = dec.rd, dec.rs1, dec.rs2
+                if rd == 0 and kind in ("JAL", "JALR"):
+                    rd = 32  # the x0-jump virtual-register rewrite (emulator.py)
+                if kind in _NO_RD_KINDS:
+                    rd = 0
             except isa.DecodeError:
-                kind, imm = "NOOP", 0
-        else:
-            kind, imm = "NOOP", 0
+                pass
         cf, inf = F.FLAGS[kind]
         table["imm"][k] = imm % P
         table["branch"][k] = 1 if "Branch" in inf else 0
         for name in F.CIRCUIT_FLAGS:
             table[f"flag_{name}"][k] = 1 if name in cf else 0
+        table["rd_idx"][k] = rd
+        table["rs1_idx"][k] = rs1
+        table["rs2_idx"][k] = rs2
     return table
 
 
