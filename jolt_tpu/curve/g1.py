@@ -179,21 +179,17 @@ def msm(P: Point3, scalars: jnp.ndarray, bits: int) -> Point3:
     """MSM with `bits`-bit scalars (uint32 words; for >32 bits pass a
     (W, N) array of LE 32-bit words).
 
-    acc = sum_i 2^i * subset_sum(points, bit i) evaluated MSB-first with
-    doubling between bits.  The bit loop runs on the host so each jitted
-    kernel (subset sum, double+add) compiles once and is reused per bit;
-    fully unrolling `bits` tree reductions into one graph explodes XLA
-    compile time.
+    Strategy: per-lane double-and-add (`batch_scalar_mul`, one jitted
+    fori_loop) followed by one tree reduction -- two device dispatches
+    total.  Binary scalars take the 1-tree subset-sum fast path
+    (msm_binary).  TODO(perf): Pippenger bucket accumulation for
+    full-width scalars at scale.
     """
     if scalars.ndim == 1:
         scalars = scalars[None, :]
-    acc = None
-    for i in reversed(range(bits)):
-        word, sh = divmod(i, 32)
-        bit = (scalars[word] >> np.uint32(sh)) & np.uint32(1)
-        sub = msm_binary(P, bit)
-        acc = sub if acc is None else jacobian_add(jacobian_double(acc), sub)
-    return acc
+    if bits == 1:
+        return msm_binary(P, scalars[0] & np.uint32(1))
+    return tree_sum(batch_scalar_mul(P, scalars, bits))
 
 
 # ---------------------------------------------------------------------------

@@ -48,11 +48,21 @@ class KZGSetup:
         return self.g1_powers
 
     @classmethod
-    def generate(cls, max_len: int, tau: int = None) -> "KZGSetup":
+    def generate(cls, max_len: int, tau: int = None,
+                 cache_dir: str = "/root/repo/.srs_cache") -> "KZGSetup":
         """Toy ceremony: derives tau in-process (INSECURE; test/dev tier).
 
-        Device-batched: [tau^i]G1 for all i via one batched scalar-mul."""
+        Device-batched ([tau^i]G1 via one batched scalar-mul) and disk-cached
+        per size -- the reference caches its Dory URS the same way
+        (`~/.cache/dory`, urs_lock.rs)."""
+        import os
         tau = tau if tau is not None else 0x1234567890ABCDEF1122334455667788
+        cache = os.path.join(cache_dir, f"kzg_{max_len}_{tau % 997_651}.npz")
+        if os.path.exists(cache):
+            data = np.load(cache)
+            powers_dev = tuple(jnp.asarray(data[k]) for k in ("x", "y", "z"))
+            return cls(g1_powers=None, g1_powers_dev=powers_dev,
+                       tau_g2=g2_mul(G2_GEN, tau))
         scalars = []
         acc = 1
         for _ in range(max_len):
@@ -60,10 +70,13 @@ class KZGSetup:
             acc = acc * tau % P
         base = g1dev.pack_points([host.G1_GEN] * max_len)
         powers_dev = g1dev.batch_scalar_mul(base, _scalars_to_words(scalars), 254)
+        powers_dev = jax.block_until_ready(powers_dev)
+        os.makedirs(cache_dir, exist_ok=True)
+        np.savez(cache, x=np.asarray(powers_dev[0]),
+                 y=np.asarray(powers_dev[1]), z=np.asarray(powers_dev[2]))
         # keep the SRS in device Jacobian form (tree_sum/MSM accept Jacobian
         # inputs); host affine copies are derived lazily for tests only.
-        return cls(g1_powers=None,
-                   g1_powers_dev=jax.block_until_ready(powers_dev),
+        return cls(g1_powers=None, g1_powers_dev=powers_dev,
                    tau_g2=g2_mul(G2_GEN, tau))
 
 

@@ -83,6 +83,17 @@ def fiat_shamir_preamble(transcript: Blake2bTranscript, trace: Trace) -> None:
 def prove(trace: Trace, setup: "KZGSetup" = None) -> JoltProof:
     """Prove the trace.  `setup` enables the commitment layer; without it the
     proof carries bare opening claims (sumcheck-only mode for tests)."""
+    import os as _os
+    import time as _time
+    _t0 = [_time.time()]
+    _dbg = _os.environ.get("JOLT_TPU_STAGE_TIMING")
+
+    def _mark(label):
+        if _dbg:
+            now = _time.time()
+            print(f"[prove] {label}: {now - _t0[0]:.1f}s", flush=True)
+            _t0[0] = now
+
     transcript = Blake2bTranscript(b"Jolt")
     fiat_shamir_preamble(transcript, trace)
 
@@ -99,19 +110,23 @@ def prove(trace: Trace, setup: "KZGSetup" = None) -> JoltProof:
     committed_cols = {}
     if pcs is not None:
         # pay-per-bit commits (msm/mod.rs:16-80): one-hot access matrices
-        # are binary (1 subset-sum); increments are 64-bit.
+        # are binary (1 subset-sum).  Increments are SIGNED (negative deltas
+        # wrap mod p), so until the signed small-scalar MSM lands they take
+        # the full-width path (cheap: length T).
         committed_cols = {"wa": (reg_wit.wa, 1), "ra1": (reg_wit.ra1, 1),
-                          "ra2": (reg_wit.ra2, 1), "inc": (reg_wit.inc, 64)}
+                          "ra2": (reg_wit.ra2, 1), "inc": (reg_wit.inc, 254)}
         for name, (coeffs, bits) in committed_cols.items():
             commitments[name] = pcs.commit_ints(coeffs, bits=bits)
             _absorb_point(transcript, b"commitment", commitments[name])
 
+    _mark("stage0-commit")
     # ---- Stage 1: Spartan outer ----------------------------------------
     num_rounds = C.LOG_PADDED_CONSTRAINTS + log_T
     tau = transcript.challenge_vector(num_rounds)
     outer = SpartanOuterProver(inputs, tau)
     stage1_polys, _ = BatchedSumcheck.prove([outer], accumulator, transcript)
 
+    _mark("stage1-spartan")
     # ---- Stage 2: registers read/write checking ------------------------
     # r_cycle and the rd/rs1/rs2 claims are the stage-1 openings.
     r_cycle = list(accumulator.get_point(("r1cs_input", "rs1_value")))
@@ -122,6 +137,7 @@ def prove(trace: Trace, setup: "KZGSetup" = None) -> JoltProof:
     rw = RegistersReadWriteChecking(reg_wit, gamma, r_cycle, claims)
     stage2_polys, r2 = BatchedSumcheck.prove([rw], accumulator, transcript)
 
+    _mark("stage2-reg-rw")
     # ---- Stage 3: registers Val evaluation -----------------------------
     r2_cyc, r2_addr = r2[:log_T], r2[log_T:]
     val_claim = accumulator.get_claim(("registers", "val"))
@@ -129,6 +145,7 @@ def prove(trace: Trace, setup: "KZGSetup" = None) -> JoltProof:
     stage3_polys, r3 = BatchedSumcheck.prove([ve], accumulator, transcript)
     r3_cyc = r3[:log_T]
 
+    _mark("stage3-reg-val")
     # ---- Stage 4: RAM read/write checking + raf evaluation (batched) ----
     ram_wit = extract_ram_witness(trace)
     gamma_ram = transcript.challenge_scalar()
@@ -146,6 +163,7 @@ def prove(trace: Trace, setup: "KZGSetup" = None) -> JoltProof:
     ram_ve = RamValEvaluation(ram_wit, r4_addr, r4_cyc, ram_val_claim)
     stage5_polys, _ = BatchedSumcheck.prove([ram_ve], accumulator, transcript)
 
+    _mark("stage4-5-ram")
     # ---- Stage 6: bytecode read-raf + register index rafs (batched) ------
     # The rd/rs1/rs2 index streams are proven from BOTH sides against the
     # same virtual claims: bytecode side (public decoded columns) and
@@ -173,6 +191,7 @@ def prove(trace: Trace, setup: "KZGSetup" = None) -> JoltProof:
     stage6_polys, _ = BatchedSumcheck.prove(
         [bc, raf_rd, raf_rs1, raf_rs2], accumulator, transcript)
 
+    _mark("stage6-bytecode")
     # ---- Stage 8 (minimal): prove the terminal committed-poly openings --
     # The reference batches all committed claims into ONE Dory opening
     # (zkvm/prover.rs:2097-2260); round-1 opens each claim individually.
@@ -188,6 +207,7 @@ def prove(trace: Trace, setup: "KZGSetup" = None) -> JoltProof:
         for name, coeffs, point, claim in terminal:
             opening_proofs[name] = pcs.open(coeffs, point, claim, transcript)
 
+    _mark("stage8-openings")
     return JoltProof(
         trace_length=trace.length,
         padded_length=trace.padded_length,

@@ -133,7 +133,9 @@ def _li_words(rd: int, value: int) -> List[int]:
     sv = v - (1 << 64) if v >> 63 else v
     if -(1 << 11) <= sv < (1 << 11):
         return [_enc_i(0x13, 0, rd, 0, sv)]
-    if -(1 << 31) <= sv < (1 << 31):
+    if -(1 << 31) <= sv < (1 << 31) - 0x800:
+        # hi must fit signed 20 bits: requires sv < 2^31 - 2048, otherwise
+        # fall through to the unsigned-32 zero-extend sequence
         hi = (sv + 0x800) >> 12
         lo = sv - (hi << 12)
         out = [_enc_u(0x37, rd, hi)]

@@ -15,7 +15,8 @@ from jolt_tpu.verifier.verifier import PublicIO
 from jolt_tpu.witness.registers import K
 
 P = FR.modulus
-L = MemoryLayout()
+# compact I/O regions keep K_ram small (dense round-1 kernels)
+L = MemoryLayout(max_input_size=64, max_output_size=64)
 
 GUEST = f"""
     li   a0, 10
@@ -39,7 +40,7 @@ done:
 
 @pytest.fixture(scope="module")
 def setup_and_proof():
-    tr = trace_program(GUEST)
+    tr = trace_program(GUEST, layout=L)
     setup = KZGSetup.generate(K * tr.padded_length)
     proof = prove(tr, setup=setup)
     return tr, setup, proof

@@ -13,7 +13,8 @@ from jolt_tpu.verifier import VerificationError, verify
 from jolt_tpu.verifier.verifier import PublicIO
 
 P = FR.modulus
-L = MemoryLayout()
+# compact I/O regions keep K_ram small (dense round-1 kernels)
+L = MemoryLayout(max_input_size=64, max_output_size=64)
 
 FIB = f"""
     li   a0, 20
@@ -37,7 +38,7 @@ done:
 
 @pytest.fixture(scope="module")
 def fib_proof():
-    tr = trace_program(FIB)
+    tr = trace_program(FIB, layout=L)
     proof = prove(tr)
     return tr, proof
 
