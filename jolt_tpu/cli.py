@@ -1,0 +1,107 @@
+"""The `jolt_tpu` command-line interface.
+
+Analog of the reference's `jolt` binary (`src/main.rs`: new/build/run) plus
+prove/verify, adapted to the assembler-based guest workflow:
+
+    python -m jolt_tpu.cli run GUEST.s [--input HEX] [--native]
+    python -m jolt_tpu.cli trace GUEST.s [--input HEX]     # cycle stats
+    python -m jolt_tpu.cli prove GUEST.s -o proof.pkl [--input HEX]
+    python -m jolt_tpu.cli verify GUEST.s proof.pkl [--input HEX]
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import pickle
+import sys
+import time
+
+
+def _trace(args):
+    from .riscv.emulator import MemoryLayout
+    layout = MemoryLayout(max_input_size=args.io_size, max_output_size=args.io_size)
+    src = open(args.guest).read()
+    inputs = bytes.fromhex(args.input) if args.input else b""
+    t0 = time.time()
+    if args.native:
+        from .tracer.native import trace_program_native as tp
+    else:
+        from .tracer import trace_program as tp
+    tr = tp(src, inputs=inputs, layout=layout)
+    dt = time.time() - t0
+    return tr, dt
+
+
+def cmd_run(args):
+    tr, dt = _trace(args)
+    rate = tr.length / dt / 1e6 if dt else 0
+    print(f"executed {tr.length} cycles in {dt:.3f}s ({rate:.2f} MHz)")
+    print(f"outputs: {bytes(tr.device.outputs).hex() or '(empty)'}")
+    print(f"panic: {tr.device.panic}")
+    return 0
+
+
+def cmd_trace(args):
+    from .riscv import isa
+    tr, dt = _trace(args)
+    counts = collections.Counter(isa.KINDS[k] for k in tr.col("kind")[:tr.length])
+    print(f"{tr.length} cycles (padded {tr.padded_length}); per-instruction:")
+    for kind, n in counts.most_common():
+        print(f"  {kind:8s} {n}")
+    return 0
+
+
+def cmd_prove(args):
+    from .prover import prove
+    tr, _ = _trace(args)
+    t0 = time.time()
+    proof = prove(tr)
+    dt = time.time() - t0
+    khz = tr.length / dt / 1e3
+    print(f"proved {tr.length} cycles in {dt:.1f}s ({khz:.2f} kHz)")
+    with open(args.output, "wb") as f:
+        pickle.dump(proof, f)
+    print(f"proof -> {args.output}")
+    return 0
+
+
+def cmd_verify(args):
+    from .verifier import VerificationError, verify
+    from .verifier.verifier import PublicIO
+    tr, _ = _trace(args)  # re-derive the public statement (code, io)
+    with open(args.proof, "rb") as f:
+        proof = pickle.load(f)
+    t0 = time.time()
+    try:
+        ok = verify(proof, PublicIO.from_trace(tr))
+    except VerificationError as e:
+        print(f"REJECTED: {e}")
+        return 1
+    print(f"verified in {time.time() - t0:.2f}s: {ok}")
+    return 0
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="jolt_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    for name, fn in (("run", cmd_run), ("trace", cmd_trace),
+                     ("prove", cmd_prove), ("verify", cmd_verify)):
+        sp = sub.add_parser(name)
+        sp.add_argument("guest", help="guest assembly file")
+        sp.add_argument("--input", default="", help="input bytes as hex")
+        sp.add_argument("--io-size", type=int, default=64,
+                        help="max input/output region size")
+        sp.add_argument("--native", action="store_true",
+                        help="use the C++ tracer")
+        if name == "prove":
+            sp.add_argument("-o", "--output", default="proof.pkl")
+        if name == "verify":
+            sp.add_argument("proof", help="proof pickle from `prove`")
+        sp.set_defaults(fn=fn)
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -22,7 +22,7 @@ from jax.experimental.pallas import tpu as pltpu
 from . import limb_algebra as la
 from .params import FR, FieldParams, NUM_LIMBS
 
-BLOCK_N = 1024
+BLOCK_N = 4096
 
 
 def _unstack_ref(ref):
