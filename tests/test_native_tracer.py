@@ -86,7 +86,7 @@ def test_native_tracer_speed():
     # tight loop: ~1M cycles; native tracer should stay well under a second
     import time
     src = f"""
-        li   a0, 1000000
+        li   a0, 100000
     loop:
         addi a0, a0, -1
         bne  a0, zero, loop
@@ -95,9 +95,9 @@ def test_native_tracer_speed():
         sd   t2, 0(t1)
     """
     t0 = time.time()
-    tr = trace_program_native(src, max_cycles=1 << 22)
+    tr = trace_program_native(src, max_cycles=1 << 19)
     dt = time.time() - t0
-    assert tr.length >= 2_000_000
+    assert tr.length >= 200_000
     rate = tr.length / dt
     # ~6 MHz standalone; generous threshold tolerates CPU contention from
     # concurrent XLA compilation in full-suite runs on this 4-core host
