@@ -22,6 +22,7 @@ from ..field.params import FR
 from ..pcs import HyperKZG, HyperKZGProof, KZGSetup
 from ..pcs.hyperkzg import _absorb_point
 from ..r1cs import constraints as C
+from ..relations.booleanity import Booleanity, HammingWeight
 from ..relations.bytecode import CLAIM_COLUMNS, BytecodeReadRaf
 from ..relations.ram import (RamRafEvaluation, RamReadWriteChecking,
                              RamValEvaluation)
@@ -63,6 +64,8 @@ class JoltProof:
     stage6_openings: Dict[str, int]    # bytecode ra + register one-hot opens
     stage6_claims: List[int]           # virtual rd/rs1/rs2 index claims
     bytecode_log_K: int
+    stage7_polys: List[List[int]]      # booleanity + hamming (all one-hots)
+    stage7_openings: Dict[str, int]    # per-matrix bound openings
     commitments: Dict[str, object]     # committed register polys (G1 points)
     opening_proofs: Dict[str, object]  # (name, stage) -> HyperKZGProof
 
@@ -192,6 +195,25 @@ def prove(trace: Trace, setup: "KZGSetup" = None) -> JoltProof:
         [bc, raf_rd, raf_rs1, raf_rs2], accumulator, transcript)
 
     _mark("stage6-bytecode")
+    # ---- Stage 7: one-hot booleanity + Hamming weight (all matrices) -----
+    matrices = [("reg_wa", reg_wit.wa, 128), ("reg_ra1", reg_wit.ra1, 128),
+                ("reg_ra2", reg_wit.ra2, 128),
+                ("ram_ra", ram_wit.ra, ram_wit.K),
+                ("bc_ra", bc_wit.ra, bc_wit.K)]
+    max_nv = max(len(m).bit_length() - 1 for _, m, _ in matrices)
+    r_b = transcript.challenge_vector(max_nv)
+    r_h = transcript.challenge_vector(log_T)
+    insts7 = []
+    for label, onehot, Km in matrices:
+        nv = len(onehot).bit_length() - 1
+        insts7.append(Booleanity(onehot, Km, r_b[max_nv - nv:], label))
+        insts7.append(HammingWeight(onehot, Km, r_h, label))
+    stage7_polys, _ = BatchedSumcheck.prove(insts7, accumulator, transcript)
+    stage7_openings = {}
+    for inst in insts7:
+        kind7 = "bool" if isinstance(inst, Booleanity) else "ham"
+        stage7_openings[f"{kind7}_{inst.label}"] = inst.final_openings["m"]
+
     # ---- Stage 8 (minimal): prove the terminal committed-poly openings --
     # The reference batches all committed claims into ONE Dory opening
     # (zkvm/prover.rs:2097-2260); round-1 opens each claim individually.
@@ -230,6 +252,8 @@ def prove(trace: Trace, setup: "KZGSetup" = None) -> JoltProof:
                          "raf_ra2": raf_rs2.final_openings["m"]},
         stage6_claims=list(idx_claims),
         bytecode_log_K=bc_wit.log_K,
+        stage7_polys=stage7_polys,
+        stage7_openings=stage7_openings,
         commitments=commitments,
         opening_proofs=opening_proofs,
     )

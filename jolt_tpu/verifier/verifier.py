@@ -20,6 +20,7 @@ from ..pcs import HyperKZG, KZGSetup
 from ..pcs.hyperkzg import _absorb_point
 from ..prover.prover import JoltProof
 from ..r1cs import constraints as C
+from ..relations.booleanity import BooleanityVerifier, HammingWeightVerifier
 from ..relations.bytecode import CLAIM_COLUMNS, BytecodeReadRafVerifier
 from ..relations.ram import (RamRafEvaluationVerifier,
                              RamReadWriteCheckingVerifier,
@@ -208,6 +209,39 @@ def verify(proof: JoltProof, io: PublicIO, setup: "KZGSetup" = None) -> bool:
     for i, n in enumerate(("wa", "ra1", "ra2")):
         off = max6 - raf_insts[i].num_rounds
         accumulator.insert(("registers_raf", n), r6[off:], o6[f"raf_{n}"])
+    accumulator.flush_to_transcript(transcript)
+
+    # ---- Stage 7: one-hot booleanity + Hamming weight --------------------
+    from ..witness.registers import LOG_K as REG_LOG_K
+    ram_lk = proof.ram_log_K
+    bc_lk = proof.bytecode_log_K
+    mat_dims = [("reg_wa", 7), ("reg_ra1", 7), ("reg_ra2", 7),
+                ("ram_ra", ram_lk), ("bc_ra", bc_lk)]
+    max_nv = log_T + max(lk for _, lk in mat_dims)
+    r_b = transcript.challenge_vector(max_nv)
+    r_h = transcript.challenge_vector(log_T)
+    o7 = proof.stage7_openings
+    insts7 = []
+    for label, lk in mat_dims:
+        nv = log_T + lk
+        insts7.append(BooleanityVerifier(nv, r_b[max_nv - nv:],
+                                         o7[f"bool_{label}"]))
+        insts7.append(HammingWeightVerifier(log_T, lk, r_h, o7[f"ham_{label}"]))
+    try:
+        r7 = BatchedSumcheck.verify(proof.stage7_polys, insts7, accumulator,
+                                    transcript)
+    except SumcheckError as e:
+        raise VerificationError(f"stage7: {e}") from e
+    max7 = max(i.num_rounds for i in insts7)
+    idx = 0
+    for label, lk in mat_dims:
+        for kind7 in ("bool", "ham"):
+            inst = insts7[idx]
+            off = max7 - inst.num_rounds
+            accumulator.insert((("booleanity" if kind7 == "bool" else
+                                 "hamming"), label), r7[off:],
+                               o7[f"{kind7}_{label}"])
+            idx += 1
     accumulator.flush_to_transcript(transcript)
 
     # ---- Stage 8 (minimal): verify the terminal committed-poly opening --

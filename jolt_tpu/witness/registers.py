@@ -4,8 +4,11 @@ Builds the (K x T) one-hot access matrices and value table from the trace
 (reference: `crates/jolt-witness/src/witnesses/{one_hot,registers,increments}.rs`,
 relation spec in `zkvm/registers/read_write_checking.rs:51-68`):
 
-  * wa(k,j)  = 1 iff register k is written at cycle j (rd == k)
-  * ra1(k,j) = 1 iff rs1 == k;  ra2(k,j) = 1 iff rs2 == k
+  * wa(k,j)  = 1 iff register k is written at cycle j (rd == k); rows with
+    no destination write the x0 sink (k=0, increment 0) so every wa row is
+    exactly one-hot (Hamming weight 1 -- required by the booleanity stage)
+  * ra1(k,j) = 1 iff rs1 == k;  ra2(k,j) = 1 iff rs2 == k; NOOP rows read
+    the x0 sink for the same reason
   * Val(k,j) = value of register k *before* cycle j  (Val(k,0) = 0)
   * inc(j)   = RdWriteValue(j) - Val(rd,j) if a write occurs else 0
 
@@ -76,12 +79,17 @@ def extract_register_witness(trace: Trace) -> RegisterWitness:
             ra2[base + rs2[j]] = 1
             assert regs[rs1[j]] == rs1_val[j], f"rs1 mismatch at {j}"
             assert regs[rs2[j]] == rs2_val[j], f"rs2 mismatch at {j}"
+        else:
+            ra1[base] = 1  # x0 sink: reads 0
+            ra2[base] = 1
         if rd[j] != 255:
             k = rd[j]
             wa[base + k] = 1
             assert regs[k] == rd_pre[j], f"rd_pre mismatch at {j}"
             inc[j] = (rd_post[j] - rd_pre[j]) % P
             regs[k] = rd_post[j]
+        else:
+            wa[base] = 1  # x0 sink: writes increment 0
 
     rd_write = [rd_post[j] if rd[j] != 255 else 0 for j in range(T)]
     rs1_read = [rs1_val[j] if kinds[j] != noop else 0 for j in range(T)]

@@ -84,6 +84,15 @@ def test_reject_tampered_val_eval_inc(fib_proof):
         verify(bad, PublicIO.from_trace(tr))
 
 
+def test_reject_tampered_booleanity_opening(fib_proof):
+    tr, proof = fib_proof
+    import copy
+    bad = copy.deepcopy(proof)
+    bad.stage7_openings["bool_reg_wa"] = (bad.stage7_openings["bool_reg_wa"] + 1) % P
+    with pytest.raises(VerificationError):
+        verify(bad, PublicIO.from_trace(tr))
+
+
 def test_reject_wrong_public_io(fib_proof):
     tr, proof = fib_proof
     io = PublicIO.from_trace(tr)
