@@ -24,8 +24,8 @@ from ..pcs.hyperkzg import _absorb_point
 from ..r1cs import constraints as C
 from ..relations.booleanity import Booleanity, HammingWeight
 from ..relations.bytecode import CLAIM_COLUMNS, BytecodeReadRaf
-from ..relations.ram import (RamRafEvaluation, RamReadWriteChecking,
-                             RamValEvaluation)
+from ..relations.ram import (RamOutputCheck, RamRafEvaluation,
+                             RamReadWriteChecking, RamValEvaluation)
 from ..relations.registers_rw import (RegistersRaf,
                                       RegistersReadWriteChecking,
                                       RegistersValEvaluation)
@@ -161,10 +161,14 @@ def prove(trace: Trace, setup: "KZGSetup" = None) -> JoltProof:
                                              transcript)
     r4_cyc, r4_addr = r4[:log_T], r4[log_T:]
 
-    # ---- Stage 5: RAM Val evaluation ------------------------------------
+    # ---- Stage 5: RAM Val evaluation + output check (batched) ------------
     ram_val_claim = accumulator.get_claim(("ram", "val"))
     ram_ve = RamValEvaluation(ram_wit, r4_addr, r4_cyc, ram_val_claim)
-    stage5_polys, _ = BatchedSumcheck.prove([ram_ve], accumulator, transcript)
+    z_out = transcript.challenge_scalar()
+    ram_oc = RamOutputCheck(ram_wit, trace.memory_layout, z_out,
+                            bytes(trace.device.outputs))
+    stage5_polys, _ = BatchedSumcheck.prove([ram_ve, ram_oc], accumulator,
+                                            transcript)
 
     _mark("stage4-5-ram")
     # ---- Stage 6: bytecode read-raf + register index rafs (batched) ------
@@ -243,7 +247,9 @@ def prove(trace: Trace, setup: "KZGSetup" = None) -> JoltProof:
         stage4_openings={**{f"rw_{k}": v for k, v in ram_rw.final_openings.items()},
                          **{f"raf_{k}": v for k, v in ram_raf.final_openings.items()}},
         stage5_polys=stage5_polys,
-        stage5_openings=dict(ram_ve.final_openings),
+        stage5_openings={**dict(ram_ve.final_openings),
+                         **{f"oc_{k}": v
+                            for k, v in ram_oc.final_openings.items()}},
         ram_log_K=ram_wit.log_K,
         stage6_polys=stage6_polys,
         stage6_openings={"ra": bc.final_openings["ra"],

@@ -351,3 +351,143 @@ class RamValEvaluationVerifier(SumcheckInstance):
         lt_eval = lt.lt_point_int(r_cyc_new, self.r_cyc)
         eq_addr = eq.eq_int(self.r_addr, r_addr_new)
         return lt_eval * eq_addr % P * o["ra"] % P * o["inc"] % P
+
+
+class RamOutputCheck(SumcheckInstance):
+    """Proves the public outputs equal the final RAM state in the output
+    region (`zkvm/ram/output_check.rs` analog).
+
+    For a transcript challenge z, with W(k) = z^i for the i-th output-region
+    cell (else 0) -- a sparse PUBLIC polynomial:
+
+        sum_i z^i*out_i - sum_k W(k)*Val_init(k)
+            = sum_{k,j} W(k) * ra(k,j) * inc(j)
+
+    (final value = initial value + all increments; contracting with W
+    isolates the output region).  Degree-3; batches with RamValEvaluation.
+    """
+
+    def __init__(self, wit: RamWitness, layout, z: int, outputs: bytes):
+        self.wit = wit
+        self.T, self.K = wit.T, wit.K
+        self.log_T = self.T.bit_length() - 1
+        self.z = z
+        self.out_cells = output_region_cells(layout, wit.witness_base, wit.K)
+        out_words = outputs_as_words(outputs, layout)
+        lhs = 0
+        zp = 1
+        init_term = 0
+        w_sparse = {}
+        for i, k in enumerate(self.out_cells):
+            w_sparse[k] = zp
+            lhs = (lhs + zp * out_words.get(k, 0)) % P
+            init_term = (init_term + zp * wit.init_vals.get(k, 0)) % P
+            zp = zp * self.z % P
+        self._input_claim = (lhs - init_term) % P
+        W = [0] * self.K
+        for k, v in w_sparse.items():
+            W[k] = v
+        self.W = _broadcast_addr(ops.pack_ints(W), self.T, self.K)
+        self.RA = ops.pack_ints(wit.ra)
+        self.INC = _broadcast_cycle(ops.pack_ints(wit.inc), self.T, self.K)
+        self.final_openings: Optional[dict] = None
+
+    @property
+    def num_rounds(self) -> int:
+        return self.log_T + self.wit.log_K
+
+    def input_claim(self, accumulator: OpeningAccumulator) -> int:
+        return self._input_claim
+
+    def compute_message(self, round: int, previous_claim: int) -> UniPoly:
+        evals = ops.unpack_ints(_raf_message_kernel(self.W, self.RA, self.INC))
+        return UniPoly.from_evals_and_hint(previous_claim, evals, P)
+
+    def ingest_challenge(self, r: int, round: int) -> None:
+        r_dev = ops.pack_ints([r])
+        b = partial(dense.bind_high, fp=FR)
+        self.W, self.RA, self.INC = (b(self.W, r_dev), b(self.RA, r_dev),
+                                     b(self.INC, r_dev))
+
+    def finalize(self) -> None:
+        self.final_openings = {
+            "ra": ops.unpack_ints(self.RA)[0],
+            "inc": ops.unpack_ints(self.INC)[0],
+        }
+
+    def cache_openings(self, accumulator: OpeningAccumulator,
+                       r_slice: Sequence[int]) -> None:
+        accumulator.insert(("ram_output", "ra"), list(r_slice),
+                           self.final_openings["ra"])
+        accumulator.insert(("ram_output", "inc"),
+                           list(r_slice[:self.log_T]),
+                           self.final_openings["inc"])
+
+    def expected_output_claim(self, accumulator, r):  # pragma: no cover
+        raise NotImplementedError
+
+
+class RamOutputCheckVerifier(SumcheckInstance):
+    def __init__(self, log_T: int, log_K: int, z: int, outputs: bytes,
+                 layout, witness_base: int, init_vals: Dict[int, int],
+                 openings: dict):
+        self.log_T, self.log_K = log_T, log_K
+        self.z = z
+        K = 1 << log_K
+        self.out_cells = output_region_cells(layout, witness_base, K)
+        out_words = outputs_as_words(outputs, layout)
+        lhs, init_term, zp = 0, 0, 1
+        self.w_sparse = {}
+        for k in self.out_cells:
+            self.w_sparse[k] = zp
+            lhs = (lhs + zp * out_words.get(k, 0)) % P
+            init_term = (init_term + zp * init_vals.get(k, 0)) % P
+            zp = zp * z % P
+        self._input_claim = (lhs - init_term) % P
+        self.openings = openings
+
+    @property
+    def num_rounds(self) -> int:
+        return self.log_T + self.log_K
+
+    def input_claim(self, accumulator: OpeningAccumulator) -> int:
+        return self._input_claim
+
+    def compute_message(self, round, prev):  # pragma: no cover
+        raise NotImplementedError("verifier instance")
+
+    def ingest_challenge(self, r, round):  # pragma: no cover
+        raise NotImplementedError("verifier instance")
+
+    def expected_output_claim(self, accumulator: OpeningAccumulator,
+                              r: Sequence[int]) -> int:
+        r_addr = list(r[self.log_T:])
+        w_eval = init_mle_eval(self.w_sparse, r_addr)  # sparse public MLE
+        o = self.openings
+        return w_eval * o["ra"] % P * o["inc"] % P
+
+
+def output_region_cells(layout, witness_base: int, K: int):
+    """Witness cell indices of the output region (ordered)."""
+    from ..witness.ram import remap_address
+    cells = []
+    a = layout.output_start
+    while a < layout.output_end:
+        k = remap_address(a, witness_base)
+        if k < K:
+            cells.append(k)
+        a += 8
+    return cells
+
+
+def outputs_as_words(outputs: bytes, layout) -> Dict[int, int]:
+    """Public outputs -> {cell index: dword value} (zero-padded region)."""
+    from ..witness.ram import remap_address
+    out = {}
+    wb = layout.input_start
+    for off in range(0, layout.output_end - layout.output_start, 8):
+        word = int.from_bytes(outputs[off:off + 8].ljust(8, b"\x00"), "little") \
+            if off < len(outputs) else 0
+        k = remap_address(layout.output_start + off, wb)
+        out[k] = word
+    return out

@@ -22,7 +22,7 @@ from ..prover.prover import JoltProof
 from ..r1cs import constraints as C
 from ..relations.booleanity import BooleanityVerifier, HammingWeightVerifier
 from ..relations.bytecode import CLAIM_COLUMNS, BytecodeReadRafVerifier
-from ..relations.ram import (RamRafEvaluationVerifier,
+from ..relations.ram import (RamOutputCheckVerifier, RamRafEvaluationVerifier,
                              RamReadWriteCheckingVerifier,
                              RamValEvaluationVerifier)
 from ..relations.registers_rw import (RegistersRafVerifier,
@@ -171,17 +171,24 @@ def verify(proof: JoltProof, io: PublicIO, setup: "KZGSetup" = None) -> bool:
 
     # ---- Stage 5: RAM Val evaluation ------------------------------------
     init_vals = input_init_vals(io.inputs, io.memory_layout)
+    o5 = proof.stage5_openings
     inst5 = RamValEvaluationVerifier(
         log_T, proof.ram_log_K, r4_addr, r4_cyc, o4["rw_val"], init_vals,
-        proof.stage5_openings)
+        {"ra": o5["ra"], "inc": o5["inc"]})
+    z_out = transcript.challenge_scalar()
+    inst5b = RamOutputCheckVerifier(
+        log_T, proof.ram_log_K, z_out, io.outputs, io.memory_layout,
+        io.memory_layout.input_start, init_vals,
+        {"ra": o5["oc_ra"], "inc": o5["oc_inc"]})
     try:
-        r5 = BatchedSumcheck.verify(proof.stage5_polys, [inst5], accumulator,
-                                    transcript)
+        r5 = BatchedSumcheck.verify(proof.stage5_polys, [inst5, inst5b],
+                                    accumulator, transcript)
     except SumcheckError as e:
         raise VerificationError(f"stage5: {e}") from e
-    accumulator.insert(("ram_val_eval", "ra"), r5, proof.stage5_openings["ra"])
-    accumulator.insert(("ram_val_eval", "inc"), r5[:log_T],
-                       proof.stage5_openings["inc"])
+    accumulator.insert(("ram_val_eval", "ra"), r5, o5["ra"])
+    accumulator.insert(("ram_val_eval", "inc"), r5[:log_T], o5["inc"])
+    accumulator.insert(("ram_output", "ra"), r5, o5["oc_ra"])
+    accumulator.insert(("ram_output", "inc"), r5[:log_T], o5["oc_inc"])
     accumulator.flush_to_transcript(transcript)
 
     # ---- Stage 6: bytecode read-raf (decoded fields vs public program) --
