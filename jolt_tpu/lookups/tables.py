@@ -1,146 +1,370 @@
-"""Instruction lookup tables as multilinear extensions.
+"""Instruction lookup tables as multilinear extensions, with a uniform
+prefix-suffix decomposition framework.
 
 Foundation of the instruction-execution Shout argument (L9; reference:
-`crates/jolt-lookup-tables/src/tables/`, `interleave.rs`).
+`crates/jolt-lookup-tables/src/tables/`, `interleave.rs`,
+`crates/jolt-prover-legacy/src/poly/prefix_suffix.rs`).
 
-A table is a function over the 2*XLEN-bit lookup index (the two operands'
-bits interleaved, x even positions / y odd); its MLE has a structured
-closed form the verifier evaluates in O(XLEN) field ops -- no 2^128 table
-is ever materialized.  Conventions:
+A table is a function over the 2*XLEN-bit lookup index; its MLE has a
+structured closed form the verifier evaluates in O(XLEN) field ops -- no
+2^128 table is ever materialized.  Conventions (matching the reference):
 
-  * indexes are `interleave_bits(x, y)`; bit 2i is x_i, bit 2i+1 is y_i
-    (LSB first), matching `interleave.rs`.
-  * `entry(x, y)` gives the u64 output on integer operands (the oracle).
-  * `mle(rx, ry)` evaluates the multilinear extension at field points,
-    rx/ry being the per-bit values LSB-FIRST (lists of length XLEN).
+  * interleaved indexes are `interleave_bits(x, y)`: bit 2i+1 is x_i,
+    bit 2i is y_i (x occupies the HIGH position of each bit pair --
+    `interleave.rs:15-37`); non-interleaved indexes are the raw u128
+    (left_operand << 64 | right_operand, with left always 0 in RV64).
+  * MLE variables are big-endian over the 128 index bits: var 0 is index
+    bit 127 (= x_63), var 1 is bit 126 (= y_63), ..., i.e. vars alternate
+    (x_t, y_t) for pair positions t = 63 down to 0.
 
-Equivalence `mle(bits) == entry` on boolean points is the test gate
-(the reference's `materialize_entry_test!`).
+Prefix-suffix decomposition (the engine of the first LOG_K=128 sumcheck
+rounds): for any pair-aligned cut, every table satisfies
+
+    Val(k_pre || k_suf) = sum_terms coef * P_family(k_pre) * S_family(k_suf)
+
+where each prefix family folds one bit-PAIR at a time (an incremental
+"checkpoint" update, `prefix_suffix.rs:21-40`) and each suffix family is an
+integer-valued function of the suffix bits (vectorizable on the trace).
+Evaluating a prefix at a mixed point (bound challenges ++ X ++ boolean
+bits) = folding the extra pairs into the checkpoint -- one generic rule per
+family instead of the reference's 41 specialised prefix MLEs.
 """
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 from ..field.params import FR
 
 P = FR.modulus
 XLEN = 64
+LOG_K = 2 * XLEN
+M64 = (1 << 64) - 1
 
 
 def interleave_bits(x: int, y: int, xlen: int = XLEN) -> int:
-    """Lookup index: x bits at even positions, y at odd (interleave.rs)."""
+    """Lookup index: x bits at odd (high) positions, y at even
+    (`interleave.rs:15`: x=1 maps to index bit 1)."""
     out = 0
     for i in range(xlen):
-        out |= ((x >> i) & 1) << (2 * i)
-        out |= ((y >> i) & 1) << (2 * i + 1)
+        out |= ((y >> i) & 1) << (2 * i)
+        out |= ((x >> i) & 1) << (2 * i + 1)
     return out
 
 
 def uninterleave_bits(idx: int, xlen: int = XLEN):
     x = y = 0
     for i in range(xlen):
-        x |= ((idx >> (2 * i)) & 1) << i
-        y |= ((idx >> (2 * i + 1)) & 1) << i
+        y |= ((idx >> (2 * i)) & 1) << i
+        x |= ((idx >> (2 * i + 1)) & 1) << i
     return x, y
 
 
-def _bits(v: int, n: int) -> List[int]:
-    return [(v >> i) & 1 for i in range(n)]
+# ---------------------------------------------------------------------------
+# prefix families
+#
+# State is a small tuple of field ints; `update(state, a, b, t)` folds bit
+# pair t (a = x_t value, b = y_t value; field elements or 0/1 ints), pairs
+# are always folded from t=63 downward.  `value(state)` extracts the
+# prefix evaluation.  All weights use GLOBAL bit positions so that
+# P_pre + S_suf compositions need no 2^suffix_len rescaling.
+# ---------------------------------------------------------------------------
+
+def _eq2(a: int, b: int) -> int:
+    return (a * b + (1 - a) * (1 - b)) % P
+
+
+class PrefixFamily:
+    name: str = ""
+
+    def init(self):  # -> state
+        return 0
+
+    def update(self, state, a, b, t):
+        raise NotImplementedError
+
+    def value(self, state) -> int:
+        return state % P
+
+
+class _One(PrefixFamily):
+    name = "one"
+
+    def init(self):
+        return 1
+
+    def update(self, state, a, b, t):
+        return 1
+
+
+class _Bitwise(PrefixFamily):
+    """sum_t 2^t * op(x_t, y_t) for op in {and, or, xor}."""
+
+    def __init__(self, name, op):
+        self.name = name
+        self._op = op
+
+    def update(self, state, a, b, t):
+        return (state + (1 << t) * self._op(a, b)) % P
+
+
+class _Eq(PrefixFamily):
+    name = "eq"
+
+    def init(self):
+        return 1
+
+    def update(self, state, a, b, t):
+        return state * _eq2(a, b) % P
+
+
+class _Ltu(PrefixFamily):
+    """(lt_acc, eq_acc): unsigned less-than chain MSB-first."""
+
+    name = "ltu"
+    signed = False
+
+    def init(self):
+        return (0, 1)
+
+    def update(self, state, a, b, t):
+        lt, eqa = state
+        if self.signed and t == XLEN - 1:
+            # sign pair: x negative & y non-negative -> x < y
+            lt = (lt + eqa * a % P * ((1 - b) % P)) % P
+        else:
+            lt = (lt + eqa * ((1 - a) % P) % P * b) % P
+        return (lt, eqa * _eq2(a, b) % P)
+
+    def value(self, state) -> int:
+        return state[0] % P
+
+
+class _Lts(_Ltu):
+    name = "lts"
+    signed = True
+
+
+class _PositionWeighted(PrefixFamily):
+    """sum over bit positions in [lo, hi) of 2^(pos-shift) * bit; covers
+    range_check / aligned / upper_word / identity / operand extraction."""
+
+    def __init__(self, name, x_weight: Callable[[int], int],
+                 y_weight: Callable[[int], int]):
+        self.name = name
+        self._xw = x_weight  # pair index t -> weight of x_t (0 to skip)
+        self._yw = y_weight
+
+    def update(self, state, a, b, t):
+        return (state + self._xw(t) * a + self._yw(t) * b) % P
+
+
+def _w_if(cond, shift):
+    return (1 << shift) if cond else 0
+
+
+PREFIXES: Dict[str, PrefixFamily] = {}
+for fam in [
+    _One(),
+    _Bitwise("and", lambda a, b: a * b % P),
+    _Bitwise("or", lambda a, b: (a + b - a * b) % P),
+    _Bitwise("xor", lambda a, b: (a + b - 2 * a * b) % P),
+    _Eq(),
+    _Ltu(),
+    _Lts(),
+    # x_t sits at index bit 2t+1, y_t at bit 2t
+    _PositionWeighted("rc", lambda t: _w_if(2 * t + 1 < 64, 2 * t + 1),
+                      lambda t: _w_if(2 * t < 64, 2 * t)),
+    _PositionWeighted("rca", lambda t: _w_if(2 * t + 1 < 64, 2 * t + 1),
+                      lambda t: _w_if(0 < 2 * t < 64, 2 * t)),
+    _PositionWeighted("uw", lambda t: _w_if(2 * t + 1 >= 64, 2 * t + 1 - 64),
+                      lambda t: _w_if(2 * t >= 64, 2 * t - 64)),
+    _PositionWeighted("left", lambda t: 1 << t, lambda t: 0),
+    _PositionWeighted("right", lambda t: 0, lambda t: 1 << t),
+    _PositionWeighted("id", lambda t: (1 << (2 * t + 1)) % P,
+                      lambda t: (1 << (2 * t)) % P),
+]:
+    PREFIXES[fam.name] = fam
 
 
 # ---------------------------------------------------------------------------
-# closed-form MLEs (rx, ry LSB-first lists of field values)
+# suffix families: integer functions of the suffix bits.  `s` is the raw
+# suffix integer (big-endian value of the last L index bits, L pair-aligned),
+# (xs, ys) its deinterleaved halves.  Values are exact Python ints.
 # ---------------------------------------------------------------------------
 
-def _eq_prefix_terms(rx, ry, n):
-    """eq-chain prefixes from the MSB downward: prefix[i] =
-    prod_{j>i} eq(rx_j, ry_j)  (j more significant than i)."""
-    pref = [1] * n
-    acc = 1
-    for i in range(n - 1, -1, -1):
-        pref[i] = acc
-        eqi = (rx[i] * ry[i] + (1 - rx[i]) * (1 - ry[i])) % P
-        acc = acc * eqi % P
-    return pref, acc  # acc = full equality product
-
-
-def mle_and(rx, ry):
-    return sum((1 << i) * rx[i] % P * ry[i] for i in range(len(rx))) % P
-
-
-def mle_or(rx, ry):
-    return sum((1 << i) * ((rx[i] + ry[i] - rx[i] * ry[i]) % P)
-               for i in range(len(rx))) % P
-
-
-def mle_xor(rx, ry):
-    return sum((1 << i) * ((rx[i] + ry[i] - 2 * rx[i] * ry[i]) % P)
-               for i in range(len(rx))) % P
-
-
-def mle_equal(rx, ry):
-    _, acc = _eq_prefix_terms(rx, ry, len(rx))
-    return acc
-
-
-def mle_ltu(rx, ry):
-    """Unsigned x < y."""
-    n = len(rx)
-    pref, _ = _eq_prefix_terms(rx, ry, n)
-    return sum(pref[i] * ((1 - rx[i]) % P) % P * ry[i] for i in range(n)) % P
-
-
-def mle_lts(rx, ry):
-    """Signed x < y (two's complement): flip the sign-bit comparison."""
-    n = len(rx)
-    pref, _ = _eq_prefix_terms(rx, ry, n)
-    acc = 0
-    for i in range(n - 1):
-        acc = (acc + pref[i] * ((1 - rx[i]) % P) % P * ry[i]) % P
-    # sign bits: x negative, y non-negative -> x < y
-    acc = (acc + pref[n - 1] * rx[n - 1] % P * ((1 - ry[n - 1]) % P)) % P
-    return acc
-
-
-def mle_range_check(rx, ry):
-    """Identity on the (non-interleaved) combined operand low bits: the
-    ADD/SUB-family table (tables/range_check.rs): output = index mod 2^64.
-    Here the 128 index bits are (rx ++ ry) LSB-first; low 64 = rx."""
-    return sum((1 << i) * rx[i] for i in range(len(rx))) % P
-
-
-# ---------------------------------------------------------------------------
-# entry oracles (u64 semantics)
-# ---------------------------------------------------------------------------
-
-def _s(v, n):
-    return v - (1 << n) if v >> (n - 1) else v
-
-
-M = (1 << XLEN) - 1
-
-TABLES: Dict[str, dict] = {
-    "And": {"entry": lambda x, y, n=XLEN: x & y, "mle": mle_and,
-            "interleaved": True},
-    "Or": {"entry": lambda x, y, n=XLEN: x | y, "mle": mle_or,
-           "interleaved": True},
-    "Xor": {"entry": lambda x, y, n=XLEN: x ^ y, "mle": mle_xor,
-            "interleaved": True},
-    "Equal": {"entry": lambda x, y, n=XLEN: int(x == y), "mle": mle_equal,
-              "interleaved": True},
-    "UnsignedLessThan": {"entry": lambda x, y, n=XLEN: int(x < y),
-                         "mle": mle_ltu, "interleaved": True},
-    "SignedLessThan": {"entry": lambda x, y, n=XLEN: int(_s(x, n) < _s(y, n)),
-                       "mle": mle_lts, "interleaved": True},
-    "RangeCheck": {"entry": lambda x, y, n=XLEN: x,  # low word of the index
-                   "mle": mle_range_check, "interleaved": False},
+SUFFIXES: Dict[str, Callable[[int, int, int, int], int]] = {
+    "one": lambda xs, ys, s, L: 1,
+    "and": lambda xs, ys, s, L: xs & ys,
+    "or": lambda xs, ys, s, L: xs | ys,
+    "xor": lambda xs, ys, s, L: xs ^ ys,
+    "eq": lambda xs, ys, s, L: int(xs == ys),
+    "ltu": lambda xs, ys, s, L: int(xs < ys),
+    "low64": lambda xs, ys, s, L: s & M64,
+    "alow64": lambda xs, ys, s, L: s & M64 & ~1,
+    "hi64": lambda xs, ys, s, L: s >> 64,
+    "left": lambda xs, ys, s, L: xs,
+    "right": lambda xs, ys, s, L: ys,
+    "id": lambda xs, ys, s, L: s,
 }
 
 
-def table_entry(name: str, x: int, y: int, xlen: int = XLEN) -> int:
-    return TABLES[name]["entry"](x, y, xlen)
+# ---------------------------------------------------------------------------
+# tables: terms = [(coef, prefix_name, suffix_name)];
+# Val(k) = sum coef * P(k_pre) * S(k_suf) for every pair-aligned cut.
+# entry(idx) is the u64 oracle on the full 128-bit index.
+# ---------------------------------------------------------------------------
+
+def _entry_split(f):
+    def g(idx):
+        x, y = uninterleave_bits(idx)
+        return f(x, y)
+    return g
 
 
-def table_mle(name: str, rx: List[int], ry: List[int]) -> int:
-    return TABLES[name]["mle"](rx, ry)
+def _s64(v: int) -> int:
+    return v - (1 << 64) if v >> 63 else v
+
+
+TABLES: Dict[str, dict] = {
+    # reference file in crates/jolt-lookup-tables/src/tables/ in comments
+    "RangeCheck": {  # range_check.rs
+        "terms": [(1, "rc", "one"), (1, "one", "low64")],
+        "entry": lambda idx: idx & M64,
+    },
+    "RangeCheckAligned": {  # range_check_aligned.rs (jalr target & ~1)
+        "terms": [(1, "rca", "one"), (1, "one", "alow64")],
+        "entry": lambda idx: idx & M64 & ~1,
+    },
+    "UpperWord": {  # upper_word.rs (mulhu)
+        "terms": [(1, "uw", "one"), (1, "one", "hi64")],
+        "entry": lambda idx: (idx >> 64) & M64,
+    },
+    "And": {  # and.rs
+        "terms": [(1, "and", "one"), (1, "one", "and")],
+        "entry": _entry_split(lambda x, y: x & y),
+    },
+    "Or": {  # or.rs
+        "terms": [(1, "or", "one"), (1, "one", "or")],
+        "entry": _entry_split(lambda x, y: x | y),
+    },
+    "Xor": {  # xor.rs
+        "terms": [(1, "xor", "one"), (1, "one", "xor")],
+        "entry": _entry_split(lambda x, y: x ^ y),
+    },
+    "Equal": {  # equal.rs
+        "terms": [(1, "eq", "eq")],
+        "entry": _entry_split(lambda x, y: int(x == y)),
+    },
+    "NotEqual": {  # not_equal.rs
+        "terms": [(1, "one", "one"), (-1, "eq", "eq")],
+        "entry": _entry_split(lambda x, y: int(x != y)),
+    },
+    "UnsignedLessThan": {  # unsigned_less_than.rs
+        "terms": [(1, "ltu", "one"), (1, "eq", "ltu")],
+        "entry": _entry_split(lambda x, y: int(x < y)),
+    },
+    "SignedLessThan": {  # signed_less_than.rs
+        "terms": [(1, "lts", "one"), (1, "eq", "ltu")],
+        "entry": _entry_split(lambda x, y: int(_s64(x) < _s64(y))),
+    },
+    "UnsignedGreaterThanEqual": {  # unsigned_greater_than_equal.rs
+        "terms": [(1, "one", "one"), (-1, "ltu", "one"), (-1, "eq", "ltu")],
+        "entry": _entry_split(lambda x, y: int(x >= y)),
+    },
+    "SignedGreaterThanEqual": {  # signed_greater_than_equal.rs
+        "terms": [(1, "one", "one"), (-1, "lts", "one"), (-1, "eq", "ltu")],
+        "entry": _entry_split(lambda x, y: int(_s64(x) >= _s64(y))),
+    },
+}
+
+TABLE_NAMES: List[str] = list(TABLES)          # canonical order
+TABLE_INDEX: Dict[str, int] = {n: i for i, n in enumerate(TABLE_NAMES)}
+NUM_TABLES = len(TABLE_NAMES)
+
+
+# ---------------------------------------------------------------------------
+# generic evaluation by prefix folding (verifier closed forms + test oracle)
+# ---------------------------------------------------------------------------
+
+def fold_prefixes(point: Sequence[int], names: Sequence[str],
+                  states: Optional[Dict[str, object]] = None,
+                  t_start: int = XLEN - 1) -> Dict[str, object]:
+    """Fold an even-length big-endian point (pairs (x_t, y_t) from t_start
+    downward) into per-family states.  Returns the updated states."""
+    assert len(point) % 2 == 0
+    out = {}
+    for name in names:
+        fam = PREFIXES[name]
+        st = states[name] if states is not None else fam.init()
+        t = t_start
+        for i in range(0, len(point), 2):
+            st = fam.update(st, point[i] % P, point[i + 1] % P, t)
+            t -= 1
+        out[name] = st
+    return out
+
+
+def table_value_from_parts(name: str, prefix_vals: Dict[str, int],
+                           suffix_vals: Dict[str, int]) -> int:
+    acc = 0
+    for coef, pre, suf in TABLES[name]["terms"]:
+        acc += coef * prefix_vals[pre] * suffix_vals[suf]
+    return acc % P
+
+
+def evaluate_table_mle(name: str, point: Sequence[int]) -> int:
+    """Closed-form MLE of the table at a 128-var big-endian point: full
+    prefix fold with the empty suffix (O(XLEN) field ops)."""
+    assert len(point) == LOG_K
+    names = {pre for _, pre, _ in TABLES[name]["terms"]}
+    states = fold_prefixes(point, sorted(names))
+    pvals = {n: PREFIXES[n].value(s) for n, s in states.items()}
+    empty = suffix_values(0, 0)
+    return table_value_from_parts(name, pvals, empty)
+
+
+def suffix_values(s: int, L: int) -> Dict[str, int]:
+    """All suffix-family values on a suffix integer of bit length L."""
+    xs, ys = uninterleave_bits(s, L // 2)
+    return {name: fn(xs, ys, s, L) for name, fn in SUFFIXES.items()}
+
+
+def table_entry(name: str, idx: int) -> int:
+    return TABLES[name]["entry"](idx)
+
+
+# ---------------------------------------------------------------------------
+# per-instruction lookup query (reference:
+# crates/jolt-lookup-tables/src/instructions/riscv/*.rs)
+# ---------------------------------------------------------------------------
+
+# kind -> table name (None = no lookup; output constrained 0 by convention)
+KIND_TABLE: Dict[str, Optional[str]] = {
+    "ADD": "RangeCheck", "ADDI": "RangeCheck", "SUB": "RangeCheck",
+    "LUI": "RangeCheck", "AUIPC": "RangeCheck", "JAL": "RangeCheck",
+    "JALR": "RangeCheckAligned",
+    "MUL": "RangeCheck", "MULHU": "UpperWord",
+    "AND": "And", "ANDI": "And", "OR": "Or", "ORI": "Or",
+    "XOR": "Xor", "XORI": "Xor",
+    "BEQ": "Equal", "BNE": "NotEqual",
+    "BLT": "SignedLessThan", "SLT": "SignedLessThan",
+    "SLTI": "SignedLessThan",
+    "BGE": "SignedGreaterThanEqual",
+    "BLTU": "UnsignedLessThan", "SLTU": "UnsignedLessThan",
+    "SLTIU": "UnsignedLessThan",
+    "BGEU": "UnsignedGreaterThanEqual",
+    "LD": None, "SD": None, "FENCE": None, "ECALL": None, "EBREAK": None,
+    "NOOP": None,
+}
+
+
+def lookup_index(interleaved: bool, left: int, right: int) -> int:
+    """The 128-bit lookup index from the (shaped) lookup operands.
+
+    Interleaved instructions: interleave(left, right); add/sub/mul family
+    (non-interleaved): the raw u128 `left * 2^64 + right` with left == 0
+    (`instructions/riscv/add.rs:10-17`)."""
+    if interleaved:
+        return interleave_bits(left & M64, right & M64)
+    return ((left & M64) << 64) | (right & ((1 << 128) - 1))

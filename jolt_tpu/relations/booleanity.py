@@ -1,19 +1,30 @@
-"""Booleanity + Hamming-weight sumchecks for one-hot access matrices.
+"""Booleanity + Hamming-weight sumchecks for one-hot access matrices,
+in O(T + K) space per matrix (no dense K x T materialization).
 
-Reference: `zkvm/ram/hamming_booleanity.rs`, `subprotocols/booleanity.rs`,
-the HammingWeight claim reductions (stages 6b/7).
+Reference: `subprotocols/booleanity.rs` (address phase + cycle phase),
+`zkvm/ram/hamming_booleanity.rs`, HammingWeight claim reductions.
 
-For each access matrix M over (cycle, address) -- registers wa/ra1/ra2,
-RAM ra, bytecode ra -- two relations together prove every row of M is
-EXACTLY one-hot:
+For each access matrix M over (address k, cycle j) -- registers wa/ra1/ra2,
+RAM ra, bytecode ra, instruction ra chunks -- two relations together prove
+every column of M is EXACTLY one-hot:
 
-  * booleanity:  0 = sum_{k,j} eq(r_b, (j,k)) * (M(j,k)^2 - M(j,k))
-                 (entries are bits, checked at a fresh random point)
-  * hamming weight: 1 = sum_{k,j} eq(r_h, j) * M(j,k)
-                 (each cycle's row sums to one; the x0 / k=0 sink rows in
-                 the witness make this hold for every cycle)
+  * booleanity:  0 = sum_{k,j} eq(r_addr,k)*eq(r_cyc,j) * (M(k,j)^2 - M(k,j))
+  * hamming weight: 1 = sum_{k,j} eq(r_h, j) * M(k,j)
 
-All matrices batch into ONE BatchedSumcheck stage (unequal rounds).
+Sparse structure (the TPU formulation): the witness is the per-cycle index
+stream c_j with M(k,j) = [k == c_j].  Binding the ADDRESS variables first,
+the partially-bound matrix stays rank-one per cycle:
+
+    M(rho_{<b} || X || k_rest, j) = u_j * chi(X, bit_b(c_j)) * [k_rest == rest(c_j)]
+
+with u_j = prod_{i<b} chi(rho_i, bit_i(c_j)) maintained as one O(T) device
+array (one select+mul per round).  The eq(r_addr, .) factor splits the same
+way via precomputed suffix products.  Address rounds are degree-3 (bool) /
+degree-2 (hamming) messages over O(T) arrays; the log T cycle rounds run on
+the dense u vector.  All matrices batch into ONE BatchedSumcheck stage.
+
+Opening points are normalized to the cycle-major order (r_cycle ++ r_addr)
+used by the committed polynomial layout.
 """
 
 from __future__ import annotations
@@ -23,6 +34,7 @@ from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..field import FR, ops
 from ..poly import dense, eq
@@ -33,60 +45,131 @@ P = FR.modulus
 
 
 @partial(jax.jit, static_argnames=('fp',))
-def _bool_message_kernel(E, M, fp=FR):
-    """Evals at {0,2,3} of sum E*(M^2 - M)."""
-    e = dense.sumcheck_eval_points_high(E, 3, fp)
-    m = dense.sumcheck_eval_points_high(M, 3, fp)
-    mm = ops.sub(ops.mont_mul(m, m, fp), m, fp)
-    return ops.sum_mod(ops.mont_mul(e, mm, fp), fp)
+def _sbool_addr_kernel(WS, U, mask, on3, off3, fp=FR):
+    """Booleanity address-round evals at X in {0,2,3}:
+    sum_j WS_j * (t^2 - t),  t = U_j * chi(X, mask_j).
+    WS: (L,T) combined w*suffix weights; on3/off3: (L,3,1) chi constants."""
+    sel = jnp.where(mask[None, None, :], on3, off3)        # (L,3,T)
+    t = ops.mont_mul(U[:, None, :], sel, fp)
+    tt = ops.sub(ops.mont_mul(t, t, fp), t, fp)
+    return ops.sum_mod(ops.mont_mul(WS[:, None, :], tt, fp), fp)  # (L,3,1)
 
 
 @partial(jax.jit, static_argnames=('fp',))
-def _hamming_message_kernel(E, M, fp=FR):
-    """Evals at {0, 2} of sum E*M (degree 2)."""
+def _sham_addr_kernel(W, U, mask, on2, off2, fp=FR):
+    """Hamming address-round evals at X in {0,2}: sum_j W_j*U_j*chi(X,m_j)."""
+    sel = jnp.where(mask[None, None, :], on2, off2)
+    t = ops.mont_mul(U[:, None, :], sel, fp)
+    return ops.sum_mod(ops.mont_mul(W[:, None, :], t, fp), fp)
+
+
+@partial(jax.jit, static_argnames=('fp',))
+def _update_u(U, mask, r_on, r_off, fp=FR):
+    return ops.mont_mul(U, jnp.where(mask[None, :], r_on, r_off), fp)
+
+
+@partial(jax.jit, static_argnames=('fp',))
+def _bool_cycle_kernel(E, V, fp=FR):
+    e = dense.sumcheck_eval_points_high(E, 3, fp)
+    v = dense.sumcheck_eval_points_high(V, 3, fp)
+    vv = ops.sub(ops.mont_mul(v, v, fp), v, fp)
+    return ops.sum_mod(ops.mont_mul(e, vv, fp), fp)
+
+
+@partial(jax.jit, static_argnames=('fp',))
+def _ham_cycle_kernel(E, V, fp=FR):
     e = dense.sumcheck_eval_points_high(E, 2, fp)
-    m = dense.sumcheck_eval_points_high(M, 2, fp)
-    return ops.sum_mod(ops.mont_mul(e, m, fp), fp)
+    v = dense.sumcheck_eval_points_high(V, 2, fp)
+    return ops.sum_mod(ops.mont_mul(e, v, fp), fp)
+
+
+def _mont_consts(vals):
+    """Host ints -> (L, len, 1) Montgomery constant array."""
+    arr = ops.pack_ints([v % P for v in vals])
+    return arr[:, :, None]
 
 
 class Booleanity(SumcheckInstance):
-    """0 = sum eq(r_b, .) * (M^2 - M) over the full (j,k) index space."""
+    """0 = sum eq(r_addr,k)*eq(r_cyc,j)*(M^2 - M); M given as the per-cycle
+    one-hot index stream.  Rounds: log_K address vars then log_T cycle vars."""
 
-    def __init__(self, onehot: List[int], K: int, r_point: Sequence[int],
-                 label: str):
+    degree = 3
+
+    def __init__(self, indices: Sequence[int], K: int, r_addr: Sequence[int],
+                 r_cyc: Sequence[int], label: str):
         self.K = K
-        self.T = len(onehot) // K
-        self.nv = (self.T * K).bit_length() - 1
-        assert 1 << self.nv == self.T * K
-        self.r_point = list(r_point)
-        assert len(self.r_point) == self.nv
+        self.log_K = K.bit_length() - 1
+        self.T = len(indices)
+        self.log_T = self.T.bit_length() - 1
+        self.r_addr = [r % P for r in r_addr]
+        self.r_cyc = [r % P for r in r_cyc]
+        assert len(self.r_addr) == self.log_K and len(self.r_cyc) == self.log_T
         self.label = label
-        self.M = ops.pack_ints(onehot)
-        self.E = eq.evals(self.r_point)
+
+        idx = np.asarray(indices, dtype=np.int64)
+        # bit_b(c_j) for address var b (big-endian: b=0 is the index MSB)
+        self.masks = [jnp.asarray((idx >> (self.log_K - 1 - b)) & 1, jnp.bool_)
+                      for b in range(self.log_K)]
+        W = eq.evals(self.r_cyc)                      # (L, T) eq(r_cyc, j)
+        # suffix products S_b(j) = prod_{i>b} chi(r_addr_i, bit_i(c_j)),
+        # premultiplied into W (the kernels only ever see W*S).
+        self.WS = [None] * self.log_K
+        acc = W
+        for b in range(self.log_K - 1, -1, -1):
+            self.WS[b] = acc
+            if b > 0:
+                r_on = ops.pack_ints([self.r_addr[b]])
+                r_off = ops.pack_ints([(1 - self.r_addr[b]) % P])
+                acc = _update_u(acc, self.masks[b], r_on, r_off)
+        self.U = ops.ones((self.T,))
+        self.A = 1                                    # prod chi(r_addr_b, rho_b)
+        self.E = W                                    # cycle-round eq table
+        self.V: Optional[jnp.ndarray] = None
         self.final_openings: Optional[dict] = None
 
     @property
     def num_rounds(self) -> int:
-        return self.nv
+        return self.log_K + self.log_T
 
     def input_claim(self, accumulator: OpeningAccumulator) -> int:
         return 0
 
     def compute_message(self, round: int, previous_claim: int) -> UniPoly:
-        evals = ops.unpack_ints(_bool_message_kernel(self.E, self.M))
+        if round < self.log_K:
+            on3 = _mont_consts([0, 2, 3])
+            off3 = _mont_consts([1, -1, -2])
+            evals = ops.unpack_ints(_sbool_addr_kernel(
+                self.WS[round], self.U, self.masks[round], on3, off3))
+            rb = self.r_addr[round]
+            evals = [self.A * ((rb * X + (1 - rb) * (1 - X)) % P) % P * e % P
+                     for X, e in zip((0, 2, 3), evals)]
+        else:
+            evals = ops.unpack_ints(_bool_cycle_kernel(self.E, self.V))
+            evals = [self.A * e % P for e in evals]
         return UniPoly.from_evals_and_hint(previous_claim, evals, P)
 
     def ingest_challenge(self, r: int, round: int) -> None:
-        r_dev = ops.pack_ints([r])
-        self.M = dense.bind_high(self.M, r_dev, FR)
-        self.E = dense.bind_high(self.E, r_dev, FR)
+        if round < self.log_K:
+            r_on = ops.pack_ints([r])
+            r_off = ops.pack_ints([(1 - r) % P])
+            self.U = _update_u(self.U, self.masks[round], r_on, r_off)
+            ra = self.r_addr[round]
+            self.A = self.A * ((ra * r + (1 - ra) * (1 - r)) % P) % P
+            if round + 1 == self.log_K:
+                self.V = self.U
+        else:
+            r_dev = ops.pack_ints([r])
+            self.E = dense.bind_high(self.E, r_dev, FR)
+            self.V = dense.bind_high(self.V, r_dev, FR)
 
     def finalize(self) -> None:
-        self.final_openings = {"m": ops.unpack_ints(self.M)[0]}
+        self.final_openings = {"m": ops.unpack_ints(self.V)[0]}
 
     def cache_openings(self, accumulator: OpeningAccumulator,
                        r_slice: Sequence[int]) -> None:
-        accumulator.insert(("booleanity", self.label), list(r_slice),
+        # normalize to the cycle-major committed layout: (r_cycle, r_addr)
+        pt = list(r_slice[self.log_K:]) + list(r_slice[:self.log_K])
+        accumulator.insert(("booleanity", self.label), pt,
                            self.final_openings["m"])
 
     def expected_output_claim(self, accumulator, r):  # pragma: no cover
@@ -94,14 +177,18 @@ class Booleanity(SumcheckInstance):
 
 
 class BooleanityVerifier(SumcheckInstance):
-    def __init__(self, num_vars: int, r_point: Sequence[int], m_opening: int):
-        self.nv = num_vars
-        self.r_point = list(r_point)
+    degree = 3
+
+    def __init__(self, log_K: int, log_T: int, r_addr: Sequence[int],
+                 r_cyc: Sequence[int], m_opening: int):
+        self.log_K, self.log_T = log_K, log_T
+        self.r_addr = [r % P for r in r_addr]
+        self.r_cyc = [r % P for r in r_cyc]
         self.m_opening = m_opening % P
 
     @property
     def num_rounds(self) -> int:
-        return self.nv
+        return self.log_K + self.log_T
 
     def input_claim(self, accumulator: OpeningAccumulator) -> int:
         return 0
@@ -114,51 +201,70 @@ class BooleanityVerifier(SumcheckInstance):
 
     def expected_output_claim(self, accumulator: OpeningAccumulator,
                               r: Sequence[int]) -> int:
+        rho = list(r[:self.log_K])
+        r_cyc2 = list(r[self.log_K:])
         m = self.m_opening
-        return eq.eq_int(self.r_point, list(r)) * ((m * m - m) % P) % P
+        return (eq.eq_int(self.r_addr, rho) * eq.eq_int(self.r_cyc, r_cyc2)
+                % P * ((m * m - m) % P) % P)
 
 
 class HammingWeight(SumcheckInstance):
-    """1 = sum_{k,j} eq(r_h, j) * M(j,k)  (cycle-major, j = index MSBs)."""
+    """1 = sum_{k,j} eq(r_h, j) * M(k,j), M from the index stream."""
 
-    def __init__(self, onehot: List[int], K: int, r_cycle: Sequence[int],
+    degree = 2
+
+    def __init__(self, indices: Sequence[int], K: int, r_cycle: Sequence[int],
                  label: str):
         self.K = K
-        self.T = len(onehot) // K
+        self.log_K = K.bit_length() - 1
+        self.T = len(indices)
         self.log_T = self.T.bit_length() - 1
-        self.nv = self.log_T + (K.bit_length() - 1)
-        self.r_cycle = list(r_cycle)
-        assert len(self.r_cycle) == self.log_T
+        self.r_cycle = [r % P for r in r_cycle]
         self.label = label
-        L = FR.num_limbs
-        self.M = ops.pack_ints(onehot)
-        E = eq.evals(self.r_cycle)
-        self.E = jnp.broadcast_to(E[:, :, None],
-                                  (L, self.T, K)).reshape(L, -1)
+        idx = np.asarray(indices, dtype=np.int64)
+        self.masks = [jnp.asarray((idx >> (self.log_K - 1 - b)) & 1, jnp.bool_)
+                      for b in range(self.log_K)]
+        self.W = eq.evals(self.r_cycle)
+        self.U = ops.ones((self.T,))
+        self.V: Optional[jnp.ndarray] = None
         self.final_openings: Optional[dict] = None
 
     @property
     def num_rounds(self) -> int:
-        return self.nv
+        return self.log_K + self.log_T
 
     def input_claim(self, accumulator: OpeningAccumulator) -> int:
         return 1
 
     def compute_message(self, round: int, previous_claim: int) -> UniPoly:
-        evals = ops.unpack_ints(_hamming_message_kernel(self.E, self.M))
+        if round < self.log_K:
+            on2 = _mont_consts([0, 2])
+            off2 = _mont_consts([1, -1])
+            evals = ops.unpack_ints(_sham_addr_kernel(
+                self.W, self.U, self.masks[round], on2, off2))
+        else:
+            evals = ops.unpack_ints(_ham_cycle_kernel(self.W, self.V))
         return UniPoly.from_evals_and_hint(previous_claim, evals, P)
 
     def ingest_challenge(self, r: int, round: int) -> None:
-        r_dev = ops.pack_ints([r])
-        self.M = dense.bind_high(self.M, r_dev, FR)
-        self.E = dense.bind_high(self.E, r_dev, FR)
+        if round < self.log_K:
+            r_on = ops.pack_ints([r])
+            r_off = ops.pack_ints([(1 - r) % P])
+            self.U = _update_u(self.U, self.masks[round], r_on, r_off)
+            if round + 1 == self.log_K:
+                self.V = self.U
+        else:
+            r_dev = ops.pack_ints([r])
+            self.W = dense.bind_high(self.W, r_dev, FR)
+            self.V = dense.bind_high(self.V, r_dev, FR)
 
     def finalize(self) -> None:
-        self.final_openings = {"m": ops.unpack_ints(self.M)[0]}
+        self.final_openings = {"m": ops.unpack_ints(self.V)[0]}
 
     def cache_openings(self, accumulator: OpeningAccumulator,
                        r_slice: Sequence[int]) -> None:
-        accumulator.insert(("hamming", self.label), list(r_slice),
+        pt = list(r_slice[self.log_K:]) + list(r_slice[:self.log_K])
+        accumulator.insert(("hamming", self.label), pt,
                            self.final_openings["m"])
 
     def expected_output_claim(self, accumulator, r):  # pragma: no cover
@@ -166,15 +272,17 @@ class HammingWeight(SumcheckInstance):
 
 
 class HammingWeightVerifier(SumcheckInstance):
-    def __init__(self, log_T: int, log_K: int, r_cycle: Sequence[int],
+    degree = 2
+
+    def __init__(self, log_K: int, log_T: int, r_cycle: Sequence[int],
                  m_opening: int):
-        self.log_T, self.log_K = log_T, log_K
-        self.r_cycle = list(r_cycle)
+        self.log_K, self.log_T = log_K, log_T
+        self.r_cycle = [r % P for r in r_cycle]
         self.m_opening = m_opening % P
 
     @property
     def num_rounds(self) -> int:
-        return self.log_T + self.log_K
+        return self.log_K + self.log_T
 
     def input_claim(self, accumulator: OpeningAccumulator) -> int:
         return 1
@@ -187,5 +295,5 @@ class HammingWeightVerifier(SumcheckInstance):
 
     def expected_output_claim(self, accumulator: OpeningAccumulator,
                               r: Sequence[int]) -> int:
-        r_cyc = list(r[:self.log_T])
-        return eq.eq_int(self.r_cycle, r_cyc) * self.m_opening % P
+        r_cyc2 = list(r[self.log_K:])
+        return eq.eq_int(self.r_cycle, r_cyc2) * self.m_opening % P

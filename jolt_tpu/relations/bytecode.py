@@ -44,12 +44,12 @@ def _pc_column(entry: int, K: int) -> List[int]:
 
 
 def combined_table(table: Dict[str, List[int]], entry: int, K: int,
-                   gamma: int) -> List[int]:
+                   gamma: int, columns=None) -> List[int]:
     cols = dict(table)
     cols["pc"] = _pc_column(entry, K)
     out = [0] * K
     g = 1
-    for _, col_name in CLAIM_COLUMNS:
+    for _, col_name in (columns or CLAIM_COLUMNS):
         col = cols[col_name]
         for k in range(K):
             out[k] = (out[k] + g * col[k]) % P
@@ -58,9 +58,10 @@ def combined_table(table: Dict[str, List[int]], entry: int, K: int,
 
 
 def combined_table_eval(code: bytes, entry: int, K: int, gamma: int,
-                        r_addr: Sequence[int]) -> int:
+                        r_addr: Sequence[int], columns=None) -> int:
     """Verifier-side: MLE of the combined public table at r_addr."""
-    tab = combined_table(decode_table(code, entry, K), entry, K, gamma)
+    tab = combined_table(decode_table(code, entry, K), entry, K, gamma,
+                         columns)
     n = len(r_addr)
     assert K == 1 << n
     # chi weights via iterative halving (O(K) muls)
@@ -81,15 +82,17 @@ def _bc_message_kernel(E, RA, TAB, fp=FR):
 
 class BytecodeReadRaf(SumcheckInstance):
     def __init__(self, wit: BytecodeWitness, gamma: int,
-                 r_cycle: Sequence[int], claims: Sequence[int]):
+                 r_cycle: Sequence[int], claims: Sequence[int],
+                 columns=None, label: str = "bytecode"):
         self.wit = wit
         self.T, self.K = wit.T, wit.K
         self.log_T = self.T.bit_length() - 1
         self.gamma = gamma
         self.r_cycle = list(r_cycle)
         self.claims = list(claims)
+        self.label = label
         L = FR.num_limbs
-        tab = combined_table(wit.table, wit.entry, self.K, gamma)
+        tab = combined_table(wit.table, wit.entry, self.K, gamma, columns)
         tab_dev = ops.pack_ints(tab)
         self.TAB = jnp.broadcast_to(tab_dev[:, None, :],
                                     (L, self.T, self.K)).reshape(L, -1)
@@ -125,7 +128,7 @@ class BytecodeReadRaf(SumcheckInstance):
 
     def cache_openings(self, accumulator: OpeningAccumulator,
                        r_slice: Sequence[int]) -> None:
-        accumulator.insert(("bytecode", "ra"), list(r_slice),
+        accumulator.insert((self.label, "ra"), list(r_slice),
                            self.final_openings["ra"])
 
     def expected_output_claim(self, accumulator, r):  # pragma: no cover
@@ -135,13 +138,14 @@ class BytecodeReadRaf(SumcheckInstance):
 class BytecodeReadRafVerifier(SumcheckInstance):
     def __init__(self, log_T: int, log_K: int, gamma: int,
                  r_cycle: Sequence[int], claims: Sequence[int],
-                 code: bytes, entry: int, openings: dict):
+                 code: bytes, entry: int, openings: dict, columns=None):
         self.log_T, self.log_K = log_T, log_K
         self.gamma = gamma
         self.r_cycle = list(r_cycle)
         self.claims = list(claims)
         self.code, self.entry = code, entry
         self.openings = openings
+        self.columns = columns
 
     @property
     def num_rounds(self) -> int:
@@ -165,6 +169,6 @@ class BytecodeReadRafVerifier(SumcheckInstance):
         r_cyc = list(r[:self.log_T])
         r_addr = list(r[self.log_T:])
         tab_eval = combined_table_eval(self.code, self.entry, 1 << self.log_K,
-                                       self.gamma, r_addr)
+                                       self.gamma, r_addr, self.columns)
         return (eq.eq_int(self.r_cycle, r_cyc) * self.openings["ra"] % P
                 * tab_eval % P)

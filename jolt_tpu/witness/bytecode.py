@@ -17,6 +17,7 @@ import dataclasses
 from typing import Dict, List
 
 from ..field.params import FR
+from ..lookups import tables as LT
 from ..riscv import isa
 from ..tracer.trace import Trace
 from . import flags as F
@@ -24,10 +25,12 @@ from . import flags as F
 P = FR.modulus
 
 # ordered public table columns; each proves one stage-1 opening (register
-# index columns prove the register-raf virtual claims instead)
+# index columns prove the register-raf virtual claims; lk_* columns prove
+# the instruction read-raf's lookup-table / raf flag claims)
 TABLE_COLUMNS = (
     ["imm", "branch"] + [f"flag_{name}" for name in F.CIRCUIT_FLAGS]
     + ["rd_idx", "rs1_idx", "rs2_idx"]
+    + [f"lk_{name}" for name in LT.TABLE_NAMES] + ["lk_raf"]
 )
 
 _NO_RD_KINDS = frozenset(
@@ -38,6 +41,7 @@ _NO_RD_KINDS = frozenset(
 @dataclasses.dataclass
 class BytecodeWitness:
     ra: List[int]                     # [K*T] one-hot, cycle-major
+    pc_idx: List[int]                 # [T] per-cycle bytecode row index
     table: Dict[str, List[int]]       # public: column -> [K] values (mod p)
     K: int
     log_K: int
@@ -72,6 +76,12 @@ def decode_table(code: bytes, entry: int, K: int) -> Dict[str, List[int]]:
         table["rd_idx"][k] = rd
         table["rs1_idx"][k] = rs1
         table["rs2_idx"][k] = rs2
+        lk = LT.KIND_TABLE.get(kind)
+        if lk is not None:
+            table[f"lk_{lk}"][k] = 1
+        interleaved = not ({"AddOperands", "SubtractOperands",
+                            "MultiplyOperands", "Advice"} & set(cf))
+        table["lk_raf"][k] = 0 if interleaved else 1
     return table
 
 
@@ -88,10 +98,13 @@ def extract_bytecode_witness(trace: Trace, code: bytes, entry: int) -> BytecodeW
     log_K = K.bit_length() - 1
 
     ra = [0] * (K * T)
+    pc_idx = [0] * T
     for j in range(T):
         k = (pcs[j] - entry) // 4
         assert 0 <= k < K, f"pc out of bytecode range at cycle {j}"
         ra[j * K + k] = 1
+        pc_idx[j] = k
 
-    return BytecodeWitness(ra=ra, table=decode_table(code, entry, K),
+    return BytecodeWitness(ra=ra, pc_idx=pc_idx,
+                           table=decode_table(code, entry, K),
                            K=K, log_K=log_K, T=T, entry=entry)

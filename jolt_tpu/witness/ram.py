@@ -29,6 +29,7 @@ class RamWitness:
     ra: List[int]        # [K*T] 0/1, cycle-major (j*K + k)
     val: List[int]       # [K*T]
     inc: List[int]       # [T]
+    addr_idx: List[int]  # [T] per-cycle accessed cell index k (0 = none)
     init_vals: Dict[int, int]   # sparse k -> initial dword value (public)
     K: int
     log_K: int
@@ -121,5 +122,6 @@ def extract_ram_witness(trace: Trace) -> RamWitness:
                 inc[j] = (ram_post[j] - ram_pre[j]) % P
                 mem[k] = ram_post[j]
 
-    return RamWitness(ra=ra, val=val, inc=inc, init_vals=init_vals,
-                      K=K, log_K=log_K, T=T, witness_base=wb)
+    return RamWitness(ra=ra, val=val, inc=inc, addr_idx=ks,
+                      init_vals=init_vals, K=K, log_K=log_K, T=T,
+                      witness_base=wb)

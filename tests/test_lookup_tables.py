@@ -1,14 +1,28 @@
-"""Lookup-table MLE closed forms vs naive interpolation (the reference's
-materialize_entry_test pattern at harness scale)."""
+"""Lookup-table closed forms + prefix-suffix decomposition gates.
+
+The reference's own methodology: `materialize_entry_test!` (MLE == entry on
+boolean points) plus a decomposition gate checking
+Val(pre || suf) == sum coef * P(pre) * S(suf) at every pair-aligned cut,
+including cuts evaluated at random FIELD points on the prefix side (the
+exact situation of the address-round sumcheck messages).
+"""
 import random
 
 import pytest
 
 from jolt_tpu.field.params import FR
-from jolt_tpu.lookups.tables import (TABLES, interleave_bits, table_entry,
-                                     table_mle, uninterleave_bits, _bits)
+from jolt_tpu.lookups.tables import (LOG_K, PREFIXES, TABLES, XLEN,
+                                     evaluate_table_mle, fold_prefixes,
+                                     interleave_bits, suffix_values,
+                                     table_entry, table_value_from_parts,
+                                     uninterleave_bits)
 
 P = FR.modulus
+
+
+def _point_from_index(idx: int):
+    """128-bit index -> big-endian boolean point (var 0 = bit 127)."""
+    return [(idx >> (LOG_K - 1 - v)) & 1 for v in range(LOG_K)]
 
 
 def test_interleave_roundtrip():
@@ -16,34 +30,60 @@ def test_interleave_roundtrip():
     for _ in range(50):
         x, y = rng.randrange(1 << 64), rng.randrange(1 << 64)
         assert uninterleave_bits(interleave_bits(x, y)) == (x, y)
-    assert interleave_bits(0b11, 0b00, 2) == 0b0101
-    assert interleave_bits(0b00, 0b11, 2) == 0b1010
+    # reference convention (interleave.rs tests): x bit 0 -> index bit 1
+    assert interleave_bits(1, 0) == 0b10
+    assert interleave_bits(0, 1) == 0b01
 
 
 @pytest.mark.parametrize("name", list(TABLES))
 def test_mle_matches_entry_on_booleans(name):
-    xlen = 4
-    for x in range(1 << xlen):
-        for y in range(1 << xlen):
-            got = table_mle(name, _bits(x, xlen), _bits(y, xlen))
-            want = table_entry(name, x, y, xlen) % P
-            assert got == want, f"{name}({x},{y})"
+    rng = random.Random(hash(name) & 0xFFFF)
+    idxs = [0, 1, (1 << 128) - 1, 1 << 127, (1 << 64) - 1, 1 << 64]
+    idxs += [rng.randrange(1 << 128) for _ in range(40)]
+    idxs += [interleave_bits(rng.randrange(1 << 64), rng.randrange(1 << 64))
+             for _ in range(10)]
+    for idx in idxs:
+        got = evaluate_table_mle(name, _point_from_index(idx))
+        want = table_entry(name, idx) % P
+        assert got == want, f"{name}(idx={idx:#x})"
 
 
 @pytest.mark.parametrize("name", list(TABLES))
-def test_mle_matches_naive_extension(name):
-    """Closed form == sum_{x,y} eq((x,y), r) * entry(x,y) at random points."""
-    xlen = 3
-    rng = random.Random(7)
-    rx = [rng.randrange(P) for _ in range(xlen)]
-    ry = [rng.randrange(P) for _ in range(xlen)]
-    naive = 0
-    for x in range(1 << xlen):
-        for y in range(1 << xlen):
-            w = 1
-            for i in range(xlen):
-                xb, yb = (x >> i) & 1, (y >> i) & 1
-                w = w * ((rx[i] if xb else (1 - rx[i])) % P) % P
-                w = w * ((ry[i] if yb else (1 - ry[i])) % P) % P
-            naive = (naive + w * table_entry(name, x, y, xlen)) % P
-    assert table_mle(name, rx, ry) == naive, name
+def test_prefix_suffix_decomposition(name):
+    """Val(pre||suf) == sum coef*P(pre)*S(suf) with random field prefixes,
+    at every pair-aligned cut; checked against the full-fold closed form
+    extended multilinearly (prefix vars random, suffix boolean)."""
+    rng = random.Random(hash(name) & 0xFFFF ^ 99)
+    pre_names = sorted({p for _, p, _ in TABLES[name]["terms"]})
+    for cut_pairs in (1, 4, 32, 60, 64):
+        cut = 2 * cut_pairs              # prefix var count
+        L = LOG_K - cut                  # suffix bit count
+        pre_point = [rng.randrange(P) for _ in range(cut)]
+        s = rng.randrange(1 << L)
+        # decomposition value
+        states = fold_prefixes(pre_point, pre_names)
+        pvals = {n: PREFIXES[n].value(st) for n, st in states.items()}
+        svals = suffix_values(s, L)
+        got = table_value_from_parts(name, pvals, svals)
+        # oracle: full MLE at (pre_point ++ bits(s))
+        suf_bits = [(s >> (L - 1 - i)) & 1 for i in range(L)]
+        want = evaluate_table_mle(name, pre_point + suf_bits)
+        assert got == want, f"{name} cut={cut_pairs} pairs"
+
+
+@pytest.mark.parametrize("name", list(TABLES))
+def test_incremental_fold_matches_onepass(name):
+    """Checkpointing: folding pairs incrementally across phase boundaries
+    equals one full fold (the address-round checkpoint mechanism)."""
+    rng = random.Random(hash(name) & 0xFFFF ^ 7)
+    point = [rng.randrange(P) for _ in range(LOG_K)]
+    pre_names = sorted({p for _, p, _ in TABLES[name]["terms"]})
+    full = fold_prefixes(point, pre_names)
+    inc = None
+    t_start = XLEN - 1
+    for chunk_start in range(0, LOG_K, 8):
+        inc = fold_prefixes(point[chunk_start:chunk_start + 8], pre_names,
+                            states=inc, t_start=t_start)
+        t_start -= 4
+    for n in pre_names:
+        assert PREFIXES[n].value(full[n]) == PREFIXES[n].value(inc[n]), n
