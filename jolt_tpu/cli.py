@@ -60,25 +60,45 @@ def cmd_prove(args):
     dt = time.time() - t0
     khz = tr.length / dt / 1e3
     print(f"proved {tr.length} cycles in {dt:.1f}s ({khz:.2f} kHz)")
+    # the claimed public statement travels WITH the proof so verification
+    # never re-executes the guest (succinct verify)
+    statement = {"trace_length": tr.length,
+                 "padded_length": tr.padded_length,
+                 "outputs": bytes(tr.device.outputs),
+                 "panic": tr.device.panic}
     with open(args.output, "wb") as f:
-        pickle.dump(proof, f)
+        pickle.dump({"proof": proof, "statement": statement}, f)
     print(f"proof -> {args.output}")
     return 0
 
 
 def cmd_verify(args):
+    """Succinct verification: assemble the program (no execution), build the
+    statement from the proof file's claimed outputs + the verifier's own
+    inputs, and run the O(log) verifier."""
+    from .riscv.assembler import assemble
+    from .riscv.emulator import MemoryLayout
     from .verifier import VerificationError, verify
     from .verifier.verifier import PublicIO
-    tr, _ = _trace(args)  # re-derive the public statement (code, io)
+    layout = MemoryLayout(max_input_size=args.io_size,
+                          max_output_size=args.io_size)
+    code = assemble(open(args.guest).read())
+    entry = 0x80000000
+    inputs = bytes.fromhex(args.input) if args.input else b""
     with open(args.proof, "rb") as f:
-        proof = pickle.load(f)
+        blob = pickle.load(f)
+    proof, st = blob["proof"], blob["statement"]
+    io = PublicIO(st["trace_length"], st["padded_length"], inputs,
+                  st["outputs"], st["panic"], layout, code, entry)
     t0 = time.time()
     try:
-        ok = verify(proof, PublicIO.from_trace(tr))
+        ok = verify(proof, io)
     except VerificationError as e:
         print(f"REJECTED: {e}")
         return 1
     print(f"verified in {time.time() - t0:.2f}s: {ok}")
+    print(f"claimed outputs: {st['outputs'].hex() or '(empty)'}"
+          f"  panic: {st['panic']}")
     return 0
 
 
@@ -94,12 +114,22 @@ def main(argv=None):
                         help="max input/output region size")
         sp.add_argument("--native", action="store_true",
                         help="use the C++ tracer")
+        sp.add_argument("--platform", choices=("default", "cpu"),
+                        default="default",
+                        help="force the JAX backend (cpu = local host; "
+                        "'default' keeps the ambient platform, e.g. the "
+                        "TPU tunnel)")
         if name == "prove":
             sp.add_argument("-o", "--output", default="proof.pkl")
         if name == "verify":
             sp.add_argument("proof", help="proof pickle from `prove`")
         sp.set_defaults(fn=fn)
     args = p.parse_args(argv)
+    from .utils.env import ensure_map_count
+    ensure_map_count()
+    if args.platform == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     return args.fn(args)
 
 

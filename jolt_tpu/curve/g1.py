@@ -142,9 +142,12 @@ def mask_points(P: Point3, mask: jnp.ndarray) -> Point3:
     return (X, Y, ops.select(mask, Z, jnp.zeros_like(Z)))
 
 
-@partial(jax.jit)
 def msm_binary(P: Point3, bits: jnp.ndarray) -> Point3:
-    """Subset sum: sum of points where bits[n] == 1 (msm/mod.rs msm_binary)."""
+    """Subset sum: sum of points where bits[n] == 1 (msm/mod.rs msm_binary).
+
+    Deliberately NOT wrapped in one jit: tree_sum's per-level _halve kernels
+    are shared across all input widths (a monolithic per-length graph costs
+    100s+ of XLA:CPU compile per distinct length)."""
     return tree_sum(mask_points(P, bits.astype(jnp.bool_)))
 
 
@@ -179,17 +182,144 @@ def msm(P: Point3, scalars: jnp.ndarray, bits: int) -> Point3:
     """MSM with `bits`-bit scalars (uint32 words; for >32 bits pass a
     (W, N) array of LE 32-bit words).
 
-    Strategy: per-lane double-and-add (`batch_scalar_mul`, one jitted
-    fori_loop) followed by one tree reduction -- two device dispatches
-    total.  Binary scalars take the 1-tree subset-sum fast path
-    (msm_binary).  TODO(perf): Pippenger bucket accumulation for
-    full-width scalars at scale.
+    Binary scalars take the 1-tree subset-sum fast path (msm_binary);
+    full-width scalars take Pippenger bucket accumulation; narrow scalars
+    fall back to per-lane double-and-add + one tree reduction.
     """
     if scalars.ndim == 1:
         scalars = scalars[None, :]
     if bits == 1:
         return msm_binary(P, scalars[0] & np.uint32(1))
+    if bits > 32 and scalars.shape[-1] >= 512:
+        return msm_pippenger(P, scalars, bits)
     return tree_sum(batch_scalar_mul(P, scalars, bits))
+
+
+# ---------------------------------------------------------------------------
+# Pippenger (windowed bucket) MSM
+#
+# TPU formulation of the arkworks Pippenger the reference links
+# (`msm/mod.rs:7-10`): the HOST computes each window's digit layout (numpy
+# argsort into buckets padded to a power-of-2 stride); the DEVICE gathers
+# points into the (buckets, stride) grid and tree-reduces the stride axis
+# (fully parallel adds); bucket reconstruction (suffix sums) and the
+# window combine run as short jitted fori_loops over 1-lane points.
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=('c',))
+def _bucket_reconstruct(B: Point3, c: int) -> Point3:
+    """sum_k k * B_k for buckets 1..2^c-1 via running suffix sums,
+    vectorized over all windows at once: B is (L, n_win, 2^c)."""
+    X, Y, Z = B
+
+    def body(i, state):
+        run, tot = state
+        k = (1 << c) - 1 - i
+        bk = (jax.lax.dynamic_slice_in_dim(X, k, 1, 2),
+              jax.lax.dynamic_slice_in_dim(Y, k, 1, 2),
+              jax.lax.dynamic_slice_in_dim(Z, k, 1, 2))
+        run = jacobian_add(run, bk)
+        tot = jacobian_add(tot, run)
+        return run, tot
+
+    inf = (jnp.zeros((X.shape[0], X.shape[1], 1), X.dtype),) * 3
+    _, tot = jax.lax.fori_loop(0, (1 << c) - 1, body, (inf, inf))
+    return tot[0][..., 0], tot[1][..., 0], tot[2][..., 0]  # (L, n_win)
+
+
+@partial(jax.jit, static_argnames=('c',))
+def _window_combine(W: Point3, c: int) -> Point3:
+    """sum_w 2^(c*w) * W_w, MSB window first: acc = 2^c*acc + W_w."""
+    X, Y, Z = W  # (L, n_windows)
+    n_win = X.shape[-1]
+
+    def body(i, acc):
+        w = n_win - 1 - i
+        for _ in range(c):
+            acc = jacobian_double(acc)
+        return jacobian_add(acc, (
+            jax.lax.dynamic_slice_in_dim(X, w, 1, 1),
+            jax.lax.dynamic_slice_in_dim(Y, w, 1, 1),
+            jax.lax.dynamic_slice_in_dim(Z, w, 1, 1)))
+
+    inf = (jnp.zeros((X.shape[0], 1), X.dtype),) * 3
+    return jax.lax.fori_loop(0, n_win, body, inf)
+
+
+@partial(jax.jit, static_argnames=('shape',))
+def _gather_grid(P: Point3, slot_map: jnp.ndarray, shape) -> Point3:
+    """Gather lanes into a (buckets, stride) grid; slot_map == N -> the
+    appended infinity lane."""
+    X, Y, Z = P
+    pad = lambda a: jnp.concatenate(
+        [a, jnp.zeros(a.shape[:-1] + (1,), a.dtype)], -1)
+    Xp, Yp, Zp = pad(X), pad(Y), pad(Z)
+    take = lambda a: a[:, slot_map].reshape((a.shape[0],) + shape)
+    return take(Xp), take(Yp), take(Zp)
+
+
+@partial(jax.jit)
+def _reduce_stride(G: Point3) -> Point3:
+    """Tree-reduce the last (stride) axis of a (L, buckets, S) grid."""
+    X, Y, Z = G
+    while X.shape[-1] > 1:
+        h = X.shape[-1] // 2
+        X, Y, Z = jacobian_add((X[..., :h], Y[..., :h], Z[..., :h]),
+                               (X[..., h:], Y[..., h:], Z[..., h:]))
+    return X[..., 0], Y[..., 0], Z[..., 0]
+
+
+def msm_pippenger(P: Point3, scalar_words: jnp.ndarray, bits: int,
+                  c: int = 8) -> Point3:
+    """Full-width MSM via windowed buckets.
+
+    One fused device pass: a single gather builds the (n_win * 2^c, S)
+    bucket grid for ALL windows, one tree reduction collapses the stride
+    axis, the suffix-sum reconstruction runs 2^c steps vectorized across
+    windows, and the O(bits) window combine finishes.  The host only
+    computes digit layouts (numpy argsort/bincount)."""
+    words = np.asarray(scalar_words)           # (W, N) LE u32
+    N = words.shape[-1]
+    n_win = (bits + c - 1) // c
+    # per-window digits (host)
+    digs = []
+    for w in range(n_win):
+        lo_bit = w * c
+        word_i, off = lo_bit // 32, lo_bit % 32
+        dig = (words[word_i].astype(np.uint64) >> np.uint64(off))
+        if off + c > 32 and word_i + 1 < words.shape[0]:
+            dig |= words[word_i + 1].astype(np.uint64) << np.uint64(32 - off)
+        digs.append((dig & np.uint64((1 << c) - 1)).astype(np.int64))
+    # common stride so every window shares one grid tensor
+    S = 1
+    max_cnt = 1
+    counts_all = []
+    orders = []
+    starts_all = []
+    for dig in digs:
+        order = np.argsort(dig, kind="stable")
+        sorted_d = dig[order]
+        counts = np.bincount(sorted_d, minlength=1 << c)
+        starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+        counts[0] = 0
+        max_cnt = max(max_cnt, int(counts.max()))
+        orders.append(order)
+        counts_all.append(counts)
+        starts_all.append(starts)
+    while S < max_cnt:
+        S *= 2
+    slot_map = np.full((n_win, 1 << c, S), N, dtype=np.int64)
+    for w in range(n_win):
+        counts, order, starts = counts_all[w], orders[w], starts_all[w]
+        for b in np.nonzero(counts)[0]:
+            cnt = counts[b]
+            slot_map[w, b, :cnt] = order[starts[b]:starts[b] + cnt]
+    grid = _gather_grid(P, jnp.asarray(slot_map.reshape(-1)),
+                        (n_win * (1 << c), S))
+    bx, by, bz = _reduce_stride(grid)          # (L, n_win*2^c)
+    resh = lambda a: a.reshape(a.shape[0], n_win, 1 << c)
+    Wx, Wy, Wz = _bucket_reconstruct((resh(bx), resh(by), resh(bz)), c)
+    return _window_combine((Wx, Wy, Wz), c)
 
 
 # ---------------------------------------------------------------------------

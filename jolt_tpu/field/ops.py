@@ -126,15 +126,19 @@ def mont_mul(a: jnp.ndarray, b: jnp.ndarray, fp: FieldParams = FR) -> jnp.ndarra
     """Montgomery product (a * b * R^-1 mod p) on limb arrays.
 
     Column bound (see params.py): every uint32 column stays < 2^32 with no
-    carry handling inside the loop.  Schoolbook columns via one segment-sum;
-    the 20-step base-2^13 reduction as a fori_loop (graph stays ~40 ops).
+    carry handling inside the loop.  Schoolbook columns as n static
+    shifted adds (NO scatter -- XLA:CPU lowers scatter to a serial loop,
+    >100x slower at wide batches); the 20-step base-2^13 reduction as a
+    fori_loop with concatenate-based updates for the same reason.
     """
     n = fp.num_limbs
     a, b = jnp.broadcast_arrays(a, b)
     batch = a.shape[1:]
-    prods = (a[:, None] * b[None, :]).reshape((n * n,) + batch)  # (400, *batch)
-    idx = jnp.asarray(_col_index(n))
-    cols = jnp.zeros((2 * n,) + batch, dtype=_U32).at[idx].add(prods)
+    cols = jnp.zeros((2 * n,) + batch, dtype=_U32)
+    for i in range(n):  # static slices: anti-diagonal accumulation
+        seg = jax.lax.dynamic_slice_in_dim(cols, i, n, axis=0)
+        cols = jax.lax.dynamic_update_slice_in_dim(
+            cols, seg + a[i][None] * b, i, axis=0)
 
     p_col = jnp.asarray(fp.p_limbs, dtype=_U32).reshape((n,) + (1,) * len(batch))
     n0 = np.uint32(fp.n0inv)
@@ -142,8 +146,10 @@ def mont_mul(a: jnp.ndarray, b: jnp.ndarray, fp: FieldParams = FR) -> jnp.ndarra
     def body(i, cols):
         seg = jax.lax.dynamic_slice_in_dim(cols, i, n + 1, axis=0)
         m = (seg[0] * n0) & _MASK
-        seg = seg.at[:n].add(p_col * m[None])
-        seg = seg.at[1].add(seg[0] >> _W)
+        seg = jnp.concatenate([seg[:n] + p_col * m[None], seg[n:]], axis=0)
+        carry = seg[0] >> _W
+        seg = jnp.concatenate([seg[:1], seg[1:2] + carry[None], seg[2:]],
+                              axis=0)
         return jax.lax.dynamic_update_slice_in_dim(cols, seg, i, axis=0)
 
     cols = jax.lax.fori_loop(0, n, body, cols)

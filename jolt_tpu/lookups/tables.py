@@ -145,6 +145,44 @@ class _Lts(_Ltu):
     signed = True
 
 
+class _RightShift(PrefixFamily):
+    """MSB-first fold of entry = entry*(1+y_i) + x_i*y_i -- packs the x bits
+    selected by the y bitmask (tables/virtual_srl.rs materialize_entry)."""
+
+    name = "rshift"
+
+    def update(self, state, a, b, t):
+        return (state * (1 + b) + a * b) % P
+
+
+class _MsbX(PrefixFamily):
+    """x_63 (the sign bit of the left operand)."""
+
+    name = "msbx"
+
+    def update(self, state, a, b, t):
+        return a % P if t == XLEN - 1 else state
+
+
+class _SraSign(PrefixFamily):
+    """x_63 * sum_{t<63} 2^(63-t) * (1 - y_t): the sign-extension mass of
+    the prefix pairs (tables/virtual_sra.rs)."""
+
+    name = "sra_sign"
+
+    def init(self):
+        return (0, 0)  # (msb_x, acc)
+
+    def update(self, state, a, b, t):
+        msb, acc = state
+        if t == XLEN - 1:
+            return (a % P, acc)
+        return (msb, (acc + (1 << (XLEN - 1 - t)) * ((1 - b) % P)) % P)
+
+    def value(self, state) -> int:
+        return state[0] * state[1] % P
+
+
 class _PositionWeighted(PrefixFamily):
     """sum over bit positions in [lo, hi) of 2^(pos-shift) * bit; covers
     range_check / aligned / upper_word / identity / operand extraction."""
@@ -172,6 +210,9 @@ for fam in [
     _Eq(),
     _Ltu(),
     _Lts(),
+    _RightShift(),
+    _MsbX(),
+    _SraSign(),
     # x_t sits at index bit 2t+1, y_t at bit 2t
     _PositionWeighted("rc", lambda t: _w_if(2 * t + 1 < 64, 2 * t + 1),
                       lambda t: _w_if(2 * t < 64, 2 * t)),
@@ -206,7 +247,20 @@ SUFFIXES: Dict[str, Callable[[int, int, int, int], int]] = {
     "left": lambda xs, ys, s, L: xs,
     "right": lambda xs, ys, s, L: ys,
     "id": lambda xs, ys, s, L: s,
+    "rsh": lambda xs, ys, s, L: _rsh_fold(xs, ys, L // 2),
+    "rsh_helper": lambda xs, ys, s, L: 1 << bin(ys).count("1"),
+    "sign_ext": lambda xs, ys, s, L: sum(
+        (1 << (XLEN - 1 - p)) for p in range(L // 2) if not (ys >> p) & 1),
 }
+
+
+def _rsh_fold(xs: int, ys: int, pairs: int) -> int:
+    """MSB-first entry fold over `pairs` bit pairs (virtual_srl.rs)."""
+    e = 0
+    for p in range(pairs - 1, -1, -1):
+        y = (ys >> p) & 1
+        e = e * (1 + y) + ((xs >> p) & 1) * y
+    return e
 
 
 # ---------------------------------------------------------------------------
@@ -276,7 +330,26 @@ TABLES: Dict[str, dict] = {
         "terms": [(1, "one", "one"), (-1, "lts", "one"), (-1, "eq", "ltu")],
         "entry": _entry_split(lambda x, y: int(_s64(x) >= _s64(y))),
     },
+    "VirtualSRL": {  # virtual_srl.rs: x packed through the y bitmask
+        "terms": [(1, "rshift", "rsh_helper"), (1, "one", "rsh")],
+        "entry": _entry_split(lambda x, y: _rsh_fold(x, y, XLEN)),
+    },
+    "VirtualSRA": {  # virtual_sra.rs: SRL + sign-bit extension mass
+        "terms": [(1, "rshift", "rsh_helper"), (1, "one", "rsh"),
+                  (1, "sra_sign", "one"), (1, "msbx", "sign_ext")],
+        "entry": _entry_split(lambda x, y: (
+            _rsh_fold(x, y, XLEN)
+            + ((x >> 63) & 1) * sum((1 << (XLEN - 1 - p))
+                                    for p in range(XLEN - 1)
+                                    if not (y >> p) & 1))),
+    },
 }
+
+
+def right_shift_bitmask(shift: int, xlen: int = XLEN) -> int:
+    """The y operand for VirtualSRL/SRA: top (xlen-shift) bits set
+    (jolt-program expand/shifts/shared right_shift_bitmask)."""
+    return (((1 << xlen) - 1) >> shift) << shift
 
 TABLE_NAMES: List[str] = list(TABLES)          # canonical order
 TABLE_INDEX: Dict[str, int] = {n: i for i, n in enumerate(TABLE_NAMES)}
@@ -354,9 +427,24 @@ KIND_TABLE: Dict[str, Optional[str]] = {
     "BLTU": "UnsignedLessThan", "SLTU": "UnsignedLessThan",
     "SLTIU": "UnsignedLessThan",
     "BGEU": "UnsignedGreaterThanEqual",
+    # 1:1 virtual rewrites (jolt-program expand/shifts/): SLLI becomes a
+    # multiply by 2^shift (VirtualMULI), SRLI/SRAI become bitmask-operand
+    # shift-table lookups; the transformed immediate is effective_imm().
+    "SLLI": "RangeCheck", "SRLI": "VirtualSRL", "SRAI": "VirtualSRA",
     "LD": None, "SD": None, "FENCE": None, "ECALL": None, "EBREAK": None,
     "NOOP": None,
 }
+
+
+def effective_imm(kind: str, imm: int) -> Optional[int]:
+    """The proving-circuit immediate for 1:1 virtual-rewrite instructions
+    (None = keep the decoded immediate).  Pure function of (kind, word) so
+    trace-side witness extraction and the public bytecode decode agree."""
+    if kind == "SLLI":
+        return 1 << (imm & 63)
+    if kind in ("SRLI", "SRAI"):
+        return right_shift_bitmask(imm & 63)
+    return None
 
 
 def lookup_index(interleaved: bool, left: int, right: int) -> int:

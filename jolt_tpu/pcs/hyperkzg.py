@@ -42,6 +42,10 @@ class KZGSetup:
     g1_powers_dev: tuple               # device Jacobian batch for MSM
     tau_g2: G2Point                    # [tau] G2
 
+    @property
+    def size(self) -> int:
+        return self.g1_powers_dev[0].shape[-1]
+
     def host_powers(self) -> List[host.Point]:
         if self.g1_powers is None:
             self.g1_powers = g1dev.unpack_points(self.g1_powers_dev)
@@ -136,11 +140,25 @@ class HyperKZG:
         """MSM of the coefficient vector against the SRS (device).
 
         `bits` enables the pay-per-bit small-scalar path (msm/mod.rs:16-80):
-        b-bit coefficients cost ~b/254 of a full-width MSM."""
-        n = len(coeffs)
-        pts = (self.setup.g1_powers_dev[0][:, :n],
-               self.setup.g1_powers_dev[1][:, :n],
-               self.setup.g1_powers_dev[2][:, :n])
+        b-bit coefficients cost ~b/254 of a full-width MSM.
+
+        Coefficients are always zero-padded to the full SRS length: the
+        commitment is unchanged (zero scalars contribute nothing) but every
+        commit shares ONE compiled MSM shape per scalar-width class --
+        per-length graphs cost 100s+ of XLA compile each.
+
+        On the CPU backend (test tier) the MSM runs as host Pippenger with
+        zero-skip instead: XLA:CPU compiles of the wide MSM graphs cost
+        minutes per shape, while sparse test vectors (one-hot columns) have
+        nnz ~ T << N and cost microseconds per point on the host."""
+        n = self.setup.size
+        assert len(coeffs) <= n, "poly larger than SRS"
+        if jax.default_backend() == "cpu":
+            return host.g1_msm_pippenger(
+                self.setup.host_powers()[:len(coeffs)], coeffs)
+        if len(coeffs) < n:
+            coeffs = list(coeffs) + [0] * (n - len(coeffs))
+        pts = self.setup.g1_powers_dev
         acc = g1dev.msm(pts, _scalars_to_words(coeffs), bits)
         return g1dev.unpack_points(acc)[0]
 
@@ -163,7 +181,12 @@ class HyperKZG:
         u = us[-1]
         assert ((1 - u) * f[0] + u * f[1]) % P == value % P, "bad opening value"
 
-        fold_commitments = [self.commit_ints(fp) for fp in polys[1:]]
+        # zero-pad every fold to the full length: identical commitments
+        # (zero coefficients add nothing) but ONE compiled MSM shape for
+        # all folds instead of log N distinct Pippenger compilations
+        full = len(coeffs)
+        fold_commitments = [
+            self.commit_ints(fp + [0] * (full - len(fp))) for fp in polys[1:]]
         for cpt in fold_commitments:
             _absorb_point(transcript, b"hkzg_fold", cpt)
         r = transcript.challenge_scalar()
@@ -181,7 +204,8 @@ class HyperKZG:
             for j, c in enumerate(fp):
                 batched[j] = (batched[j] + qp * c) % P
             qp = qp * q % P
-        witnesses = [self.commit_ints(_kzg_quotient(batched, z)) for z in points3]
+        witnesses = [self.commit_ints(q + [0] * (full - len(q)))
+                     for q in (_kzg_quotient(batched, z) for z in points3)]
         for w in witnesses:
             _absorb_point(transcript, b"hkzg_witness", w)
         return HyperKZGProof(fold_commitments, evals, witnesses)
@@ -192,8 +216,17 @@ class HyperKZG:
                proof: HyperKZGProof, transcript: Blake2bTranscript) -> bool:
         ell = len(point)
         us = [point[ell - 1 - i] for i in range(ell)]
+        # shape checks: a proof missing witnesses/evals would silently skip
+        # pairing terms and leave the -r / r^2 evals commitment-unbound
         if len(proof.fold_commitments) != ell - 1 or len(proof.evals) != ell:
             return False
+        if len(proof.witnesses) != 3 or any(len(ev) != 3 for ev in proof.evals):
+            return False
+        # prover-supplied group elements must be on-curve (None = identity)
+        for pt in ([commitment] + list(proof.fold_commitments)
+                   + list(proof.witnesses)):
+            if pt is not None and not host.g1_is_on_curve(pt):
+                return False
 
         for cpt in proof.fold_commitments:
             _absorb_point(transcript, b"hkzg_fold", cpt)

@@ -1,29 +1,42 @@
-"""The Jolt prover pipeline (round 1: stages 1-3).
+"""The Jolt prover pipeline (round 2: stages 1-7 + instruction Shout).
 
 Mirrors the stage structure of
 `crates/jolt-prover-legacy/src/zkvm/prover.rs:449-607` (prove_parts):
 Fiat-Shamir preamble, then the staged sumcheck DAG:
 
-  stage 1: Spartan outer (R1CS)           [reference stage 1]
-  stage 2: registers read/write checking  [reference stage 4 instance]
-  stage 3: registers Val evaluation       [reference stage 5 instance]
+  0   witness commitments (registers + instruction ra chunks)
+  1   Spartan outer (R1CS)                [reference stage 1]
+  2   registers read/write checking       (Twist)
+  3   registers Val evaluation            (Twist prefix-sum via LT)
+  4   RAM read/write checking + raf       (Twist, batched)
+  5   RAM Val evaluation + output check   (batched)
+  5i  instruction-execution read-raf Shout over 2^128   [reference stage 5]
+  6   bytecode read-raf + register rafs + lookup-flag columns (batched)
+  7   one-hot booleanity + Hamming weight (sparse, all access matrices)
+  8*  commitments (MSM) + HyperKZG opening proof
 
-RAM Twist, instruction/bytecode Shout, claim reductions, commitments and
-the batched opening proof land in subsequent rounds; the proof container
-carries per-stage slots from day one.
+Claim reductions, the full joint batched opening and Dory remain pending;
+the proof container carries per-stage slots from day one.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import hashlib
 from typing import Dict, List, Optional
 
 from ..field.params import FR
+from ..lookups import tables as LT
 from ..pcs import HyperKZG, HyperKZGProof, KZGSetup
 from ..pcs.hyperkzg import _absorb_point
 from ..r1cs import constraints as C
 from ..relations.booleanity import Booleanity, HammingWeight
 from ..relations.bytecode import CLAIM_COLUMNS, BytecodeReadRaf
+from ..relations.instruction_read_raf import InstructionReadRaf
+from ..relations.opening_reduction import (DenseOpening, SparseOneHotOpening,
+                                           cycle_major_to_address_major_point,
+                                           embedding_factor,
+                                           onehot_address_major)
 from ..relations.ram import (RamOutputCheck, RamRafEvaluation,
                              RamReadWriteChecking, RamValEvaluation)
 from ..relations.registers_rw import (RegistersRaf,
@@ -33,14 +46,17 @@ from ..relations.spartan_outer import SpartanOuterProver
 from ..sumcheck.engine import BatchedSumcheck, OpeningAccumulator
 from ..tracer.trace import Trace
 from ..transcript import Blake2bTranscript
-from ..witness.r1cs_inputs import extract_r1cs_inputs
-from ..witness.r1cs_inputs import (V_RAM_ADDRESS, V_RAM_READ_VALUE,
-                                   V_RAM_WRITE_VALUE)
 from ..witness.bytecode import extract_bytecode_witness
+from ..witness.instruction_lookups import (D as LK_D,
+                                           extract_instruction_lookup_witness)
+from ..witness.r1cs_inputs import extract_r1cs_inputs
 from ..witness.ram import extract_ram_witness
 from ..witness.registers import LOG_K, extract_register_witness
 
 P = FR.modulus
+
+LOOKUP_FLAG_COLUMNS = ([(f"flag_{n}", f"lk_{n}") for n in LT.TABLE_NAMES]
+                       + [("raf", "lk_raf")])
 
 
 @dataclasses.dataclass
@@ -57,30 +73,87 @@ class JoltProof:
     stage3_openings: Dict[str, int]    # wa/inc at new bound point
     stage4_polys: List[List[int]]      # RAM rw-checking + raf (batched)
     stage4_openings: Dict[str, int]    # ra/val/inc (rw) + ra (raf)
-    stage5_polys: List[List[int]]      # RAM Val evaluation
-    stage5_openings: Dict[str, int]    # ra/inc at new bound point
+    stage5_polys: List[List[int]]      # RAM Val evaluation + output check
+    stage5_openings: Dict[str, int]
     ram_log_K: int
+    stage5i_polys: List[List[int]]     # instruction read-raf Shout
+    stage5i_openings: Dict[str, int]   # ra0..ra15, flag_<table>, raf_flag
     stage6_polys: List[List[int]]      # bytecode read-raf + register rafs
     stage6_openings: Dict[str, int]    # bytecode ra + register one-hot opens
     stage6_claims: List[int]           # virtual rd/rs1/rs2 index claims
     bytecode_log_K: int
     stage7_polys: List[List[int]]      # booleanity + hamming (all one-hots)
     stage7_openings: Dict[str, int]    # per-matrix bound openings
-    commitments: Dict[str, object]     # committed register polys (G1 points)
-    opening_proofs: Dict[str, object]  # (name, stage) -> HyperKZGProof
+    stage8_polys: List[List[int]]      # joint opening-reduction sumcheck
+    stage8_openings: List[int]         # per-entry P_i(r*) terminal values
+    commitments: Dict[str, object]     # committed polys (G1 points)
+    opening_proofs: Dict[str, object]  # "joint" -> HyperKZGProof
 
 
-def fiat_shamir_preamble(transcript: Blake2bTranscript, trace: Trace) -> None:
-    """Simplified preamble binding the public statement
-    (`zkvm/mod.rs:257` fiat_shamir_preamble: io device, T, ram_K, entry).
+def committed_poly_names():
+    """Canonical commitment absorb order, shared by prover and verifier
+    (one-hot access matrices then dense increment columns)."""
+    return (["wa", "ra1", "ra2", "ram_ra", "bc_ra"]
+            + [f"lk_ra{i}" for i in range(LK_D)]
+            + ["inc", "ram_inc"])
+
+
+def stage8_entry_ids():
+    """Ordered (accumulator_id, commitment_name) pairs covering EVERY
+    committed-polynomial opening produced by stages 1-7.  Shared by prover
+    and verifier so the joint reduction is built identically on both sides;
+    entries deduplicate on (commitment, point) with claim-equality checks."""
+    ids = [
+        (("registers", "wa"), "wa"), (("registers", "ra1"), "ra1"),
+        (("registers", "ra2"), "ra2"), (("registers", "inc"), "inc"),
+        (("registers_val_eval", "wa"), "wa"),
+        (("registers_val_eval", "inc"), "inc"),
+        (("ram", "ra"), "ram_ra"), (("ram", "inc"), "ram_inc"),
+        (("ram_raf", "ra"), "ram_ra"),
+        (("ram_val_eval", "ra"), "ram_ra"),
+        (("ram_val_eval", "inc"), "ram_inc"),
+        (("ram_output", "ra"), "ram_ra"),
+        (("ram_output", "inc"), "ram_inc"),
+        (("bytecode", "ra"), "bc_ra"), (("bytecode_flags", "ra"), "bc_ra"),
+        (("registers_raf", "wa"), "wa"), (("registers_raf", "ra1"), "ra1"),
+        (("registers_raf", "ra2"), "ra2"),
+    ]
+    for i in range(LK_D):
+        ids.append((("instr_ra", i), f"lk_ra{i}"))
+    onehot_labels = (["reg_wa", "reg_ra1", "reg_ra2", "ram_ra", "bc_ra"]
+                     + [f"lk_ra{i}" for i in range(LK_D)])
+    cnames = (["wa", "ra1", "ra2", "ram_ra", "bc_ra"]
+              + [f"lk_ra{i}" for i in range(LK_D)])
+    for label, cname in zip(onehot_labels, cnames):
+        ids.append(((("booleanity"), label), cname))
+        ids.append(((("hamming"), label), cname))
+    return ids
+
+
+def fiat_shamir_preamble(transcript: Blake2bTranscript, trace_length: int,
+                         padded_length: int, inputs: bytes, outputs: bytes,
+                         panic: bool, code: bytes, entry: int,
+                         memory_layout, ram_log_K: int,
+                         bytecode_log_K: int) -> None:
+    """Preamble binding the full public statement
+    (`zkvm/mod.rs:257` fiat_shamir_preamble: io device, T, ram_K, entry,
+    memory layout, program digest).
 
     TODO(parity): byte-match the reference's exact absorb sequence.
     """
-    transcript.append_u64(b"T", trace.length)
-    transcript.append_u64(b"padded_T", trace.padded_length)
-    transcript.append_bytes(b"inputs", bytes(trace.device.inputs))
-    transcript.append_bytes(b"outputs", bytes(trace.device.outputs))
-    transcript.append_u64(b"panic", 1 if trace.device.panic else 0)
+    transcript.append_u64(b"T", trace_length)
+    transcript.append_u64(b"padded_T", padded_length)
+    transcript.append_bytes(b"inputs", inputs)
+    transcript.append_bytes(b"outputs", outputs)
+    transcript.append_u64(b"panic", 1 if panic else 0)
+    transcript.append_bytes(b"program", hashlib.blake2b(code).digest())
+    transcript.append_u64(b"entry", entry)
+    transcript.append_u64(b"input_start", memory_layout.input_start)
+    transcript.append_u64(b"output_start", memory_layout.output_start)
+    transcript.append_u64(b"max_input", memory_layout.max_input_size)
+    transcript.append_u64(b"max_output", memory_layout.max_output_size)
+    transcript.append_u64(b"ram_log_K", ram_log_K)
+    transcript.append_u64(b"bytecode_log_K", bytecode_log_K)
 
 
 def prove(trace: Trace, setup: "KZGSetup" = None) -> JoltProof:
@@ -97,29 +170,59 @@ def prove(trace: Trace, setup: "KZGSetup" = None) -> JoltProof:
             print(f"[prove] {label}: {now - _t0[0]:.1f}s", flush=True)
             _t0[0] = now
 
-    transcript = Blake2bTranscript(b"Jolt")
-    fiat_shamir_preamble(transcript, trace)
-
+    # ---- witness extraction (host) --------------------------------------
     inputs = extract_r1cs_inputs(trace)
-    accumulator = OpeningAccumulator()
+    reg_wit = extract_register_witness(trace)
+    ram_wit = extract_ram_witness(trace)
+    bc_wit = extract_bytecode_witness(trace, trace.code, trace.entry)
+    lk_wit = extract_instruction_lookup_witness(trace, inputs)
     log_T = trace.log_T
+    # per-cycle one-hot index streams (x0-sink discipline for registers)
+    rd_col = trace.col("rd").tolist()
+    kinds = trace.col("kind").tolist()
+    rd_eff = [0 if r == 255 else r for r in rd_col]
+    rs1_eff = [0 if k == 0 else s
+               for k, s in zip(kinds, trace.col("rs1").tolist())]
+    rs2_eff = [0 if k == 0 else s
+               for k, s in zip(kinds, trace.col("rs2").tolist())]
+    onehot_meta = {"wa": (rd_eff, 128), "ra1": (rs1_eff, 128),
+                   "ra2": (rs2_eff, 128),
+                   "ram_ra": (ram_wit.addr_idx, ram_wit.K),
+                   "bc_ra": (bc_wit.pc_idx, bc_wit.K)}
+    for i in range(LK_D):
+        onehot_meta[f"lk_ra{i}"] = (lk_wit.chunks[i].tolist(), 256)
+    dense_meta = {"inc": reg_wit.inc, "ram_inc": ram_wit.inc}
+    _mark("witness-extraction")
 
-    # ---- Stage 0: commit the register witness polynomials ---------------
+    transcript = Blake2bTranscript(b"Jolt")
+    fiat_shamir_preamble(
+        transcript, trace.length, trace.padded_length,
+        bytes(trace.device.inputs), bytes(trace.device.outputs),
+        trace.device.panic, trace.code, trace.entry, trace.memory_layout,
+        ram_wit.log_K, bc_wit.log_K)
+
+    accumulator = OpeningAccumulator()
+
+    # ---- Stage 0: commit the witness polynomials ------------------------
     # (zkvm/prover.rs:689-800 generate_and_commit_witness_polynomials --
     # commitments absorb BEFORE any challenge so they bind the witness.)
-    reg_wit = extract_register_witness(trace)
     commitments: Dict[str, object] = {}
     pcs = HyperKZG(setup) if setup is not None else None
-    committed_cols = {}
+    committed_vectors: Dict[str, List[int]] = {}
     if pcs is not None:
         # pay-per-bit commits (msm/mod.rs:16-80): one-hot access matrices
-        # are binary (1 subset-sum).  Increments are SIGNED (negative deltas
-        # wrap mod p), so until the signed small-scalar MSM lands they take
-        # the full-width path (cheap: length T).
-        committed_cols = {"wa": (reg_wit.wa, 1), "ra1": (reg_wit.ra1, 1),
-                          "ra2": (reg_wit.ra2, 1), "inc": (reg_wit.inc, 254)}
-        for name, (coeffs, bits) in committed_cols.items():
-            commitments[name] = pcs.commit_ints(coeffs, bits=bits)
+        # are binary (1 subset-sum); committed ADDRESS-MAJOR so the joint
+        # reduction's address phase stays sparse.  Increments are SIGNED
+        # (negative deltas wrap mod p), so until the signed small-scalar MSM
+        # lands they take the full-width path (cheap: length T).
+        for name, (indices, Km) in onehot_meta.items():
+            committed_vectors[name] = onehot_address_major(indices, Km)
+        for name, coeffs in dense_meta.items():
+            committed_vectors[name] = list(coeffs)
+        for name in committed_poly_names():
+            bits = 1 if name in onehot_meta else 254
+            commitments[name] = pcs.commit_ints(committed_vectors[name],
+                                                bits=bits)
             _absorb_point(transcript, b"commitment", commitments[name])
 
     _mark("stage0-commit")
@@ -150,7 +253,6 @@ def prove(trace: Trace, setup: "KZGSetup" = None) -> JoltProof:
 
     _mark("stage3-reg-val")
     # ---- Stage 4: RAM read/write checking + raf evaluation (batched) ----
-    ram_wit = extract_ram_witness(trace)
     gamma_ram = transcript.challenge_scalar()
     rv_claim = accumulator.get_claim(("r1cs_input", "ram_read_value"))
     wv_claim = accumulator.get_claim(("r1cs_input", "ram_write_value"))
@@ -171,67 +273,128 @@ def prove(trace: Trace, setup: "KZGSetup" = None) -> JoltProof:
                                             transcript)
 
     _mark("stage4-5-ram")
+    # ---- Stage 5i: instruction-execution read-raf Shout ------------------
+    # Binds LookupOutput / lookup operands to the table MLEs over the
+    # 2^128 interleaved-operand index space (the heart of Jolt).
+    gamma_lk = transcript.challenge_scalar()
+    lk = InstructionReadRaf(
+        lk_wit, gamma_lk, r_cycle,
+        accumulator.get_claim(("r1cs_input", "lookup_output")),
+        accumulator.get_claim(("r1cs_input", "left_lookup_operand")),
+        accumulator.get_claim(("r1cs_input", "right_lookup_operand")))
+    stage5i_polys, r5i = BatchedSumcheck.prove([lk], accumulator, transcript)
+    r_lk_cyc = r5i[LT.LOG_K:]
+    stage5i_openings = {f"ra{i}": lk.final_openings[f"ra{i}"]
+                        for i in range(LK_D)}
+    for t, tname in enumerate(LT.TABLE_NAMES):
+        stage5i_openings[f"flag_{tname}"] = lk.flag_claims[t]
+    stage5i_openings["raf_flag"] = lk.raf_flag_claim
+
+    _mark("stage5i-instr-lookups")
     # ---- Stage 6: bytecode read-raf + register index rafs (batched) ------
     # The rd/rs1/rs2 index streams are proven from BOTH sides against the
     # same virtual claims: bytecode side (public decoded columns) and
     # register side (the one-hot access matrices), closing the
-    # "wa points at the instruction's rd" gap.
+    # "wa points at the instruction's rd" gap.  A second bytecode instance
+    # proves the lookup-table / raf flag claims produced by stage 5i.
     from ..poly import eq as eq_mod
     from ..field import ops as fops
-    bc_wit = extract_bytecode_witness(trace, trace.code, trace.entry)
     gamma_bc = transcript.challenge_scalar()
     E_cyc_dev = eq_mod.evals(r_cycle)
-    rd_col = trace.col("rd").tolist()
-    kinds = trace.col("kind").tolist()
-    rd_eff = [0 if r == 255 else r for r in rd_col]
-    rs1_eff = [0 if k == 0 else s for k, s in zip(kinds, trace.col("rs1").tolist())]
-    rs2_eff = [0 if k == 0 else s for k, s in zip(kinds, trace.col("rs2").tolist())]
     idx_claims = [
         fops.unpack_ints(fops.dot(E_cyc_dev, fops.pack_ints(col)))[0]
         for col in (rd_eff, rs1_eff, rs2_eff)]
     bc_claims = [accumulator.get_claim(("r1cs_input", name))
                  for name, _ in CLAIM_COLUMNS[:-3]] + idx_claims
     bc = BytecodeReadRaf(bc_wit, gamma_bc, r_cycle, bc_claims)
+    flag_claims = [accumulator.get_claim(("instr_flag", n))
+                   for n in LT.TABLE_NAMES]
+    flag_claims.append(accumulator.get_claim(("instr_flag", "raf")))
+    bc_flags = BytecodeReadRaf(bc_wit, gamma_bc, r_lk_cyc, flag_claims,
+                               columns=LOOKUP_FLAG_COLUMNS,
+                               label="bytecode_flags")
     raf_rd = RegistersRaf(reg_wit.wa, None, r_cycle, idx_claims[0], "wa")
     raf_rs1 = RegistersRaf(reg_wit.ra1, None, r_cycle, idx_claims[1], "ra1")
     raf_rs2 = RegistersRaf(reg_wit.ra2, None, r_cycle, idx_claims[2], "ra2")
     stage6_polys, _ = BatchedSumcheck.prove(
-        [bc, raf_rd, raf_rs1, raf_rs2], accumulator, transcript)
+        [bc, bc_flags, raf_rd, raf_rs1, raf_rs2], accumulator, transcript)
 
     _mark("stage6-bytecode")
     # ---- Stage 7: one-hot booleanity + Hamming weight (all matrices) -----
-    matrices = [("reg_wa", reg_wit.wa, 128), ("reg_ra1", reg_wit.ra1, 128),
-                ("reg_ra2", reg_wit.ra2, 128),
-                ("ram_ra", ram_wit.ra, ram_wit.K),
-                ("bc_ra", bc_wit.ra, bc_wit.K)]
-    max_nv = max(len(m).bit_length() - 1 for _, m, _ in matrices)
-    r_b = transcript.challenge_vector(max_nv)
+    # Sparse index-stream formulation: O(T) per matrix per round.
+    matrices = [("reg_wa", rd_eff, 128), ("reg_ra1", rs1_eff, 128),
+                ("reg_ra2", rs2_eff, 128),
+                ("ram_ra", ram_wit.addr_idx, ram_wit.K),
+                ("bc_ra", bc_wit.pc_idx, bc_wit.K)]
+    for i in range(LK_D):
+        matrices.append((f"lk_ra{i}", lk_wit.chunks[i].tolist(), 256))
+    max_log_K = max(K.bit_length() - 1 for _, _, K in matrices)
+    r_b = transcript.challenge_vector(max_log_K + log_T)
     r_h = transcript.challenge_vector(log_T)
     insts7 = []
-    for label, onehot, Km in matrices:
-        nv = len(onehot).bit_length() - 1
-        insts7.append(Booleanity(onehot, Km, r_b[max_nv - nv:], label))
-        insts7.append(HammingWeight(onehot, Km, r_h, label))
+    for label, indices, Km in matrices:
+        lk_m = Km.bit_length() - 1
+        r_addr = r_b[max_log_K - lk_m:max_log_K]
+        r_bcyc = r_b[max_log_K:]
+        insts7.append(Booleanity(indices, Km, r_addr, r_bcyc, label))
+        insts7.append(HammingWeight(indices, Km, r_h, label))
     stage7_polys, _ = BatchedSumcheck.prove(insts7, accumulator, transcript)
     stage7_openings = {}
     for inst in insts7:
         kind7 = "bool" if isinstance(inst, Booleanity) else "ham"
         stage7_openings[f"{kind7}_{inst.label}"] = inst.final_openings["m"]
 
-    # ---- Stage 8 (minimal): prove the terminal committed-poly openings --
-    # The reference batches all committed claims into ONE Dory opening
-    # (zkvm/prover.rs:2097-2260); round-1 opens each claim individually.
+    _mark("stage7-booleanity")
+    # ---- Stage 8: joint batched opening ---------------------------------
+    # Reduce EVERY committed-poly claim from stages 1-7 to openings at one
+    # shared point r*, then a single homomorphic RLC PCS opening
+    # (prove_packed_openings, zkvm/prover.rs:2097-2260).
+    entries = []          # (commitment_name, cycle-major point, claim)
+    seen: Dict[object, int] = {}
+    for oid, cname in stage8_entry_ids():
+        pt, cl = accumulator.openings[oid]
+        key = (cname, pt)
+        if key in seen:
+            assert seen[key] == cl, f"inconsistent duplicate claim {oid}"
+            continue
+        seen[key] = cl
+        entries.append((cname, list(pt), cl))
+    insts8 = []
+    for n8, (cname, pt, cl) in enumerate(entries):
+        if cname in onehot_meta:
+            indices, Km = onehot_meta[cname]
+            lt = len(pt) - (Km.bit_length() - 1)
+            q = cycle_major_to_address_major_point(pt, lt)
+            insts8.append(SparseOneHotOpening(indices, Km, q, cl,
+                                              f"{n8}_{cname}"))
+        else:
+            insts8.append(DenseOpening(dense_meta[cname], pt, cl,
+                                       f"{n8}_{cname}"))
+    stage8_polys, r8 = BatchedSumcheck.prove(insts8, accumulator, transcript)
+    stage8_openings = [inst.final_openings["p"] for inst in insts8]
+
+    _mark("stage8-reduction")
+    # single RLC opening of  sum_i mu^i * P~_i  at r*
     opening_proofs: Dict[str, object] = {}
     if pcs is not None:
-        # TODO(batched opening): reduce ALL terminal claims to one opening
-        # via the joint-opening sumcheck (prove_packed_openings) -- round-1
-        # proves the cheapest leaf (inc at the val-evaluation point); the
-        # other claims are carried in the proof and verified structurally.
-        terminal = [
-            ("inc@ve", reg_wit.inc, r3_cyc, ve.final_openings["inc"]),
-        ]
-        for name, coeffs, point, claim in terminal:
-            opening_proofs[name] = pcs.open(coeffs, point, claim, transcript)
+        mu = transcript.challenge_scalar()
+        n_max = max(len(committed_vectors[c]) for c, _, _ in entries)
+        assert n_max == 1 << len(r8)
+        rlc = [0] * n_max
+        weights: Dict[str, int] = {}
+        mup = 1
+        value = 0
+        for (cname, pt, cl), o in zip(entries, stage8_openings):
+            weights[cname] = (weights.get(cname, 0) + mup) % P
+            value = (value + mup * o % P
+                     * embedding_factor(r8, len(pt))) % P
+            mup = mup * mu % P
+        for cname, w in weights.items():
+            vec = committed_vectors[cname]
+            for j, c in enumerate(vec):
+                if c:
+                    rlc[j] = (rlc[j] + w * c) % P
+        opening_proofs["joint"] = pcs.open(rlc, r8, value, transcript)
 
     _mark("stage8-openings")
     return JoltProof(
@@ -251,8 +414,11 @@ def prove(trace: Trace, setup: "KZGSetup" = None) -> JoltProof:
                          **{f"oc_{k}": v
                             for k, v in ram_oc.final_openings.items()}},
         ram_log_K=ram_wit.log_K,
+        stage5i_polys=stage5i_polys,
+        stage5i_openings=stage5i_openings,
         stage6_polys=stage6_polys,
         stage6_openings={"ra": bc.final_openings["ra"],
+                         "flags_ra": bc_flags.final_openings["ra"],
                          "raf_wa": raf_rd.final_openings["m"],
                          "raf_ra1": raf_rs1.final_openings["m"],
                          "raf_ra2": raf_rs2.final_openings["m"]},
@@ -260,6 +426,8 @@ def prove(trace: Trace, setup: "KZGSetup" = None) -> JoltProof:
         bytecode_log_K=bc_wit.log_K,
         stage7_polys=stage7_polys,
         stage7_openings=stage7_openings,
+        stage8_polys=stage8_polys,
+        stage8_openings=stage8_openings,
         commitments=commitments,
         opening_proofs=opening_proofs,
     )

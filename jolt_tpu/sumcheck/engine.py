@@ -174,6 +174,15 @@ class BatchedSumcheck:
         max_rounds = max(i.num_rounds for i in instances)
         if len(compressed_polys) != max_rounds:
             raise SumcheckError("wrong number of round polynomials")
+        # degree bound (sumcheck.rs:596-601): a compressed degree-d poly has
+        # d coefficients; reject empty or over-degree rounds so proofs are
+        # not malleable by padding
+        max_degree = max(getattr(i, "degree", 3) for i in instances)
+        for rnd, compressed in enumerate(compressed_polys):
+            if len(compressed) == 0 or len(compressed) > max_degree:
+                raise SumcheckError(
+                    f"round {rnd}: degree {len(compressed)} out of bounds "
+                    f"(max {max_degree})")
 
         input_claims = [inst.input_claim(accumulator) for inst in instances]
         for claim in input_claims:

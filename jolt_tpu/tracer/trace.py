@@ -68,8 +68,11 @@ class Trace:
         return self.padded_length.bit_length() - 1
 
 
-def _padded_length(T: int) -> int:
-    m = 256
+def _padded_length(T: int, min_padded: int = 256) -> int:
+    """Next power of two above T (strictly: +1 for the final no-op row),
+    floored at MIN_PADDED_TRACE_LENGTH=256 (commitment_scheme.rs:41).
+    Tests may lower the floor -- the protocol works at any power of two."""
+    m = min_padded
     while m < T + 1:
         m *= 2
     return m
@@ -78,7 +81,8 @@ def _padded_length(T: int) -> int:
 def trace_program(code: bytes | str, inputs: bytes = b"",
                   layout: Optional[MemoryLayout] = None,
                   max_cycles: int = 1 << 24,
-                  entry: int = RAM_START_ADDRESS) -> Trace:
+                  entry: int = RAM_START_ADDRESS,
+                  min_padded: int = 256) -> Trace:
     """Assemble (if given source) and execute a guest, returning the padded
     SoA trace.  The guest signals completion by storing to the termination
     address (see `MemoryLayout`)."""
@@ -91,7 +95,7 @@ def trace_program(code: bytes | str, inputs: bytes = b"",
     rows = emu.run(max_cycles=max_cycles)
 
     T = len(rows)
-    padded = _padded_length(T)
+    padded = _padded_length(T, min_padded)
 
     raw = np.zeros((T, 14), dtype=np.uint64)
     if T:

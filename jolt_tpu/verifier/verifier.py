@@ -1,27 +1,36 @@
-"""The Jolt verifier (round 1: stages 1-3).
+"""The Jolt verifier (round 2: stages 1-7 + instruction Shout).
 
 Mirrors `crates/jolt-verifier/src/verifier.rs:176-230` (clear-mode verify):
 replay the preamble, then check each stage's sumcheck sequentially,
 threading typed stage outputs through the accumulator.
 
-Trust status after round 1: the R1CS input openings are validated against
-the constraint matrices (stage 1); the rd/rs1/rs2 openings are further
-validated against register-file semantics (stages 2-3, Twist); the
-remaining leaf claims (wa/ra/inc openings) await commitments + the batched
-opening proof (later rounds).
-"""
+Trust status after round 2: R1CS input openings validated against the
+constraint matrices (stage 1); register/RAM semantics via Twist (stages
+2-5); INSTRUCTION SEMANTICS via the read-raf Shout (stage 5i) -- the
+LookupOutput / operand openings are now bound to the closed-form table MLEs
+over 2^128, with the table/raf flag claims proven against the public
+bytecode (stage 6) and the one-hot chunk discipline enforced by stage 7.
+Remaining gap: most committed-poly openings await the joint batched opening
+proof (stage 8 proper)."""
 
 from __future__ import annotations
 
 from typing import List
 
 from ..field.params import FR
+from ..lookups import tables as LT
 from ..pcs import HyperKZG, KZGSetup
 from ..pcs.hyperkzg import _absorb_point
-from ..prover.prover import JoltProof
+from ..prover.prover import (LOOKUP_FLAG_COLUMNS, JoltProof,
+                             committed_poly_names, fiat_shamir_preamble,
+                             stage8_entry_ids)
+from ..relations.opening_reduction import (OpeningReductionVerifier,
+                                           cycle_major_to_address_major_point,
+                                           embedding_factor)
 from ..r1cs import constraints as C
 from ..relations.booleanity import BooleanityVerifier, HammingWeightVerifier
 from ..relations.bytecode import CLAIM_COLUMNS, BytecodeReadRafVerifier
+from ..relations.instruction_read_raf import InstructionReadRafVerifier
 from ..relations.ram import (RamOutputCheckVerifier, RamRafEvaluationVerifier,
                              RamReadWriteCheckingVerifier,
                              RamValEvaluationVerifier)
@@ -32,10 +41,14 @@ from ..relations.spartan_outer import SpartanOuterVerifier
 from ..sumcheck.engine import BatchedSumcheck, OpeningAccumulator, SumcheckError
 from ..tracer.trace import Trace
 from ..transcript import Blake2bTranscript
+from ..witness.instruction_lookups import D as LK_D
+from ..witness.instruction_lookups import LOG_M as LK_LOG_M
 from ..witness.r1cs_inputs import NUM_VARS, VAR_NAMES
 from ..witness.r1cs_inputs import (V_RAM_ADDRESS, V_RAM_READ_VALUE,
                                    V_RAM_WRITE_VALUE, V_RD_WRITE_VALUE,
-                                   V_RS1_VALUE, V_RS2_VALUE)
+                                   V_RS1_VALUE, V_RS2_VALUE,
+                                   V_LOOKUP_OUTPUT, V_LEFT_LOOKUP_OPERAND,
+                                   V_RIGHT_LOOKUP_OPERAND)
 from ..witness.ram import input_init_vals
 
 P = FR.modulus
@@ -69,17 +82,28 @@ class PublicIO:
                    trace.code, trace.entry)
 
 
+def expected_bytecode_log_K(code: bytes) -> int:
+    n = len(code) // 4
+    K = 1
+    while K < n + 2:
+        K *= 2
+    return K.bit_length() - 1
+
+
 def verify(proof: JoltProof, io: PublicIO, setup: "KZGSetup" = None) -> bool:
+    # the bytecode table size is derivable from the public program; the RAM
+    # address-space size is a proof-carried config bound by the preamble
+    if proof.bytecode_log_K != expected_bytecode_log_K(io.code):
+        raise VerificationError("bytecode_log_K inconsistent with program")
     transcript = Blake2bTranscript(b"Jolt")
-    transcript.append_u64(b"T", io.trace_length)
-    transcript.append_u64(b"padded_T", io.padded_length)
-    transcript.append_bytes(b"inputs", io.inputs)
-    transcript.append_bytes(b"outputs", io.outputs)
-    transcript.append_u64(b"panic", 1 if io.panic else 0)
+    fiat_shamir_preamble(transcript, io.trace_length, io.padded_length,
+                         io.inputs, io.outputs, io.panic, io.code, io.entry,
+                         io.memory_layout, proof.ram_log_K,
+                         proof.bytecode_log_K)
 
     pcs = HyperKZG(setup) if setup is not None else None
     if pcs is not None:
-        for name in ("wa", "ra1", "ra2", "inc"):
+        for name in committed_poly_names():
             if name not in proof.commitments:
                 raise VerificationError(f"missing commitment {name}")
             _absorb_point(transcript, b"commitment", proof.commitments[name])
@@ -169,7 +193,7 @@ def verify(proof: JoltProof, io: PublicIO, setup: "KZGSetup" = None) -> bool:
     accumulator.insert(("ram_raf", "ra"), r4, o4["raf_ra"])
     accumulator.flush_to_transcript(transcript)
 
-    # ---- Stage 5: RAM Val evaluation ------------------------------------
+    # ---- Stage 5: RAM Val evaluation + output check ----------------------
     init_vals = input_init_vals(io.inputs, io.memory_layout)
     o5 = proof.stage5_openings
     inst5 = RamValEvaluationVerifier(
@@ -191,6 +215,29 @@ def verify(proof: JoltProof, io: PublicIO, setup: "KZGSetup" = None) -> bool:
     accumulator.insert(("ram_output", "inc"), r5[:log_T], o5["oc_inc"])
     accumulator.flush_to_transcript(transcript)
 
+    # ---- Stage 5i: instruction-execution read-raf Shout ------------------
+    gamma_lk = transcript.challenge_scalar()
+    o5i = proof.stage5i_openings
+    inst5i = InstructionReadRafVerifier(
+        log_T, gamma_lk, r_cycle,
+        proof.r1cs_input_openings[V_LOOKUP_OUTPUT],
+        proof.r1cs_input_openings[V_LEFT_LOOKUP_OPERAND],
+        proof.r1cs_input_openings[V_RIGHT_LOOKUP_OPERAND], o5i)
+    try:
+        r5i = BatchedSumcheck.verify(proof.stage5i_polys, [inst5i],
+                                     accumulator, transcript)
+    except SumcheckError as e:
+        raise VerificationError(f"stage5i: {e}") from e
+    r_lk_addr, r_lk_cyc = r5i[:LT.LOG_K], r5i[LT.LOG_K:]
+    for tname in LT.TABLE_NAMES:
+        accumulator.insert(("instr_flag", tname), r_lk_cyc,
+                           o5i[f"flag_{tname}"])
+    accumulator.insert(("instr_flag", "raf"), r_lk_cyc, o5i["raf_flag"])
+    for i in range(LK_D):
+        pt = list(r_lk_cyc) + list(r_lk_addr[LK_LOG_M * i:LK_LOG_M * (i + 1)])
+        accumulator.insert(("instr_ra", i), pt, o5i[f"ra{i}"])
+    accumulator.flush_to_transcript(transcript)
+
     # ---- Stage 6: bytecode read-raf (decoded fields vs public program) --
     gamma_bc = transcript.challenge_scalar()
     name_to_idx = {n: i for i, n in enumerate(VAR_NAMES)}
@@ -201,39 +248,50 @@ def verify(proof: JoltProof, io: PublicIO, setup: "KZGSetup" = None) -> bool:
     inst6 = BytecodeReadRafVerifier(
         log_T, proof.bytecode_log_K, gamma_bc, r_cycle, bc_claims,
         io.code, io.entry, {"ra": o6["ra"]})
+    flag_claims = [o5i[f"flag_{n}"] for n in LT.TABLE_NAMES]
+    flag_claims.append(o5i["raf_flag"])
+    inst6f = BytecodeReadRafVerifier(
+        log_T, proof.bytecode_log_K, gamma_bc, r_lk_cyc, flag_claims,
+        io.code, io.entry, {"ra": o6["flags_ra"]},
+        columns=LOOKUP_FLAG_COLUMNS)
     raf_insts = [RegistersRafVerifier(log_T, r_cycle, idx_claims[i],
                                       o6[f"raf_{n}"])
                  for i, n in enumerate(("wa", "ra1", "ra2"))]
+    stage6_insts = [inst6, inst6f] + raf_insts
     try:
-        r6 = BatchedSumcheck.verify(proof.stage6_polys,
-                                    [inst6] + raf_insts, accumulator,
-                                    transcript)
+        r6 = BatchedSumcheck.verify(proof.stage6_polys, stage6_insts,
+                                    accumulator, transcript)
     except SumcheckError as e:
         raise VerificationError(f"stage6: {e}") from e
-    max6 = max(i.num_rounds for i in [inst6] + raf_insts)
+    max6 = max(i.num_rounds for i in stage6_insts)
     accumulator.insert(("bytecode", "ra"),
                        r6[max6 - inst6.num_rounds:], o6["ra"])
+    accumulator.insert(("bytecode_flags", "ra"),
+                       r6[max6 - inst6f.num_rounds:], o6["flags_ra"])
     for i, n in enumerate(("wa", "ra1", "ra2")):
         off = max6 - raf_insts[i].num_rounds
         accumulator.insert(("registers_raf", n), r6[off:], o6[f"raf_{n}"])
     accumulator.flush_to_transcript(transcript)
 
     # ---- Stage 7: one-hot booleanity + Hamming weight --------------------
-    from ..witness.registers import LOG_K as REG_LOG_K
     ram_lk = proof.ram_log_K
     bc_lk = proof.bytecode_log_K
     mat_dims = [("reg_wa", 7), ("reg_ra1", 7), ("reg_ra2", 7),
                 ("ram_ra", ram_lk), ("bc_ra", bc_lk)]
-    max_nv = log_T + max(lk for _, lk in mat_dims)
-    r_b = transcript.challenge_vector(max_nv)
+    for i in range(LK_D):
+        mat_dims.append((f"lk_ra{i}", 8))
+    max_log_K = max(lk for _, lk in mat_dims)
+    r_b = transcript.challenge_vector(max_log_K + log_T)
     r_h = transcript.challenge_vector(log_T)
     o7 = proof.stage7_openings
     insts7 = []
-    for label, lk in mat_dims:
-        nv = log_T + lk
-        insts7.append(BooleanityVerifier(nv, r_b[max_nv - nv:],
+    for label, lk_m in mat_dims:
+        r_addr = r_b[max_log_K - lk_m:max_log_K]
+        r_bcyc = r_b[max_log_K:]
+        insts7.append(BooleanityVerifier(lk_m, log_T, r_addr, r_bcyc,
                                          o7[f"bool_{label}"]))
-        insts7.append(HammingWeightVerifier(log_T, lk, r_h, o7[f"ham_{label}"]))
+        insts7.append(HammingWeightVerifier(lk_m, log_T, r_h,
+                                            o7[f"ham_{label}"]))
     try:
         r7 = BatchedSumcheck.verify(proof.stage7_polys, insts7, accumulator,
                                     transcript)
@@ -241,24 +299,81 @@ def verify(proof: JoltProof, io: PublicIO, setup: "KZGSetup" = None) -> bool:
         raise VerificationError(f"stage7: {e}") from e
     max7 = max(i.num_rounds for i in insts7)
     idx = 0
-    for label, lk in mat_dims:
+    for label, lk_m in mat_dims:
         for kind7 in ("bool", "ham"):
             inst = insts7[idx]
             off = max7 - inst.num_rounds
+            r_sl = r7[off:]
+            pt = list(r_sl[lk_m:]) + list(r_sl[:lk_m])  # cycle-major order
             accumulator.insert((("booleanity" if kind7 == "bool" else
-                                 "hamming"), label), r7[off:],
+                                 "hamming"), label), pt,
                                o7[f"{kind7}_{label}"])
             idx += 1
     accumulator.flush_to_transcript(transcript)
 
-    # ---- Stage 8 (minimal): verify the terminal committed-poly opening --
+    # ---- Stage 8: joint batched opening ---------------------------------
+    # Every committed-poly claim from stages 1-7 must be covered by the
+    # reduction; openings are accepted ONLY via this single PCS check (or
+    # by public evaluation inside a stage's expected_output_claim).
+    onehot_logK = {"wa": 7, "ra1": 7, "ra2": 7, "ram_ra": proof.ram_log_K,
+                   "bc_ra": proof.bytecode_log_K}
+    for i in range(LK_D):
+        onehot_logK[f"lk_ra{i}"] = 8
+    entries = []
+    seen = {}
+    for oid, cname in stage8_entry_ids():
+        if oid not in accumulator.openings:
+            raise VerificationError(f"missing stage output claim {oid}")
+        pt, cl = accumulator.openings[oid]
+        key = (cname, pt)
+        if key in seen:
+            if seen[key] != cl:
+                raise VerificationError(
+                    f"inconsistent duplicate claim for {oid}")
+            continue
+        seen[key] = cl
+        entries.append((cname, list(pt), cl))
+    if len(proof.stage8_openings) != len(entries):
+        raise VerificationError("wrong number of stage-8 openings")
+    insts8 = []
+    for (cname, pt, cl), o in zip(entries, proof.stage8_openings):
+        if cname in onehot_logK:
+            lt = len(pt) - onehot_logK[cname]
+            q = cycle_major_to_address_major_point(pt, lt)
+        else:
+            q = pt
+        insts8.append(OpeningReductionVerifier(len(pt), q, cl, o))
+    try:
+        r8 = BatchedSumcheck.verify(proof.stage8_polys, insts8, accumulator,
+                                    transcript)
+    except SumcheckError as e:
+        raise VerificationError(f"stage8: {e}") from e
+    max8 = max(i.num_rounds for i in insts8)
+    for n8, ((cname, pt, cl), o) in enumerate(
+            zip(entries, proof.stage8_openings)):
+        off = max8 - len(pt)
+        accumulator.insert(("joint_opening", f"{n8}_{cname}"), r8[off:], o)
+    accumulator.flush_to_transcript(transcript)
+
     if pcs is not None:
-        op = proof.opening_proofs.get("inc@ve")
+        from ..curve import bn254_host as host
+        mu = transcript.challenge_scalar()
+        weights = {}
+        mup = 1
+        value = 0
+        for (cname, pt, cl), o in zip(entries, proof.stage8_openings):
+            weights[cname] = (weights.get(cname, 0) + mup) % P
+            value = (value + mup * o % P
+                     * embedding_factor(r8, len(pt))) % P
+            mup = mup * mu % P
+        joint_comm = None
+        for cname, w in weights.items():
+            joint_comm = host.g1_add(joint_comm,
+                                     host.g1_mul(proof.commitments[cname], w))
+        op = proof.opening_proofs.get("joint")
         if op is None:
-            raise VerificationError("missing inc@ve opening proof")
-        ok = pcs.verify(proof.commitments["inc"], r3_cyc,
-                        proof.stage3_openings["inc"], op, transcript)
-        if not ok:
-            raise VerificationError("inc@ve opening proof invalid")
+            raise VerificationError("missing joint opening proof")
+        if not pcs.verify(joint_comm, r8, value, op, transcript):
+            raise VerificationError("joint opening proof invalid")
 
     return True

@@ -69,6 +69,9 @@ def decode_table(code: bytes, entry: int, K: int) -> Dict[str, List[int]]:
             except isa.DecodeError:
                 pass
         cf, inf = F.FLAGS[kind]
+        eff = LT.effective_imm(kind, imm)
+        if eff is not None:
+            imm = eff
         table["imm"][k] = imm % P
         table["branch"][k] = 1 if "Branch" in inf else 0
         for name in F.CIRCUIT_FLAGS:

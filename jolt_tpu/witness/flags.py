@@ -53,7 +53,10 @@ FLAGS: Dict[str, Tuple[Tuple[str, ...], Tuple[str, ...]]] = {
     "XORI": (_WR, _RS1_IMM),
     "ORI": (_WR, _RS1_IMM),
     "ANDI": (_WR, _RS1_IMM),
-    "SLLI": (_WR, _RS1_IMM),
+    # SLLI is 1:1-rewritten to VirtualMULI (multiply by 2^shift), so it
+    # carries MultiplyOperands; SRLI/SRAI become interleaved bitmask-operand
+    # shift-table lookups (jolt-program expand/shifts/)
+    "SLLI": (("MultiplyOperands",) + _WR, _RS1_IMM),
     "SRLI": (_WR, _RS1_IMM),
     "SRAI": (_WR, _RS1_IMM),
     "ADD": (("AddOperands",) + _WR, _RS1_RS2),
@@ -91,14 +94,20 @@ FLAGS: Dict[str, Tuple[Tuple[str, ...], Tuple[str, ...]]] = {
     "REMW": (_WR, _RS1_RS2), "REMUW": (_WR, _RS1_RS2),
 }
 
-# Instructions whose R1CS witness semantics are fully supported today.
-# Sub-word loads/stores and div/rem/mulh need virtual-sequence expansion.
-PROVABLE_KINDS: FrozenSet[str] = frozenset(
-    k for k in FLAGS
-    if k not in ("LB", "LH", "LW", "LBU", "LHU", "LWU", "SB", "SH", "SW",
-                 "MULH", "MULHSU", "DIV", "DIVU", "REM", "REMU",
-                 "DIVW", "DIVUW", "REMW", "REMUW")
-)
+# Instructions with a direct lookup table (or none needed) -- the set the
+# instruction-execution Shout can prove today.  Shifts, W-variants, MULH*,
+# div/rem and sub-word loads/stores are virtual-sequence expanded in the
+# reference (`tracer/src/instruction/` virtual ops) and stay emulate-only
+# until bytecode expansion lands.
+PROVABLE_KINDS: FrozenSet[str] = frozenset([
+    "NOOP", "LUI", "AUIPC", "JAL", "JALR",
+    "BEQ", "BNE", "BLT", "BGE", "BLTU", "BGEU",
+    "LD", "SD",
+    "ADDI", "SLTI", "SLTIU", "XORI", "ORI", "ANDI",
+    "ADD", "SUB", "SLT", "SLTU", "XOR", "OR", "AND",
+    "SLLI", "SRLI", "SRAI",
+    "FENCE", "ECALL", "EBREAK", "MUL", "MULHU",
+])
 
 
 def circuit_flag(kind: str, flag: str) -> int:

@@ -23,6 +23,7 @@ from typing import Dict, List
 import numpy as np
 
 from ..field.params import FR
+from ..lookups import tables as LT
 from ..riscv import isa
 from ..tracer.trace import Trace
 from . import flags as F
@@ -136,6 +137,9 @@ def extract_r1cs_inputs(trace: Trace, strict: bool = True) -> R1CSCycleInputs:
                 f"expansion (not yet supported for proving)")
         cf, inf = F.FLAGS[kind]
         imm_s = _s64(int(imm_raw[j]))
+        eff = LT.effective_imm(kind, int(imm_raw[j]))
+        if eff is not None:
+            imm_s = eff   # 1:1 virtual rewrite (2^shift / shift bitmask)
         is_noop = kind == "NOOP"
 
         left = rs1v[j] if "LeftOperandIsRs1Value" in inf else (

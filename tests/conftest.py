@@ -15,13 +15,47 @@ os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 ).strip()
 
+# XLA:CPU leaks ~15k small mmaps per prover stage (JIT code + buffer
+# regions); the kernel default vm.max_map_count=65530 then fails mmap with
+# ENOMEM ("LLVM compilation error: Cannot allocate memory") and segfaults
+# mid-prove.  Raise it when we can (root in the build/test containers).
+try:
+    with open("/proc/sys/vm/max_map_count") as _f:
+        if int(_f.read()) < 1 << 21:
+            with open("/proc/sys/vm/max_map_count", "w") as _g:
+                _g.write(str(1 << 22))
+except OSError:
+    pass
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
 # Persistent compile cache: the unrolled limb-arithmetic graphs are large
 # (a Montgomery mul is ~1300 uint32 primitives) and recompile identically
-# across test runs.
-os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+# across test runs.  The cache is machine-specific: XLA:CPU AOT artifacts
+# compiled on another host can SIGILL here, so fingerprint the CPU and wipe
+# a stale cache (build hosts change between rounds).
+import hashlib
+import shutil
+
+_CACHE = "/root/repo/.jax_cache"
+try:
+    with open("/proc/cpuinfo") as f:
+        _flags = [ln for ln in f if ln.startswith("flags")][0]
+    _fp = hashlib.sha256(_flags.encode()).hexdigest()[:16]
+except (OSError, IndexError):
+    _fp = "unknown"
+_fp_file = os.path.join(_CACHE, "HOST_FINGERPRINT")
+if os.path.isdir(_CACHE):
+    try:
+        old = open(_fp_file).read()
+    except OSError:
+        old = ""
+    if old != _fp:
+        shutil.rmtree(_CACHE, ignore_errors=True)
+os.makedirs(_CACHE, exist_ok=True)
+with open(_fp_file, "w") as f:
+    f.write(_fp)
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 

@@ -99,3 +99,112 @@ def test_reject_wrong_public_io(fib_proof):
     io.outputs = bytes([io.outputs[0] ^ 1]) + io.outputs[1:]
     with pytest.raises(VerificationError):
         verify(proof, io)
+
+
+def test_reject_tampered_lookup_output(fib_proof):
+    """Lying about an ALU result: the LookupOutput opening is now bound to
+    the table MLEs by the stage-5i read-raf (the round-1 soundness hole)."""
+    tr, proof = fib_proof
+    import copy
+    from jolt_tpu.witness.r1cs_inputs import V_LOOKUP_OUTPUT
+    bad = copy.deepcopy(proof)
+    bad.r1cs_input_openings[V_LOOKUP_OUTPUT] = (
+        bad.r1cs_input_openings[V_LOOKUP_OUTPUT] + 1) % P
+    with pytest.raises(VerificationError):
+        verify(bad, PublicIO.from_trace(tr))
+
+
+def test_reject_tampered_instr_ra_opening(fib_proof):
+    tr, proof = fib_proof
+    import copy
+    bad = copy.deepcopy(proof)
+    bad.stage5i_openings["ra7"] = (bad.stage5i_openings["ra7"] + 1) % P
+    with pytest.raises(VerificationError):
+        verify(bad, PublicIO.from_trace(tr))
+
+
+def test_reject_tampered_table_flag(fib_proof):
+    """A forged table-flag claim must be caught by the stage-6 bytecode
+    flags instance (flags are decoded from the public program)."""
+    tr, proof = fib_proof
+    import copy
+    bad = copy.deepcopy(proof)
+    bad.stage5i_openings["flag_And"] = (bad.stage5i_openings["flag_And"] + 1) % P
+    with pytest.raises(VerificationError):
+        verify(bad, PublicIO.from_trace(tr))
+
+
+def test_reject_tampered_raf_flag(fib_proof):
+    tr, proof = fib_proof
+    import copy
+    bad = copy.deepcopy(proof)
+    bad.stage5i_openings["raf_flag"] = (bad.stage5i_openings["raf_flag"] + 1) % P
+    with pytest.raises(VerificationError):
+        verify(bad, PublicIO.from_trace(tr))
+
+
+def test_reject_tampered_instr_round_poly(fib_proof):
+    tr, proof = fib_proof
+    import copy
+    for rnd in (0, 64, 128):
+        bad = copy.deepcopy(proof)
+        bad.stage5i_polys[rnd][0] = (bad.stage5i_polys[rnd][0] + 1) % P
+        with pytest.raises(VerificationError):
+            verify(bad, PublicIO.from_trace(tr))
+
+
+def test_reject_overlong_round_poly(fib_proof):
+    """Degree-bound check: padding a round poly with extra coefficients
+    must be rejected (proof malleability)."""
+    tr, proof = fib_proof
+    import copy
+    bad = copy.deepcopy(proof)
+    bad.stage2_polys[0] = list(bad.stage2_polys[0]) + [0, 0, 0]
+    with pytest.raises(VerificationError):
+        verify(bad, PublicIO.from_trace(tr))
+
+
+ALU = f"""
+    li   a0, 0x1234
+    li   a1, 0x0ff0
+    and  a2, a0, a1
+    or   a3, a0, a1
+    xor  a4, a0, a1
+    add  a5, a3, a4
+    sub  a6, a3, a2
+    slt  s0, a0, a1
+    sltu s1, a1, a0
+    mul  s2, a0, a1
+    mulhu s3, a5, a6
+    slli s4, a0, 7
+    srli s5, a0, 3
+    srai s6, a6, 2
+    andi s7, a0, 0xff
+    add  s8, zero, a2
+    add  s8, s8, a3
+    add  s8, s8, a4
+    add  s8, s8, a5
+    add  s8, s8, a6
+    add  s8, s8, s0
+    add  s8, s8, s1
+    add  s8, s8, s2
+    add  s8, s8, s3
+    add  s8, s8, s4
+    add  s8, s8, s5
+    add  s8, s8, s6
+    add  s8, s8, s7
+    li   t0, {L.output_start}
+    sd   s8, 0(t0)
+    li   t1, {L.termination}
+    li   t2, 1
+    sd   t2, 0(t1)
+"""
+
+
+def test_alu_mix_proves_and_verifies():
+    """The VERDICT done-criterion: a guest mixing and/or/xor/slt/shift/mul
+    ops proves and verifies end-to-end, with instruction semantics bound by
+    the read-raf Shout."""
+    tr = trace_program(ALU, layout=L)
+    proof = prove(tr)
+    assert verify(proof, PublicIO.from_trace(tr))

@@ -36,12 +36,12 @@ MIXED = f"""
     xor  a5, a0, a1
     slt  a6, a0, a1
     sltu a7, a1, a0
-    sll  s2, a0, a1
-    sra  s3, a1, a0
+    slli s2, a0, 9
+    srli s3, a1, 2
+    srai s6, a0, 1
     lui  s4, 0xABCDE
     auipc s5, 1
-    addw s6, a0, a1
-    subw s7, a1, a0
+    and  s7, a1, a0
     li   t0, 0x80200000
     sd   a2, 0(t0)
     ld   s8, 0(t0)
