@@ -37,8 +37,10 @@ from ..relations.opening_reduction import (DenseOpening, SparseOneHotOpening,
                                            cycle_major_to_address_major_point,
                                            embedding_factor,
                                            onehot_address_major)
-from ..relations.ram import (RamOutputCheck, RamRafEvaluation,
-                             RamReadWriteChecking, RamValEvaluation)
+from ..relations.ram_sparse import (RamPairSchedule, SparseRamOutputCheck,
+                                    SparseRamRafEvaluation,
+                                    SparseRamReadWriteChecking,
+                                    SparseRamValEvaluation)
 from ..relations.registers_rw import (RegistersRaf,
                                       RegistersReadWriteChecking,
                                       RegistersValEvaluation)
@@ -50,7 +52,7 @@ from ..witness.bytecode import extract_bytecode_witness
 from ..witness.instruction_lookups import (D as LK_D,
                                            extract_instruction_lookup_witness)
 from ..witness.r1cs_inputs import extract_r1cs_inputs
-from ..witness.ram import extract_ram_witness
+from ..witness.ram import extract_ram_log
 from ..witness.registers import LOG_K, extract_register_witness
 
 P = FR.modulus
@@ -173,7 +175,7 @@ def prove(trace: Trace, setup: "KZGSetup" = None) -> JoltProof:
     # ---- witness extraction (host) --------------------------------------
     inputs = extract_r1cs_inputs(trace)
     reg_wit = extract_register_witness(trace)
-    ram_wit = extract_ram_witness(trace)
+    ram_wit = extract_ram_log(trace)
     bc_wit = extract_bytecode_witness(trace, trace.code, trace.entry)
     lk_wit = extract_instruction_lookup_witness(trace, inputs)
     log_T = trace.log_T
@@ -187,7 +189,7 @@ def prove(trace: Trace, setup: "KZGSetup" = None) -> JoltProof:
                for k, s in zip(kinds, trace.col("rs2").tolist())]
     onehot_meta = {"wa": (rd_eff, 128), "ra1": (rs1_eff, 128),
                    "ra2": (rs2_eff, 128),
-                   "ram_ra": (ram_wit.addr_idx, ram_wit.K),
+                   "ram_ra": (ram_wit.cols.tolist(), ram_wit.K),
                    "bc_ra": (bc_wit.pc_idx, bc_wit.K)}
     for i in range(LK_D):
         onehot_meta[f"lk_ra{i}"] = (lk_wit.chunks[i].tolist(), 256)
@@ -253,22 +255,35 @@ def prove(trace: Trace, setup: "KZGSetup" = None) -> JoltProof:
 
     _mark("stage3-reg-val")
     # ---- Stage 4: RAM read/write checking + raf evaluation (batched) ----
+    # Sparse Twist tier: O(T + K) memory (relations/ram_sparse.py), no
+    # dense K x T arrays.
     gamma_ram = transcript.challenge_scalar()
     rv_claim = accumulator.get_claim(("r1cs_input", "ram_read_value"))
     wv_claim = accumulator.get_claim(("r1cs_input", "ram_write_value"))
     addr_claim = accumulator.get_claim(("r1cs_input", "ram_address"))
-    ram_rw = RamReadWriteChecking(ram_wit, gamma_ram, r_cycle, rv_claim, wv_claim)
-    ram_raf = RamRafEvaluation(ram_wit, r_cycle, addr_claim)
+    ram_sched = RamPairSchedule(ram_wit.cols, ram_wit.pre, ram_wit.post,
+                                ram_wit.K)
+    ram_rw = SparseRamReadWriteChecking(
+        ram_sched, ram_wit.log_K, ram_wit.init_vals, ram_wit.inc, gamma_ram,
+        r_cycle, rv_claim, wv_claim)
+    ram_raf = SparseRamRafEvaluation(ram_sched, ram_wit.log_K,
+                                     ram_wit.witness_base, r_cycle,
+                                     addr_claim)
     stage4_polys, r4 = BatchedSumcheck.prove([ram_rw, ram_raf], accumulator,
                                              transcript)
-    r4_cyc, r4_addr = r4[:log_T], r4[log_T:]
 
     # ---- Stage 5: RAM Val evaluation + output check (batched) ------------
+    val_pt = accumulator.get_point(("ram", "val"))  # normalized (cyc, addr)
+    r4_cyc, r4_addr = list(val_pt[:log_T]), list(val_pt[log_T:])
     ram_val_claim = accumulator.get_claim(("ram", "val"))
-    ram_ve = RamValEvaluation(ram_wit, r4_addr, r4_cyc, ram_val_claim)
+    ram_ve = SparseRamValEvaluation(ram_sched, ram_wit.log_K,
+                                    ram_wit.init_vals, ram_wit.inc,
+                                    r4_addr, r4_cyc, ram_val_claim)
     z_out = transcript.challenge_scalar()
-    ram_oc = RamOutputCheck(ram_wit, trace.memory_layout, z_out,
-                            bytes(trace.device.outputs))
+    ram_oc = SparseRamOutputCheck(ram_sched, ram_wit.log_K,
+                                  ram_wit.init_vals, ram_wit.inc,
+                                  trace.memory_layout, ram_wit.witness_base,
+                                  z_out, bytes(trace.device.outputs))
     stage5_polys, _ = BatchedSumcheck.prove([ram_ve, ram_oc], accumulator,
                                             transcript)
 
@@ -324,7 +339,7 @@ def prove(trace: Trace, setup: "KZGSetup" = None) -> JoltProof:
     # Sparse index-stream formulation: O(T) per matrix per round.
     matrices = [("reg_wa", rd_eff, 128), ("reg_ra1", rs1_eff, 128),
                 ("reg_ra2", rs2_eff, 128),
-                ("ram_ra", ram_wit.addr_idx, ram_wit.K),
+                ("ram_ra", ram_wit.cols.tolist(), ram_wit.K),
                 ("bc_ra", bc_wit.pc_idx, bc_wit.K)]
     for i in range(LK_D):
         matrices.append((f"lk_ra{i}", lk_wit.chunks[i].tolist(), 256))

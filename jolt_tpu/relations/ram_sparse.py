@@ -1,0 +1,647 @@
+"""Sparse Twist RAM relations: O(T + K) memory, no dense K x T arrays.
+
+TPU formulation of the reference's sorted sparse read/write matrices
+(`subprotocols/read_write_matrix/mod.rs`, `ram.rs` RamCycleMajorEntry) and
+the phase structure of `zkvm/ram/read_write_checking.rs`:
+
+  * cycle phase (first log T rounds, LSB-first binding): the K x T matrices
+    ra(k,j) / Val(k,j) are represented by one entry per ACCESS (here: one
+    per cycle, since idle cycles access the dummy cell k=0).  Binding the
+    cycle LSB pairs entries in the same column at adjacent rows; a missing
+    partner's implicit coefficients are ra = 0 and Val = the value CARRIED
+    between accesses (Val is constant within a column between accesses), so
+    each entry tracks the u64 `prev`/`next` carried values exactly as the
+    reference's `prev_val`/`next_val`.  Entry count never exceeds T.
+  * address phase (last log K rounds, MSB-first binding on dense O(K)
+    arrays): after all cycle variables bind, at most one entry per column
+    survives; ra / Val materialize as K-length vectors (untouched columns
+    keep ra = 0, Val = Init(k)) and the remaining rounds run dense.
+
+The pairing pattern over all rounds depends only on the access positions,
+NOT on the challenges, so the whole merge schedule precomputes host-side
+with numpy (`RamPairSchedule`); per-round device work is static-shaped
+gathers + field ops over at most T lanes.
+
+Four relations share the schedule (all degree <= 3):
+  rw checking:  sum eq(r_cyc,j) ra(k,j) ((1+g) Val(k,j) + g inc(j))
+  raf:          sum eq(r_cyc,j) ra(k,j) A(k)          (A public affine)
+  val eval:     sum LT(j,r_cyc) inc(j) ra(k,j) eqA(r_addr,k)
+  output check: sum inc(j) ra(k,j) W(k)               (W public sparse)
+
+Opening points are normalized to the canonical big-endian cycle-major
+order (r_cycle ++ r_addr): cycle challenges arrive LSB-first and reverse;
+address challenges arrive MSB-first and keep their order.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..field import FR, ops
+from ..poly import dense, eq, lt
+from ..poly.univariate import UniPoly
+from ..sumcheck.engine import OpeningAccumulator, SumcheckInstance
+from ..witness.ram import address_of_index
+from .ram import (RamOutputCheckVerifier, RamRafEvaluationVerifier,
+                  RamReadWriteCheckingVerifier, RamValEvaluationVerifier,
+                  init_mle_eval, output_region_cells, outputs_as_words)
+
+P = FR.modulus
+
+
+# ---------------------------------------------------------------------------
+# host-side pair schedule
+# ---------------------------------------------------------------------------
+
+def _next_pow2(n: int) -> int:
+    m = 1
+    while m < n:
+        m *= 2
+    return m
+
+
+@dataclasses.dataclass
+class _Round:
+    even_src: jnp.ndarray   # (Epad,) int32 into previous entries; -1 absent
+    odd_src: jnp.ndarray
+    has_e: jnp.ndarray      # (Epad,) bool
+    has_o: jnp.ndarray
+    imp_e: jnp.ndarray      # (L, Epad) field: implicit even Val (odd.prev)
+    imp_o: jnp.ndarray      # (L, Epad) field: implicit odd Val (even.next)
+    rows: jnp.ndarray       # (Epad,) int32 merged row index g
+    cols: np.ndarray        # (Epad,) int64 column (K = inert pad sentinel)
+    n_real: int
+
+
+class RamPairSchedule:
+    """Precomputed cycle-phase merge schedule for one access stream.
+
+    cols/pre/post: per-cycle accessed column + u64 value before/after
+    (k = 0 dummy cell for idle cycles, pre = post = 0).
+    """
+
+    def __init__(self, cols: np.ndarray, pre: np.ndarray, post: np.ndarray,
+                 K: int):
+        T = len(cols)
+        self.T = T
+        self.log_T = T.bit_length() - 1
+        self.K = K
+        self.rounds: List[_Round] = []
+
+        col = np.asarray(cols, dtype=np.int64)
+        row = np.arange(T, dtype=np.int64)
+        prev = np.asarray(pre, dtype=np.uint64)
+        nxt = np.asarray(post, dtype=np.uint64)
+
+        for _ in range(self.log_T):
+            E = len(col)
+            order = np.lexsort((row, col))
+            col_s, row_s = col[order], row[order]
+            prev_s, nxt_s = prev[order], nxt[order]
+            g_s = row_s >> 1
+            new = np.ones(E, dtype=bool)
+            new[1:] = (col_s[1:] != col_s[:-1]) | (g_s[1:] != g_s[:-1])
+            gid = np.cumsum(new) - 1
+            n_pairs = int(gid[-1]) + 1 if E else 0
+            Epad = _next_pow2(max(n_pairs, 1))
+
+            even_m = (row_s & 1) == 0
+            even_src = np.full(Epad, -1, dtype=np.int64)
+            odd_src = np.full(Epad, -1, dtype=np.int64)
+            even_src[gid[even_m]] = order[even_m]
+            odd_src[gid[~even_m]] = order[~even_m]
+            # per-pair carried values from whichever side is present
+            e_prev = np.zeros(Epad, dtype=np.uint64)
+            e_next = np.zeros(Epad, dtype=np.uint64)
+            o_prev = np.zeros(Epad, dtype=np.uint64)
+            o_next = np.zeros(Epad, dtype=np.uint64)
+            e_prev[gid[even_m]] = prev_s[even_m]
+            e_next[gid[even_m]] = nxt_s[even_m]
+            o_prev[gid[~even_m]] = prev_s[~even_m]
+            o_next[gid[~even_m]] = nxt_s[~even_m]
+            has_e = even_src >= 0
+            has_o = odd_src >= 0
+            imp_e_u64 = np.where(~has_e, o_prev, 0).astype(np.uint64)
+            imp_o_u64 = np.where(~has_o, e_next, 0).astype(np.uint64)
+
+            rows_pair = np.zeros(Epad, dtype=np.int64)
+            rows_pair[gid] = g_s
+            cols_pair = np.full(Epad, self.K, dtype=np.int64)
+            cols_pair[gid] = col_s
+
+            def dev_u64(a):
+                lo = jnp.asarray((a & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+                hi = jnp.asarray((a >> np.uint64(32)).astype(np.uint32))
+                return ops.from_u64(lo, hi, FR)
+
+            self.rounds.append(_Round(
+                even_src=jnp.asarray(np.maximum(even_src, 0), jnp.int32),
+                odd_src=jnp.asarray(np.maximum(odd_src, 0), jnp.int32),
+                has_e=jnp.asarray(has_e),
+                has_o=jnp.asarray(has_o),
+                imp_e=dev_u64(imp_e_u64),
+                imp_o=dev_u64(imp_o_u64),
+                rows=jnp.asarray(rows_pair, jnp.int32),
+                cols=cols_pair,
+                n_real=n_pairs,
+            ))
+
+            # next round's entries = this round's pairs
+            col = cols_pair[:n_pairs].copy()
+            row = rows_pair[:n_pairs].copy()
+            prev = np.where(has_e[:n_pairs], e_prev[:n_pairs],
+                            o_prev[:n_pairs]).astype(np.uint64)
+            nxt = np.where(has_o[:n_pairs], o_next[:n_pairs],
+                           e_next[:n_pairs]).astype(np.uint64)
+
+        self.final_cols = col           # (n_final,) distinct columns
+        self.initial_pre = np.asarray(pre, dtype=np.uint64)
+
+    def initial_val(self) -> jnp.ndarray:
+        lo = jnp.asarray((self.initial_pre & np.uint64(0xFFFFFFFF))
+                         .astype(np.uint32))
+        hi = jnp.asarray((self.initial_pre >> np.uint64(32)).astype(np.uint32))
+        return ops.from_u64(lo, hi, FR)
+
+
+# ---------------------------------------------------------------------------
+# device kernels
+# ---------------------------------------------------------------------------
+
+def _evals3(e, o, fp=FR):
+    """Univariate evals at X in {0,2,3}: (L,E) pairs -> (L,3,E)."""
+    m = ops.sub(o, e, fp)
+    v2 = ops.add(o, m, fp)
+    v3 = ops.add(v2, m, fp)
+    return jnp.stack([e, v2, v3], axis=1)
+
+
+@partial(jax.jit, static_argnames=('fp',))
+def _gather_pairs(X, src_e, src_o, has_e, has_o, fill_e, fill_o, fp=FR):
+    """Pairwise gather with implicit fills: (L,E'),(L,E') even/odd lanes."""
+    xe = jnp.where(has_e[None, :], X[:, src_e], fill_e)
+    xo = jnp.where(has_o[None, :], X[:, src_o], fill_o)
+    return xe, xo
+
+
+@partial(jax.jit, static_argnames=('fp',))
+def _rw_cycle_message(RA, VAL, EQ, INC, rnd_src_e, rnd_src_o, has_e, has_o,
+                      imp_e, imp_o, rows, one_pg, g, fp=FR):
+    zero = jnp.zeros_like(imp_e)
+    rae, rao = _gather_pairs(RA, rnd_src_e, rnd_src_o, has_e, has_o,
+                             zero, zero, fp)
+    vale, valo = _gather_pairs(VAL, rnd_src_e, rnd_src_o, has_e, has_o,
+                               imp_e, imp_o, fp)
+    eq3 = _evals3(EQ[:, 2 * rows], EQ[:, 2 * rows + 1], fp)
+    inc3 = _evals3(INC[:, 2 * rows], INC[:, 2 * rows + 1], fp)
+    ra3 = _evals3(rae, rao, fp)
+    val3 = _evals3(vale, valo, fp)
+    term = ops.add(ops.mont_mul(one_pg[:, None], val3, fp),
+                   ops.mont_mul(g[:, None], inc3, fp), fp)
+    return ops.sum_mod(ops.mont_mul(eq3, ops.mont_mul(ra3, term, fp), fp), fp)
+
+
+@partial(jax.jit, static_argnames=('fp',))
+def _prod_cycle_message(RA, CYC, AC, rnd_src_e, rnd_src_o, has_e, has_o,
+                        rows, fp=FR):
+    """sum_pairs AC_pair * ra(X) * prod_f CYC[f](X); CYC: (L,F,T_t)."""
+    zero = ops.zeros(rnd_src_e.shape, fp)
+    rae, rao = _gather_pairs(RA, rnd_src_e, rnd_src_o, has_e, has_o,
+                             zero, zero, fp)
+    acc = _evals3(rae, rao, fp)
+    F = CYC.shape[1]
+    for f in range(F):
+        c3 = _evals3(CYC[:, f, 2 * rows], CYC[:, f, 2 * rows + 1], fp)
+        acc = ops.mont_mul(acc, c3, fp)
+    return ops.sum_mod(ops.mont_mul(AC[:, None, :], acc, fp), fp)
+
+
+@partial(jax.jit, static_argnames=('fp',))
+def _bind_pairs(X, src_e, src_o, has_e, has_o, fill_e, fill_o, r, fp=FR):
+    xe, xo = _gather_pairs(X, src_e, src_o, has_e, has_o, fill_e, fill_o, fp)
+    return ops.add(xe, ops.mont_mul(r, ops.sub(xo, xe, fp), fp), fp)
+
+
+@partial(jax.jit, static_argnames=('fp',))
+def _rw_addr_message(RA_K, VAL_K, one_pg, ginc, fp=FR):
+    """evals at {0,2,3} of sum_k ra(X) * ((1+g) val(X) + g*inc_c)."""
+    ra3 = dense.sumcheck_eval_points_high(RA_K, 3, fp)
+    val3 = dense.sumcheck_eval_points_high(VAL_K, 3, fp)
+    term = ops.add(ops.mont_mul(one_pg[:, None], val3, fp),
+                   jnp.broadcast_to(ginc[:, None, :], val3.shape), fp)
+    return ops.sum_mod(ops.mont_mul(ra3, term, fp), fp)
+
+
+@partial(jax.jit, static_argnames=('fp',))
+def _prod_addr_message(RA_K, TAB_K, fp=FR):
+    ra3 = dense.sumcheck_eval_points_high(RA_K, 3, fp)
+    t3 = dense.sumcheck_eval_points_high(TAB_K, 3, fp)
+    return ops.sum_mod(ops.mont_mul(ra3, t3, fp), fp)
+
+
+@partial(jax.jit, static_argnames=('K', 'fp'))
+def _materialize(vals, cols, base, K: int, fp=FR):
+    """Scatter (L,E) entry values into the (L,K) base table at cols."""
+    return base.at[:, cols].set(vals)
+
+
+# ---------------------------------------------------------------------------
+# shared prover base
+# ---------------------------------------------------------------------------
+
+class _SparseRamBase(SumcheckInstance):
+    """Cycle phase on the pair schedule, address phase on dense K arrays."""
+
+    degree = 3
+
+    def __init__(self, sched: RamPairSchedule, log_K: int):
+        self.sched = sched
+        self.log_T = sched.log_T
+        self.log_K = log_K
+        self.K = 1 << log_K
+        self.RA = ops.ones((sched.T,))
+        self.final_openings: Optional[dict] = None
+        self.RA_K: Optional[jnp.ndarray] = None
+
+    @property
+    def num_rounds(self) -> int:
+        return self.log_T + self.log_K
+
+    # -- hooks ----------------------------------------------------------
+    def _cycle_message(self, t: int, rnd: _Round) -> jnp.ndarray: ...
+    def _cycle_bind(self, rnd: _Round, r_dev) -> None: ...
+    def _enter_addr_phase(self) -> None: ...
+    def _addr_message(self) -> jnp.ndarray: ...
+    def _addr_bind(self, r_dev) -> None: ...
+    def _addr_scale(self) -> int:
+        return 1
+
+    def compute_message(self, round: int, previous_claim: int) -> UniPoly:
+        if round < self.log_T:
+            evals = ops.unpack_ints(self._cycle_message(
+                round, self.sched.rounds[round]))
+        else:
+            s = self._addr_scale()
+            evals = [s * v % P for v in ops.unpack_ints(self._addr_message())]
+        return UniPoly.from_evals_and_hint(previous_claim, evals, P)
+
+    def ingest_challenge(self, r: int, round: int) -> None:
+        r_dev = ops.pack_ints([r])
+        if round < self.log_T:
+            rnd = self.sched.rounds[round]
+            zero = jnp.zeros_like(rnd.imp_e)
+            self.RA = _bind_pairs(self.RA, rnd.even_src, rnd.odd_src,
+                                  rnd.has_e, rnd.has_o, zero, zero, r_dev)
+            self._cycle_bind(rnd, r_dev)
+            if round + 1 == self.log_T:
+                n = len(self.sched.final_cols)
+                cols = jnp.asarray(self.sched.final_cols, jnp.int32)
+                self.RA_K = _materialize(self.RA[:, :n], cols,
+                                         ops.zeros((self.K,)), self.K)
+                self._enter_addr_phase()
+        else:
+            self.RA_K = dense.bind_high(self.RA_K, r_dev, FR)
+            self._addr_bind(r_dev)
+
+    def normalize_opening_point(self, r: Sequence[int]) -> List[int]:
+        r_cyc = list(reversed(r[:self.log_T]))
+        return r_cyc + list(r[self.log_T:])
+
+
+def _norm_split(r: Sequence[int], log_T: int):
+    """Raw LSB-first cycle + MSB-first address challenges -> big-endian."""
+    return list(reversed(r[:log_T])), list(r[log_T:])
+
+
+# ---------------------------------------------------------------------------
+# the four relations
+# ---------------------------------------------------------------------------
+
+class SparseRamReadWriteChecking(_SparseRamBase):
+    """rv + g*wv = sum eq(r_cyc,j) ra(k,j) ((1+g) Val(k,j) + g inc(j)).
+
+    Mirrors `zkvm/ram/read_write_checking.rs` with the sparse matrices of
+    `read_write_matrix/ram.rs`."""
+
+    def __init__(self, sched: RamPairSchedule, log_K: int,
+                 init_vals: Dict[int, int], inc: Sequence[int], gamma: int,
+                 r_cycle: Sequence[int], rv_claim: int, wv_claim: int):
+        super().__init__(sched, log_K)
+        self.gamma = gamma % P
+        self.r_cycle = [x % P for x in r_cycle]
+        self.rv_claim, self.wv_claim = rv_claim % P, wv_claim % P
+        self.init_vals = init_vals
+        self.VAL = sched.initial_val()
+        self.EQ = eq.evals(self.r_cycle)
+        self.INC = ops.pack_ints(inc)
+        self.g = ops.pack_ints([self.gamma])
+        self.one_pg = ops.pack_ints([(1 + self.gamma) % P])
+        self.VAL_K: Optional[jnp.ndarray] = None
+        self.ginc: Optional[jnp.ndarray] = None
+
+    def input_claim(self, accumulator: OpeningAccumulator) -> int:
+        return (self.rv_claim + self.gamma * self.wv_claim) % P
+
+    def _cycle_message(self, t: int, rnd: _Round) -> jnp.ndarray:
+        return _rw_cycle_message(self.RA, self.VAL, self.EQ, self.INC,
+                                 rnd.even_src, rnd.odd_src, rnd.has_e,
+                                 rnd.has_o, rnd.imp_e, rnd.imp_o, rnd.rows,
+                                 self.one_pg, self.g)
+
+    def _cycle_bind(self, rnd: _Round, r_dev) -> None:
+        self.VAL = _bind_pairs(self.VAL, rnd.even_src, rnd.odd_src,
+                               rnd.has_e, rnd.has_o, rnd.imp_e, rnd.imp_o,
+                               r_dev)
+        self.EQ = dense.bind_low(self.EQ, r_dev, FR)
+        self.INC = dense.bind_low(self.INC, r_dev, FR)
+
+    def _enter_addr_phase(self) -> None:
+        # untouched columns: Val(k, *) == Init(k) (constant in j, so its
+        # cycle binding is itself)
+        base = np.zeros(self.K, dtype=np.uint64)
+        for k, v in self.init_vals.items():
+            if k < self.K:
+                base[k] = v
+        lo = jnp.asarray((base & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+        hi = jnp.asarray((base >> np.uint64(32)).astype(np.uint32))
+        base_dev = ops.from_u64(lo, hi, FR)
+        n = len(self.sched.final_cols)
+        cols = jnp.asarray(self.sched.final_cols, jnp.int32)
+        self.VAL_K = _materialize(self.VAL[:, :n], cols, base_dev, self.K)
+        self.ginc = ops.mont_mul(self.g, self.INC[:, :1], FR)  # (L, 1)
+
+    def _addr_message(self) -> jnp.ndarray:
+        return _rw_addr_message(self.RA_K, self.VAL_K, self.one_pg, self.ginc)
+
+    def _addr_bind(self, r_dev) -> None:
+        self.VAL_K = dense.bind_high(self.VAL_K, r_dev, FR)
+
+    def _addr_scale(self) -> int:
+        return ops.unpack_ints(self.EQ[:, :1])[0]  # fully-bound eq factor
+
+    def finalize(self) -> None:
+        self.final_openings = {
+            "ra": ops.unpack_ints(self.RA_K)[0],
+            "val": ops.unpack_ints(self.VAL_K)[0],
+            "inc": ops.unpack_ints(self.INC[:, :1])[0],
+        }
+
+    def cache_openings(self, accumulator: OpeningAccumulator,
+                       r_slice: Sequence[int]) -> None:
+        r_cyc, r_addr = _norm_split(r_slice, self.log_T)
+        full = r_cyc + r_addr
+        accumulator.insert(("ram", "ra"), full, self.final_openings["ra"])
+        accumulator.insert(("ram", "val"), full, self.final_openings["val"])
+        accumulator.insert(("ram", "inc"), r_cyc, self.final_openings["inc"])
+
+    def expected_output_claim(self, accumulator, r):  # pragma: no cover
+        raise NotImplementedError
+
+
+class SparseRamRafEvaluation(_SparseRamBase):
+    """address_claim = sum eq(r_cyc,j) ra(k,j) A(k); A public affine."""
+
+    def __init__(self, sched: RamPairSchedule, log_K: int, witness_base: int,
+                 r_cycle: Sequence[int], addr_claim: int):
+        super().__init__(sched, log_K)
+        self.addr_claim = addr_claim % P
+        self.EQ = eq.evals([x % P for x in r_cycle])
+        addrs = np.arange(self.K, dtype=np.uint64)
+        a_u64 = np.where(addrs == 0, 0, witness_base + 8 * (addrs - 1))
+        lo = jnp.asarray((a_u64 & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+        hi = jnp.asarray((a_u64 >> np.uint64(32)).astype(np.uint32))
+        self.A_K = ops.from_u64(lo, hi, FR)
+        self._percol = [self._col_consts(rnd) for rnd in sched.rounds]
+
+    def _col_consts(self, rnd: _Round) -> jnp.ndarray:
+        cols = jnp.asarray(np.minimum(rnd.cols, self.K - 1), jnp.int32)
+        live = jnp.asarray(rnd.cols < self.K)
+        return jnp.where(live[None, :], self.A_K[:, cols], 0)
+
+    def input_claim(self, accumulator: OpeningAccumulator) -> int:
+        return self.addr_claim
+
+    def _cycle_message(self, t: int, rnd: _Round) -> jnp.ndarray:
+        return _prod_cycle_message(self.RA, self.EQ[:, None, :],
+                                   self._percol[t], rnd.even_src,
+                                   rnd.odd_src, rnd.has_e, rnd.has_o,
+                                   rnd.rows)
+
+    def _cycle_bind(self, rnd: _Round, r_dev) -> None:
+        self.EQ = dense.bind_low(self.EQ, r_dev, FR)
+
+    def _enter_addr_phase(self) -> None:
+        pass
+
+    def _addr_message(self) -> jnp.ndarray:
+        return _prod_addr_message(self.RA_K, self.A_K)
+
+    def _addr_bind(self, r_dev) -> None:
+        self.A_K = dense.bind_high(self.A_K, r_dev, FR)
+
+    def _addr_scale(self) -> int:
+        return ops.unpack_ints(self.EQ[:, :1])[0]
+
+    def finalize(self) -> None:
+        self.final_openings = {"ra": ops.unpack_ints(self.RA_K)[0]}
+
+    def cache_openings(self, accumulator: OpeningAccumulator,
+                       r_slice: Sequence[int]) -> None:
+        r_cyc, r_addr = _norm_split(r_slice, self.log_T)
+        accumulator.insert(("ram_raf", "ra"), r_cyc + r_addr,
+                           self.final_openings["ra"])
+
+    def expected_output_claim(self, accumulator, r):  # pragma: no cover
+        raise NotImplementedError
+
+
+class SparseRamValEvaluation(_SparseRamBase):
+    """Val(r) - Init(r_addr) = sum LT(j,r_cyc) inc(j) ra(k,j) eq(r_addr,k)."""
+
+    def __init__(self, sched: RamPairSchedule, log_K: int,
+                 init_vals: Dict[int, int], inc: Sequence[int],
+                 r_addr: Sequence[int], r_cyc: Sequence[int],
+                 val_claim: int):
+        super().__init__(sched, log_K)
+        init_eval = init_mle_eval(init_vals, r_addr)
+        self._input_claim = (val_claim - init_eval) % P
+        self.LT = lt.evals([x % P for x in r_cyc])
+        self.INC = ops.pack_ints(inc)
+        self.EA_K = eq.evals([x % P for x in r_addr])
+        self._percol = [self._col_consts(rnd) for rnd in sched.rounds]
+
+    def _col_consts(self, rnd: _Round) -> jnp.ndarray:
+        cols = jnp.asarray(np.minimum(rnd.cols, self.K - 1), jnp.int32)
+        live = jnp.asarray(rnd.cols < self.K)
+        return jnp.where(live[None, :], self.EA_K[:, cols], 0)
+
+    def input_claim(self, accumulator: OpeningAccumulator) -> int:
+        return self._input_claim
+
+    def _cycle_message(self, t: int, rnd: _Round) -> jnp.ndarray:
+        CYC = jnp.stack([self.LT, self.INC], axis=1)
+        return _prod_cycle_message(self.RA, CYC, self._percol[t],
+                                   rnd.even_src, rnd.odd_src, rnd.has_e,
+                                   rnd.has_o, rnd.rows)
+
+    def _cycle_bind(self, rnd: _Round, r_dev) -> None:
+        self.LT = dense.bind_low(self.LT, r_dev, FR)
+        self.INC = dense.bind_low(self.INC, r_dev, FR)
+
+    def _enter_addr_phase(self) -> None:
+        pass
+
+    def _addr_message(self) -> jnp.ndarray:
+        return _prod_addr_message(self.RA_K, self.EA_K)
+
+    def _addr_bind(self, r_dev) -> None:
+        self.EA_K = dense.bind_high(self.EA_K, r_dev, FR)
+
+    def _addr_scale(self) -> int:
+        c = ops.mont_mul(self.LT[:, :1], self.INC[:, :1], FR)
+        return ops.unpack_ints(c)[0]
+
+    def finalize(self) -> None:
+        self.final_openings = {
+            "ra": ops.unpack_ints(self.RA_K)[0],
+            "inc": ops.unpack_ints(self.INC[:, :1])[0],
+        }
+
+    def cache_openings(self, accumulator: OpeningAccumulator,
+                       r_slice: Sequence[int]) -> None:
+        r_cyc, r_addr = _norm_split(r_slice, self.log_T)
+        accumulator.insert(("ram_val_eval", "ra"), r_cyc + r_addr,
+                           self.final_openings["ra"])
+        accumulator.insert(("ram_val_eval", "inc"), r_cyc,
+                           self.final_openings["inc"])
+
+    def expected_output_claim(self, accumulator, r):  # pragma: no cover
+        raise NotImplementedError
+
+
+class SparseRamOutputCheck(_SparseRamBase):
+    """outputs - W.Init = sum inc(j) ra(k,j) W(k); W sparse public."""
+
+    def __init__(self, sched: RamPairSchedule, log_K: int,
+                 init_vals: Dict[int, int], inc: Sequence[int], layout,
+                 witness_base: int, z: int, outputs: bytes):
+        super().__init__(sched, log_K)
+        out_cells = output_region_cells(layout, witness_base, self.K)
+        out_words = outputs_as_words(outputs, layout)
+        lhs, init_term, zp = 0, 0, 1
+        w_sparse: Dict[int, int] = {}
+        for k in out_cells:
+            w_sparse[k] = zp
+            lhs = (lhs + zp * out_words.get(k, 0)) % P
+            init_term = (init_term + zp * init_vals.get(k, 0)) % P
+            zp = zp * z % P
+        self._input_claim = (lhs - init_term) % P
+        self.INC = ops.pack_ints(inc)
+        W_K = ops.zeros((self.K,))
+        if w_sparse:
+            cells = jnp.asarray(sorted(w_sparse), jnp.int32)
+            vals = ops.pack_ints([w_sparse[k] for k in sorted(w_sparse)])
+            W_K = W_K.at[:, cells].set(vals)
+        self.W_K = W_K
+        self._percol = [self._col_consts(rnd) for rnd in sched.rounds]
+
+    def _col_consts(self, rnd: _Round) -> jnp.ndarray:
+        cols = jnp.asarray(np.minimum(rnd.cols, self.K - 1), jnp.int32)
+        live = jnp.asarray(rnd.cols < self.K)
+        return jnp.where(live[None, :], self.W_K[:, cols], 0)
+
+    def input_claim(self, accumulator: OpeningAccumulator) -> int:
+        return self._input_claim
+
+    def _cycle_message(self, t: int, rnd: _Round) -> jnp.ndarray:
+        return _prod_cycle_message(self.RA, self.INC[:, None, :],
+                                   self._percol[t], rnd.even_src,
+                                   rnd.odd_src, rnd.has_e, rnd.has_o,
+                                   rnd.rows)
+
+    def _cycle_bind(self, rnd: _Round, r_dev) -> None:
+        self.INC = dense.bind_low(self.INC, r_dev, FR)
+
+    def _enter_addr_phase(self) -> None:
+        pass
+
+    def _addr_message(self) -> jnp.ndarray:
+        return _prod_addr_message(self.RA_K, self.W_K)
+
+    def _addr_bind(self, r_dev) -> None:
+        self.W_K = dense.bind_high(self.W_K, r_dev, FR)
+
+    def _addr_scale(self) -> int:
+        return ops.unpack_ints(self.INC[:, :1])[0]
+
+    def finalize(self) -> None:
+        self.final_openings = {
+            "ra": ops.unpack_ints(self.RA_K)[0],
+            "inc": ops.unpack_ints(self.INC[:, :1])[0],
+        }
+
+    def cache_openings(self, accumulator: OpeningAccumulator,
+                       r_slice: Sequence[int]) -> None:
+        r_cyc, r_addr = _norm_split(r_slice, self.log_T)
+        accumulator.insert(("ram_output", "ra"), r_cyc + r_addr,
+                           self.final_openings["ra"])
+        accumulator.insert(("ram_output", "inc"), r_cyc,
+                           self.final_openings["inc"])
+
+    def expected_output_claim(self, accumulator, r):  # pragma: no cover
+        raise NotImplementedError
+
+
+# ---------------------------------------------------------------------------
+# verifier twins: same algebra as the dense twins, LSB-first cycle order
+# ---------------------------------------------------------------------------
+
+class _SparseNorm:
+    def _split(self, r: Sequence[int]):
+        return (list(reversed(r[:self.log_T])), list(r[self.log_T:]))
+
+
+class SparseRamReadWriteCheckingVerifier(_SparseNorm,
+                                         RamReadWriteCheckingVerifier):
+    def expected_output_claim(self, accumulator: OpeningAccumulator,
+                              r: Sequence[int]) -> int:
+        r_cyc, _ = self._split(r)
+        o = self.openings
+        g = self.gamma
+        term = ((1 + g) * o["val"] + g * o["inc"]) % P
+        return eq.eq_int(self.r_cycle, r_cyc) * o["ra"] % P * term % P
+
+
+class SparseRamRafEvaluationVerifier(_SparseNorm, RamRafEvaluationVerifier):
+    def expected_output_claim(self, accumulator: OpeningAccumulator,
+                              r: Sequence[int]) -> int:
+        from .ram import addr_mle_eval
+        r_cyc, r_addr = self._split(r)
+        a_eval = addr_mle_eval(r_addr, self.witness_base)
+        return (eq.eq_int(self.r_cycle, r_cyc) * self.openings["ra"] % P
+                * a_eval % P)
+
+
+class SparseRamValEvaluationVerifier(_SparseNorm, RamValEvaluationVerifier):
+    def expected_output_claim(self, accumulator: OpeningAccumulator,
+                              r: Sequence[int]) -> int:
+        r_cyc_new, r_addr_new = self._split(r)
+        o = self.openings
+        lt_eval = lt.lt_point_int(r_cyc_new, self.r_cyc)
+        eq_addr = eq.eq_int(self.r_addr, r_addr_new)
+        return lt_eval * eq_addr % P * o["ra"] % P * o["inc"] % P
+
+
+class SparseRamOutputCheckVerifier(_SparseNorm, RamOutputCheckVerifier):
+    def expected_output_claim(self, accumulator: OpeningAccumulator,
+                              r: Sequence[int]) -> int:
+        _, r_addr = self._split(r)
+        w_eval = init_mle_eval(self.w_sparse, r_addr)
+        o = self.openings
+        return w_eval * o["ra"] % P * o["inc"] % P

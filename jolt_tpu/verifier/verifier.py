@@ -31,9 +31,10 @@ from ..r1cs import constraints as C
 from ..relations.booleanity import BooleanityVerifier, HammingWeightVerifier
 from ..relations.bytecode import CLAIM_COLUMNS, BytecodeReadRafVerifier
 from ..relations.instruction_read_raf import InstructionReadRafVerifier
-from ..relations.ram import (RamOutputCheckVerifier, RamRafEvaluationVerifier,
-                             RamReadWriteCheckingVerifier,
-                             RamValEvaluationVerifier)
+from ..relations.ram_sparse import (SparseRamOutputCheckVerifier,
+                                    SparseRamRafEvaluationVerifier,
+                                    SparseRamReadWriteCheckingVerifier,
+                                    SparseRamValEvaluationVerifier)
 from ..relations.registers_rw import (RegistersRafVerifier,
                                       RegistersReadWriteCheckingVerifier,
                                       RegistersValEvaluationVerifier)
@@ -175,10 +176,10 @@ def verify(proof: JoltProof, io: PublicIO, setup: "KZGSetup" = None) -> bool:
     wv_claim = proof.r1cs_input_openings[V_RAM_WRITE_VALUE]
     addr_claim = proof.r1cs_input_openings[V_RAM_ADDRESS]
     o4 = proof.stage4_openings
-    inst4a = RamReadWriteCheckingVerifier(
+    inst4a = SparseRamReadWriteCheckingVerifier(
         log_T, proof.ram_log_K, gamma_ram, r_cycle, rv_claim, wv_claim,
         {"ra": o4["rw_ra"], "val": o4["rw_val"], "inc": o4["rw_inc"]})
-    inst4b = RamRafEvaluationVerifier(
+    inst4b = SparseRamRafEvaluationVerifier(
         log_T, proof.ram_log_K, r_cycle, addr_claim,
         io.memory_layout.input_start, {"ra": o4["raf_ra"]})
     try:
@@ -186,21 +187,23 @@ def verify(proof: JoltProof, io: PublicIO, setup: "KZGSetup" = None) -> bool:
                                     accumulator, transcript)
     except SumcheckError as e:
         raise VerificationError(f"stage4: {e}") from e
-    r4_cyc, r4_addr = r4[:log_T], r4[log_T:]
+    # sparse tier: cycle vars bound LSB-first -> normalize to big-endian
+    r4_cyc, r4_addr = inst4a._split(r4)
+    r4n = r4_cyc + r4_addr
     for name in ("ra", "val"):
-        accumulator.insert(("ram", name), r4, o4[f"rw_{name}"])
+        accumulator.insert(("ram", name), r4n, o4[f"rw_{name}"])
     accumulator.insert(("ram", "inc"), r4_cyc, o4["rw_inc"])
-    accumulator.insert(("ram_raf", "ra"), r4, o4["raf_ra"])
+    accumulator.insert(("ram_raf", "ra"), r4n, o4["raf_ra"])
     accumulator.flush_to_transcript(transcript)
 
     # ---- Stage 5: RAM Val evaluation + output check ----------------------
     init_vals = input_init_vals(io.inputs, io.memory_layout)
     o5 = proof.stage5_openings
-    inst5 = RamValEvaluationVerifier(
+    inst5 = SparseRamValEvaluationVerifier(
         log_T, proof.ram_log_K, r4_addr, r4_cyc, o4["rw_val"], init_vals,
         {"ra": o5["ra"], "inc": o5["inc"]})
     z_out = transcript.challenge_scalar()
-    inst5b = RamOutputCheckVerifier(
+    inst5b = SparseRamOutputCheckVerifier(
         log_T, proof.ram_log_K, z_out, io.outputs, io.memory_layout,
         io.memory_layout.input_start, init_vals,
         {"ra": o5["oc_ra"], "inc": o5["oc_inc"]})
@@ -209,10 +212,12 @@ def verify(proof: JoltProof, io: PublicIO, setup: "KZGSetup" = None) -> bool:
                                     accumulator, transcript)
     except SumcheckError as e:
         raise VerificationError(f"stage5: {e}") from e
-    accumulator.insert(("ram_val_eval", "ra"), r5, o5["ra"])
-    accumulator.insert(("ram_val_eval", "inc"), r5[:log_T], o5["inc"])
-    accumulator.insert(("ram_output", "ra"), r5, o5["oc_ra"])
-    accumulator.insert(("ram_output", "inc"), r5[:log_T], o5["oc_inc"])
+    r5_cyc, r5_addr = inst5._split(r5)
+    r5n = r5_cyc + r5_addr
+    accumulator.insert(("ram_val_eval", "ra"), r5n, o5["ra"])
+    accumulator.insert(("ram_val_eval", "inc"), r5_cyc, o5["inc"])
+    accumulator.insert(("ram_output", "ra"), r5n, o5["oc_ra"])
+    accumulator.insert(("ram_output", "inc"), r5_cyc, o5["oc_inc"])
     accumulator.flush_to_transcript(transcript)
 
     # ---- Stage 5i: instruction-execution read-raf Shout ------------------

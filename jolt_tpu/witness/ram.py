@@ -60,6 +60,75 @@ def input_init_vals(inputs: bytes, layout) -> Dict[int, int]:
     return out
 
 
+@dataclasses.dataclass
+class RamLog:
+    """Sparse per-cycle access log: the O(T) witness interface for the
+    sparse Twist tier (no K x T arrays)."""
+    cols: "np.ndarray"   # (T,) int64 accessed cell (0 = dummy)
+    pre: "np.ndarray"    # (T,) u64 value before the access (0 for k=0)
+    post: "np.ndarray"   # (T,) u64 value after
+    inc: List[int]       # (T,) field ints: post - pre mod p
+    init_vals: Dict[int, int]
+    K: int
+    log_K: int
+    T: int
+    witness_base: int
+
+
+def extract_ram_log(trace: Trace) -> RamLog:
+    """O(T) sparse RAM witness (replay without materializing K x T)."""
+    import numpy as np
+    T = trace.padded_length
+    wb = trace.memory_layout.input_start
+
+    def u64(name):
+        lo, hi = trace.u64_col(name)
+        return (lo.astype(np.uint64) | (hi.astype(np.uint64) << np.uint64(32)))
+
+    ram_addr = u64("ram_addr").tolist()
+    ram_pre = u64("ram_pre")
+    ram_post = u64("ram_post")
+
+    ks = [remap_address(a, wb) for a in ram_addr]
+    max_k = max(ks) if ks else 0
+    K = 1
+    while K < max_k + 1:
+        K *= 2
+    K = max(K, 2)
+
+    init_vals = input_init_vals(bytes(trace.device.inputs), trace.memory_layout)
+
+    cols = np.asarray(ks, dtype=np.int64)
+    pre = np.zeros(T, dtype=np.uint64)
+    post = np.zeros(T, dtype=np.uint64)
+    inc = [0] * T
+    mem: Dict[int, int] = dict(init_vals)
+    for j in range(T):
+        k = ks[j]
+        if k == 0:
+            continue
+        cur = mem.get(k)
+        if cur is None:
+            expected = init_vals.get(k, 0)
+            if int(ram_pre[j]) != expected:
+                raise ValueError(
+                    f"cycle {j}: first access of cell {k} reads "
+                    f"{int(ram_pre[j]):#x} not implied by inputs -- "
+                    f"program-image reads need the ProgramImageInit claim "
+                    f"reduction (future round)")
+            cur = expected
+        assert cur == int(ram_pre[j]), f"ram pre mismatch cycle {j}"
+        pre[j] = cur
+        post[j] = int(ram_post[j])
+        if post[j] != pre[j]:
+            inc[j] = (int(post[j]) - int(pre[j])) % P
+            mem[k] = int(post[j])
+
+    return RamLog(cols=cols, pre=pre, post=post, inc=inc,
+                  init_vals=init_vals, K=K, log_K=K.bit_length() - 1, T=T,
+                  witness_base=wb)
+
+
 def extract_ram_witness(trace: Trace) -> RamWitness:
     T = trace.padded_length
     wb = trace.memory_layout.input_start
