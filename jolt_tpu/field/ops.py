@@ -208,7 +208,8 @@ def from_u64(lo: jnp.ndarray, hi: jnp.ndarray, fp: FieldParams = FR) -> jnp.ndar
             limbs.append((lo_part | hi_part) & _MASK)
     plain = jnp.stack(limbs, axis=0)
     r2 = jnp.asarray(fp.r2_limbs, dtype=_U32).reshape((fp.num_limbs,) + (1,) * lo.ndim)
-    return mont_mul(plain, jnp.broadcast_to(r2, plain.shape), fp)  # x*R^2*R^-1 = xR
+    return _maybe_shard(
+        mont_mul(plain, jnp.broadcast_to(r2, plain.shape), fp))  # x*R^2*R^-1
 
 
 @_fieldop('fp')
@@ -398,7 +399,14 @@ def pack_ints(vals, fp: FieldParams = FR) -> jnp.ndarray:
             cache[v] = limbs
         cols.append(limbs)
     arr = np.stack(cols, axis=1) if cols else np.zeros((fp.num_limbs, 0), np.uint32)
-    return jnp.asarray(arr, dtype=_U32)
+    return _maybe_shard(jnp.asarray(arr, dtype=_U32))
+
+
+def _maybe_shard(a: jnp.ndarray) -> jnp.ndarray:
+    """Shard witness arrays over the active cycle mesh (no-op without one);
+    late import avoids a field <-> parallel cycle."""
+    from ..parallel.mesh import maybe_shard
+    return maybe_shard(a)
 
 
 def unpack_ints(a: jnp.ndarray, fp: FieldParams = FR):

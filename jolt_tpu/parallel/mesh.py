@@ -32,6 +32,55 @@ def cycle_mesh(n_devices: Optional[int] = None) -> Mesh:
     return Mesh(np.array(devs[:n]), ("cycle",))
 
 
+# ---------------------------------------------------------------------------
+# active-mesh context: shard the REAL prover
+#
+# Witness arrays created inside `use_mesh(mesh)` (via ops.pack_ints /
+# ops.from_u64) are placed with their last (cycle/entry) axis sharded over
+# the mesh; jit tracing propagates the shardings and GSPMD inserts the
+# collectives (bind halvings -> collective-permutes, message sums -> psum).
+# Field ops are exact mod-p ints, so proofs are BYTE-IDENTICAL across
+# shardings (SURVEY.md §5.8 / reference invariant 8, "backend-invariant
+# proof bytes", specs/clean-slate-prover.md:226-233) -- enforced by
+# tests/test_sharded_prove.py.
+# ---------------------------------------------------------------------------
+
+_ACTIVE: list = []
+
+
+def active_mesh() -> Optional[Mesh]:
+    return _ACTIVE[-1] if _ACTIVE else None
+
+
+class use_mesh:
+    """Context manager: shard witness-array creation over `mesh`."""
+
+    def __init__(self, mesh: Mesh):
+        self.mesh = mesh
+
+    def __enter__(self):
+        _ACTIVE.append(self.mesh)
+        return self.mesh
+
+    def __exit__(self, *exc):
+        _ACTIVE.pop()
+        return False
+
+
+def maybe_shard(arr: jnp.ndarray) -> jnp.ndarray:
+    """Shard the last axis over the active mesh when it divides evenly;
+    replicate otherwise.  No-op without an active mesh."""
+    mesh = active_mesh()
+    if mesh is None:
+        return arr
+    D = mesh.devices.size
+    if arr.ndim >= 1 and arr.shape[-1] >= D and arr.shape[-1] % D == 0:
+        spec = P(*([None] * (arr.ndim - 1) + ["cycle"]))
+    else:
+        spec = P(*([None] * arr.ndim))
+    return jax.device_put(arr, NamedSharding(mesh, spec))
+
+
 def shard_mle(mle: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
     """(L, T) -> (L, T//D, D), last axis sharded over 'cycle' (low index bits)."""
     D = mesh.devices.size

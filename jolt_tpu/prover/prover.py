@@ -31,19 +31,20 @@ from ..pcs import HyperKZG, HyperKZGProof, KZGSetup
 from ..pcs.hyperkzg import _absorb_point
 from ..r1cs import constraints as C
 from ..relations.booleanity import Booleanity, HammingWeight
-from ..relations.bytecode import CLAIM_COLUMNS, BytecodeReadRaf
+from ..relations.bytecode import CLAIM_COLUMNS
 from ..relations.instruction_read_raf import InstructionReadRaf
 from ..relations.opening_reduction import (DenseOpening, SparseOneHotOpening,
                                            cycle_major_to_address_major_point,
                                            embedding_factor,
                                            onehot_address_major)
-from ..relations.ram_sparse import (RamPairSchedule, SparseRamOutputCheck,
+from ..relations.ram_sparse import (RamPairSchedule, SparseOneHotTableEval,
+                                    SparseRamOutputCheck,
                                     SparseRamRafEvaluation,
                                     SparseRamReadWriteChecking,
-                                    SparseRamValEvaluation)
-from ..relations.registers_rw import (RegistersRaf,
-                                      RegistersReadWriteChecking,
-                                      RegistersValEvaluation)
+                                    SparseRamValEvaluation,
+                                    SparseRegistersReadWriteChecking,
+                                    SparseRegistersValEvaluation,
+                                    combined_table_dev, index_table)
 from ..relations.spartan_outer import SpartanOuterProver
 from ..sumcheck.engine import BatchedSumcheck, OpeningAccumulator
 from ..tracer.trace import Trace
@@ -53,7 +54,7 @@ from ..witness.instruction_lookups import (D as LK_D,
                                            extract_instruction_lookup_witness)
 from ..witness.r1cs_inputs import extract_r1cs_inputs
 from ..witness.ram import extract_ram_log
-from ..witness.registers import LOG_K, extract_register_witness
+from ..witness.registers import LOG_K, extract_register_log
 
 P = FR.modulus
 
@@ -173,20 +174,20 @@ def prove(trace: Trace, setup: "KZGSetup" = None) -> JoltProof:
             _t0[0] = now
 
     # ---- witness extraction (host) --------------------------------------
+    import numpy as _np
+
+    def _ZU64(n):
+        return _np.zeros(n, dtype=_np.uint64)
+
+    T_pad = trace.padded_length
     inputs = extract_r1cs_inputs(trace)
-    reg_wit = extract_register_witness(trace)
+    reg_wit = extract_register_log(trace)
     ram_wit = extract_ram_log(trace)
     bc_wit = extract_bytecode_witness(trace, trace.code, trace.entry)
     lk_wit = extract_instruction_lookup_witness(trace, inputs)
     log_T = trace.log_T
     # per-cycle one-hot index streams (x0-sink discipline for registers)
-    rd_col = trace.col("rd").tolist()
-    kinds = trace.col("kind").tolist()
-    rd_eff = [0 if r == 255 else r for r in rd_col]
-    rs1_eff = [0 if k == 0 else s
-               for k, s in zip(kinds, trace.col("rs1").tolist())]
-    rs2_eff = [0 if k == 0 else s
-               for k, s in zip(kinds, trace.col("rs2").tolist())]
+    rd_eff, rs1_eff, rs2_eff = reg_wit.rd_eff, reg_wit.rs1_eff, reg_wit.rs2_eff
     onehot_meta = {"wa": (rd_eff, 128), "ra1": (rs1_eff, 128),
                    "ra2": (rs2_eff, 128),
                    "ram_ra": (ram_wit.cols.tolist(), ram_wit.K),
@@ -242,16 +243,17 @@ def prove(trace: Trace, setup: "KZGSetup" = None) -> JoltProof:
               accumulator.get_claim(("r1cs_input", "rs1_value")),
               accumulator.get_claim(("r1cs_input", "rs2_value"))]
     gamma = transcript.challenge_scalar()
-    rw = RegistersReadWriteChecking(reg_wit, gamma, r_cycle, claims)
+    rw = SparseRegistersReadWriteChecking(reg_wit, gamma, r_cycle, claims)
     stage2_polys, r2 = BatchedSumcheck.prove([rw], accumulator, transcript)
 
     _mark("stage2-reg-rw")
     # ---- Stage 3: registers Val evaluation -----------------------------
-    r2_cyc, r2_addr = r2[:log_T], r2[log_T:]
+    val_pt2 = accumulator.get_point(("registers", "val"))
+    r2_cyc, r2_addr = list(val_pt2[:log_T]), list(val_pt2[log_T:])
     val_claim = accumulator.get_claim(("registers", "val"))
-    ve = RegistersValEvaluation(reg_wit, r2_addr, r2_cyc, val_claim)
+    ve = SparseRegistersValEvaluation(reg_wit, r2_addr, r2_cyc, val_claim)
     stage3_polys, r3 = BatchedSumcheck.prove([ve], accumulator, transcript)
-    r3_cyc = r3[:log_T]
+    r3_cyc = list(accumulator.get_point(("registers_val_eval", "inc")))
 
     _mark("stage3-reg-val")
     # ---- Stage 4: RAM read/write checking + raf evaluation (batched) ----
@@ -321,16 +323,37 @@ def prove(trace: Trace, setup: "KZGSetup" = None) -> JoltProof:
         for col in (rd_eff, rs1_eff, rs2_eff)]
     bc_claims = [accumulator.get_claim(("r1cs_input", name))
                  for name, _ in CLAIM_COLUMNS[:-3]] + idx_claims
-    bc = BytecodeReadRaf(bc_wit, gamma_bc, r_cycle, bc_claims)
+    def _combine(claims):
+        acc, g = 0, 1
+        for c in claims:
+            acc = (acc + g * c) % P
+            g = g * gamma_bc % P
+        return acc
+
+    bc_sched = RamPairSchedule(bc_wit.pc_idx, _ZU64(T_pad), _ZU64(T_pad),
+                               bc_wit.K)
+    bc = SparseOneHotTableEval(
+        bc_sched, bc_wit.log_K,
+        combined_table_dev(bc_wit.table, bc_wit.entry, bc_wit.K, gamma_bc),
+        r_cycle, _combine(bc_claims), ("bytecode", "ra"))
     flag_claims = [accumulator.get_claim(("instr_flag", n))
                    for n in LT.TABLE_NAMES]
     flag_claims.append(accumulator.get_claim(("instr_flag", "raf")))
-    bc_flags = BytecodeReadRaf(bc_wit, gamma_bc, r_lk_cyc, flag_claims,
-                               columns=LOOKUP_FLAG_COLUMNS,
-                               label="bytecode_flags")
-    raf_rd = RegistersRaf(reg_wit.wa, None, r_cycle, idx_claims[0], "wa")
-    raf_rs1 = RegistersRaf(reg_wit.ra1, None, r_cycle, idx_claims[1], "ra1")
-    raf_rs2 = RegistersRaf(reg_wit.ra2, None, r_cycle, idx_claims[2], "ra2")
+    bc_flags = SparseOneHotTableEval(
+        bc_sched, bc_wit.log_K,
+        combined_table_dev(bc_wit.table, bc_wit.entry, bc_wit.K, gamma_bc,
+                           columns=LOOKUP_FLAG_COLUMNS),
+        r_lk_cyc, _combine(flag_claims), ("bytecode_flags", "ra"))
+    reg_idx_tab = index_table(128)
+    raf_insts = []
+    for idx_stream, claim, name in ((rd_eff, idx_claims[0], "wa"),
+                                    (rs1_eff, idx_claims[1], "ra1"),
+                                    (rs2_eff, idx_claims[2], "ra2")):
+        sched_p = RamPairSchedule(idx_stream, _ZU64(T_pad), _ZU64(T_pad), 128)
+        raf_insts.append(SparseOneHotTableEval(
+            sched_p, 7, reg_idx_tab, r_cycle, claim,
+            ("registers_raf", name), opening_key="m"))
+    raf_rd, raf_rs1, raf_rs2 = raf_insts
     stage6_polys, _ = BatchedSumcheck.prove(
         [bc, bc_flags, raf_rd, raf_rs1, raf_rs2], accumulator, transcript)
 

@@ -87,15 +87,17 @@ class RamPairSchedule:
     """
 
     def __init__(self, cols: np.ndarray, pre: np.ndarray, post: np.ndarray,
-                 K: int):
-        T = len(cols)
+                 K: int, rows: Optional[np.ndarray] = None,
+                 T: Optional[int] = None):
+        T = T if T is not None else len(cols)
         self.T = T
         self.log_T = T.bit_length() - 1
         self.K = K
         self.rounds: List[_Round] = []
 
         col = np.asarray(cols, dtype=np.int64)
-        row = np.arange(T, dtype=np.int64)
+        row = (np.arange(T, dtype=np.int64) if rows is None
+               else np.asarray(rows, dtype=np.int64))
         prev = np.asarray(pre, dtype=np.uint64)
         nxt = np.asarray(post, dtype=np.uint64)
 
@@ -162,6 +164,7 @@ class RamPairSchedule:
 
         self.final_cols = col           # (n_final,) distinct columns
         self.initial_pre = np.asarray(pre, dtype=np.uint64)
+        self.n_entries0 = len(cols)
 
     def initial_val(self) -> jnp.ndarray:
         lo = jnp.asarray((self.initial_pre & np.uint64(0xFFFFFFFF))
@@ -265,7 +268,7 @@ class _SparseRamBase(SumcheckInstance):
         self.log_T = sched.log_T
         self.log_K = log_K
         self.K = 1 << log_K
-        self.RA = ops.ones((sched.T,))
+        self.RA = ops.ones((sched.n_entries0,))
         self.final_openings: Optional[dict] = None
         self.RA_K: Optional[jnp.ndarray] = None
 
@@ -645,3 +648,410 @@ class SparseRamOutputCheckVerifier(_SparseNorm, RamOutputCheckVerifier):
         w_eval = init_mle_eval(self.w_sparse, r_addr)
         o = self.openings
         return w_eval * o["ra"] % P * o["inc"] % P
+
+
+# ---------------------------------------------------------------------------
+# generic one-hot x public-table relation (registers raf, bytecode read-raf)
+# ---------------------------------------------------------------------------
+
+class SparseOneHotTableEval(_SparseRamBase):
+    """claim = sum_{k,j} eq(r_cycle,j) * M(k,j) * TAB(k) for a one-hot M
+    given by its per-cycle index stream and a PUBLIC dense table TAB.
+
+    Covers the register raf instances (TAB(k) = k) and the bytecode
+    read-raf Shout (TAB = gamma-combined decoded-program columns,
+    `zkvm/bytecode/read_raf_checking.rs`)."""
+
+    def __init__(self, sched: RamPairSchedule, log_K: int,
+                 TAB_K: jnp.ndarray, r_cycle: Sequence[int], claim: int,
+                 opening_id, opening_key: str = "ra"):
+        super().__init__(sched, log_K)
+        self.claim = claim % P
+        self.EQ = eq.evals([x % P for x in r_cycle])
+        self.TAB_K = TAB_K
+        self.opening_id = opening_id
+        self.opening_key = opening_key
+        self._percol = [self._col_consts(rnd) for rnd in sched.rounds]
+
+    def _col_consts(self, rnd: _Round) -> jnp.ndarray:
+        cols = jnp.asarray(np.minimum(rnd.cols, self.K - 1), jnp.int32)
+        live = jnp.asarray(rnd.cols < self.K)
+        return jnp.where(live[None, :], self.TAB_K[:, cols], 0)
+
+    def input_claim(self, accumulator: OpeningAccumulator) -> int:
+        return self.claim
+
+    def _cycle_message(self, t: int, rnd: _Round) -> jnp.ndarray:
+        return _prod_cycle_message(self.RA, self.EQ[:, None, :],
+                                   self._percol[t], rnd.even_src,
+                                   rnd.odd_src, rnd.has_e, rnd.has_o,
+                                   rnd.rows)
+
+    def _cycle_bind(self, rnd: _Round, r_dev) -> None:
+        self.EQ = dense.bind_low(self.EQ, r_dev, FR)
+
+    def _enter_addr_phase(self) -> None:
+        pass
+
+    def _addr_message(self) -> jnp.ndarray:
+        return _prod_addr_message(self.RA_K, self.TAB_K)
+
+    def _addr_bind(self, r_dev) -> None:
+        self.TAB_K = dense.bind_high(self.TAB_K, r_dev, FR)
+
+    def _addr_scale(self) -> int:
+        return ops.unpack_ints(self.EQ[:, :1])[0]
+
+    def finalize(self) -> None:
+        self.final_openings = {
+            self.opening_key: ops.unpack_ints(self.RA_K)[0]}
+
+    def cache_openings(self, accumulator: OpeningAccumulator,
+                       r_slice: Sequence[int]) -> None:
+        r_cyc, r_addr = _norm_split(r_slice, self.log_T)
+        accumulator.insert(self.opening_id, r_cyc + r_addr,
+                           self.final_openings[self.opening_key])
+
+    def expected_output_claim(self, accumulator, r):  # pragma: no cover
+        raise NotImplementedError
+
+
+def index_table(K: int) -> jnp.ndarray:
+    """TAB(k) = k, device field array (registers raf)."""
+    idx = np.arange(K, dtype=np.uint64)
+    lo = jnp.asarray((idx & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+    hi = jnp.asarray((idx >> np.uint64(32)).astype(np.uint32))
+    return ops.from_u64(lo, hi, FR)
+
+
+def combined_table_dev(table, entry: int, K: int, gamma: int,
+                       columns=None) -> jnp.ndarray:
+    """Device table for the bytecode read-raf (bytecode.py combined_table)."""
+    from .bytecode import combined_table
+    return ops.pack_ints(combined_table(table, entry, K, gamma, columns))
+
+
+# ---------------------------------------------------------------------------
+# registers: read/write checking (3 ports) + Val evaluation
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=('fp',))
+def _reg_rw_cycle_message(WA, RA1, RA2, VAL, EQ, INC, src_e, src_o, has_e,
+                          has_o, imp_e, imp_o, rows, g1, g2, fp=FR):
+    zero = jnp.zeros_like(imp_e)
+    wae, wao = _gather_pairs(WA, src_e, src_o, has_e, has_o, zero, zero, fp)
+    r1e, r1o = _gather_pairs(RA1, src_e, src_o, has_e, has_o, zero, zero, fp)
+    r2e, r2o = _gather_pairs(RA2, src_e, src_o, has_e, has_o, zero, zero, fp)
+    vle, vlo = _gather_pairs(VAL, src_e, src_o, has_e, has_o, imp_e, imp_o,
+                             fp)
+    eq3 = _evals3(EQ[:, 2 * rows], EQ[:, 2 * rows + 1], fp)
+    inc3 = _evals3(INC[:, 2 * rows], INC[:, 2 * rows + 1], fp)
+    wa3 = _evals3(wae, wao, fp)
+    ra13 = _evals3(r1e, r1o, fp)
+    ra23 = _evals3(r2e, r2o, fp)
+    val3 = _evals3(vle, vlo, fp)
+    reads = ops.add(ops.mont_mul(g1[:, None], ra13, fp),
+                    ops.mont_mul(g2[:, None], ra23, fp), fp)
+    summand = ops.add(ops.mont_mul(wa3, ops.add(inc3, val3, fp), fp),
+                      ops.mont_mul(reads, val3, fp), fp)
+    return ops.sum_mod(ops.mont_mul(eq3, summand, fp), fp)
+
+
+@partial(jax.jit, static_argnames=('fp',))
+def _reg_rw_addr_message(WA_K, RA1_K, RA2_K, VAL_K, incc, g1, g2, fp=FR):
+    wa3 = dense.sumcheck_eval_points_high(WA_K, 3, fp)
+    ra13 = dense.sumcheck_eval_points_high(RA1_K, 3, fp)
+    ra23 = dense.sumcheck_eval_points_high(RA2_K, 3, fp)
+    val3 = dense.sumcheck_eval_points_high(VAL_K, 3, fp)
+    reads = ops.add(ops.mont_mul(g1[:, None], ra13, fp),
+                    ops.mont_mul(g2[:, None], ra23, fp), fp)
+    inc_b = jnp.broadcast_to(incc[:, None, :], val3.shape)
+    summand = ops.add(ops.mont_mul(wa3, ops.add(inc_b, val3, fp), fp),
+                      ops.mont_mul(reads, val3, fp), fp)
+    return ops.sum_mod(summand, fp)
+
+
+class SparseRegistersReadWriteChecking(_SparseRamBase):
+    """rd_wv + g*rs1_rv + g^2*rs2_rv = sum_{k,j} eq(r_cyc,j) *
+    [wa(k,j)(inc(j)+Val(k,j)) + (g*ra1 + g^2*ra2)(k,j) * Val(k,j)].
+
+    Entries: <=3 per cycle (the registers touched by rd/rs1/rs2, merged
+    when ports coincide), sharing one Val carried-value chain per register.
+    Mirrors `zkvm/registers/read_write_checking.rs` with the sparse
+    matrices of `read_write_matrix/registers.rs`."""
+
+    def __init__(self, log: "RegisterLog", gamma: int,
+                 r_cycle: Sequence[int], claims: Sequence[int]):
+        from ..witness.registers import LOG_K as REG_LOG_K
+        sched = RamPairSchedule(log.cols, log.prev, log.post, 1 << REG_LOG_K,
+                                rows=log.rows, T=log.T)
+        super().__init__(sched, REG_LOG_K)
+        self.gamma = gamma % P
+        self.g2i = self.gamma * self.gamma % P
+        self.r_cycle = [x % P for x in r_cycle]
+        self.claims = list(claims)
+
+        def flags_dev(f):
+            lo = jnp.asarray(f.astype(np.uint32))
+            hi = jnp.zeros_like(lo)
+            return ops.from_u64(lo, hi, FR)
+
+        self.WA = flags_dev(log.wa_flag)
+        self.RA1 = flags_dev(log.ra1_flag)
+        self.RA2 = flags_dev(log.ra2_flag)
+        self.VAL = sched.initial_val()
+        self.EQ = eq.evals(self.r_cycle)
+        self.INC = ops.pack_ints(log.inc)
+        self.g1_dev = ops.pack_ints([self.gamma])
+        self.g2_dev = ops.pack_ints([self.g2i])
+        self.WA_K = self.RA1_K = self.RA2_K = self.VAL_K = None
+        self.incc = None
+
+    def input_claim(self, accumulator: OpeningAccumulator) -> int:
+        rd, rs1, rs2 = self.claims
+        return (rd + self.gamma * rs1 + self.g2i * rs2) % P
+
+    def _cycle_message(self, t: int, rnd: _Round) -> jnp.ndarray:
+        return _reg_rw_cycle_message(
+            self.WA, self.RA1, self.RA2, self.VAL, self.EQ, self.INC,
+            rnd.even_src, rnd.odd_src, rnd.has_e, rnd.has_o, rnd.imp_e,
+            rnd.imp_o, rnd.rows, self.g1_dev, self.g2_dev)
+
+    def ingest_challenge(self, r: int, round: int) -> None:
+        r_dev = ops.pack_ints([r])
+        if round < self.log_T:
+            rnd = self.sched.rounds[round]
+            zero = jnp.zeros_like(rnd.imp_e)
+            bind = lambda X, fe, fo: _bind_pairs(
+                X, rnd.even_src, rnd.odd_src, rnd.has_e, rnd.has_o, fe, fo,
+                r_dev)
+            self.WA = bind(self.WA, zero, zero)
+            self.RA1 = bind(self.RA1, zero, zero)
+            self.RA2 = bind(self.RA2, zero, zero)
+            self.VAL = bind(self.VAL, rnd.imp_e, rnd.imp_o)
+            self.EQ = dense.bind_low(self.EQ, r_dev, FR)
+            self.INC = dense.bind_low(self.INC, r_dev, FR)
+            if round + 1 == self.log_T:
+                n = len(self.sched.final_cols)
+                cols = jnp.asarray(self.sched.final_cols, jnp.int32)
+                zK = ops.zeros((self.K,))
+                self.WA_K = _materialize(self.WA[:, :n], cols, zK, self.K)
+                self.RA1_K = _materialize(self.RA1[:, :n], cols, zK, self.K)
+                self.RA2_K = _materialize(self.RA2[:, :n], cols, zK, self.K)
+                # registers start at 0: untouched columns keep Val = 0
+                self.VAL_K = _materialize(self.VAL[:, :n], cols, zK, self.K)
+                self.incc = self.INC[:, :1]
+        else:
+            b = partial(dense.bind_high, fp=FR)
+            r2 = r_dev
+            self.WA_K, self.RA1_K = b(self.WA_K, r2), b(self.RA1_K, r2)
+            self.RA2_K, self.VAL_K = b(self.RA2_K, r2), b(self.VAL_K, r2)
+
+    def _addr_message(self) -> jnp.ndarray:
+        return _reg_rw_addr_message(self.WA_K, self.RA1_K, self.RA2_K,
+                                    self.VAL_K, self.incc, self.g1_dev,
+                                    self.g2_dev)
+
+    def _addr_scale(self) -> int:
+        return ops.unpack_ints(self.EQ[:, :1])[0]
+
+    def finalize(self) -> None:
+        self.final_openings = {
+            "wa": ops.unpack_ints(self.WA_K)[0],
+            "ra1": ops.unpack_ints(self.RA1_K)[0],
+            "ra2": ops.unpack_ints(self.RA2_K)[0],
+            "val": ops.unpack_ints(self.VAL_K)[0],
+            "inc": ops.unpack_ints(self.INC[:, :1])[0],
+        }
+
+    def cache_openings(self, accumulator: OpeningAccumulator,
+                       r_slice: Sequence[int]) -> None:
+        r_cyc, r_addr = _norm_split(r_slice, self.log_T)
+        full = r_cyc + r_addr
+        for name in ("wa", "ra1", "ra2", "val"):
+            accumulator.insert(("registers", name), full,
+                               self.final_openings[name])
+        accumulator.insert(("registers", "inc"), r_cyc,
+                           self.final_openings["inc"])
+
+    def expected_output_claim(self, accumulator, r):  # pragma: no cover
+        raise NotImplementedError
+
+
+class SparseRegistersValEvaluation(SparseRamValEvaluation):
+    """Registers Val-evaluation: same prefix-sum identity over the WRITE
+    port only (wa entries), zero initial register file."""
+
+    def __init__(self, log: "RegisterLog", r_addr: Sequence[int],
+                 r_cyc: Sequence[int], val_claim: int):
+        from ..witness.registers import LOG_K as REG_LOG_K
+        wa_cols = np.asarray(log.rd_eff, dtype=np.int64)
+        sched = RamPairSchedule(wa_cols, log.wa_pre, log.wa_post,
+                                1 << REG_LOG_K)
+        super().__init__(sched, REG_LOG_K, {}, log.inc, r_addr, r_cyc,
+                         val_claim)
+
+    def finalize(self) -> None:
+        super().finalize()
+        self.final_openings = {"wa": self.final_openings["ra"],
+                               "inc": self.final_openings["inc"]}
+
+    def cache_openings(self, accumulator: OpeningAccumulator,
+                       r_slice: Sequence[int]) -> None:
+        r_cyc, r_addr = _norm_split(r_slice, self.log_T)
+        accumulator.insert(("registers_val_eval", "wa"), r_cyc + r_addr,
+                           self.final_openings["wa"])
+        accumulator.insert(("registers_val_eval", "inc"), r_cyc,
+                           self.final_openings["inc"])
+
+
+# ---------------------------------------------------------------------------
+# verifier twins (LSB-first cycle normalization)
+# ---------------------------------------------------------------------------
+
+class SparseRegistersReadWriteCheckingVerifier(_SparseNorm, SumcheckInstance):
+    def __init__(self, log_T: int, gamma: int, r_cycle: Sequence[int],
+                 claims: Sequence[int], openings: dict):
+        from ..witness.registers import LOG_K as REG_LOG_K
+        self.log_T = log_T
+        self.log_K = REG_LOG_K
+        self.gamma = gamma
+        self.r_cycle = list(r_cycle)
+        self.claims = list(claims)
+        self.openings = openings
+
+    degree = 3
+
+    @property
+    def num_rounds(self) -> int:
+        return self.log_T + self.log_K
+
+    def input_claim(self, accumulator: OpeningAccumulator) -> int:
+        rd, rs1, rs2 = self.claims
+        return (rd + self.gamma * rs1 + self.gamma * self.gamma % P * rs2) % P
+
+    def compute_message(self, round, prev):  # pragma: no cover
+        raise NotImplementedError("verifier instance")
+
+    def ingest_challenge(self, r, round):  # pragma: no cover
+        raise NotImplementedError("verifier instance")
+
+    def expected_output_claim(self, accumulator: OpeningAccumulator,
+                              r: Sequence[int]) -> int:
+        r_cyc, _ = self._split(r)
+        o = self.openings
+        g, g2 = self.gamma, self.gamma * self.gamma % P
+        inner = (o["wa"] * ((o["inc"] + o["val"]) % P)
+                 + g * o["ra1"] % P * o["val"]
+                 + g2 * o["ra2"] % P * o["val"]) % P
+        return eq.eq_int(self.r_cycle, r_cyc) * inner % P
+
+
+class SparseRegistersValEvaluationVerifier(_SparseNorm, SumcheckInstance):
+    def __init__(self, log_T: int, r_addr: Sequence[int],
+                 r_cyc: Sequence[int], val_claim: int, openings: dict):
+        from ..witness.registers import LOG_K as REG_LOG_K
+        self.log_T = log_T
+        self.log_K = REG_LOG_K
+        self.r_addr = list(r_addr)
+        self.r_cyc = list(r_cyc)
+        self.val_claim = val_claim
+        self.openings = openings
+
+    degree = 3
+
+    @property
+    def num_rounds(self) -> int:
+        return self.log_T + self.log_K
+
+    def input_claim(self, accumulator: OpeningAccumulator) -> int:
+        return self.val_claim % P
+
+    def compute_message(self, round, prev):  # pragma: no cover
+        raise NotImplementedError("verifier instance")
+
+    def ingest_challenge(self, r, round):  # pragma: no cover
+        raise NotImplementedError("verifier instance")
+
+    def expected_output_claim(self, accumulator: OpeningAccumulator,
+                              r: Sequence[int]) -> int:
+        r_cyc_new, r_addr_new = self._split(r)
+        o = self.openings
+        lt_eval = lt.lt_point_int(r_cyc_new, self.r_cyc)
+        eq_addr = eq.eq_int(self.r_addr, r_addr_new)
+        return lt_eval * eq_addr % P * o["wa"] % P * o["inc"] % P
+
+
+class SparseRegistersRafVerifier(_SparseNorm, SumcheckInstance):
+    def __init__(self, log_T: int, r_cycle, index_claim: int,
+                 m_opening: int):
+        from ..witness.registers import LOG_K as REG_LOG_K
+        self.log_T = log_T
+        self.log_K = REG_LOG_K
+        self.r_cycle = list(r_cycle)
+        self.index_claim = index_claim
+        self.m_opening = m_opening
+
+    degree = 3
+
+    @property
+    def num_rounds(self) -> int:
+        return self.log_T + self.log_K
+
+    def input_claim(self, accumulator: OpeningAccumulator) -> int:
+        return self.index_claim % P
+
+    def compute_message(self, round, prev):  # pragma: no cover
+        raise NotImplementedError("verifier instance")
+
+    def ingest_challenge(self, r, round):  # pragma: no cover
+        raise NotImplementedError("verifier instance")
+
+    def expected_output_claim(self, accumulator: OpeningAccumulator,
+                              r: Sequence[int]) -> int:
+        from .registers_rw import index_mle_eval
+        r_cyc, r_addr = self._split(r)
+        return (eq.eq_int(self.r_cycle, r_cyc) * self.m_opening % P
+                * index_mle_eval(r_addr) % P)
+
+
+class SparseBytecodeReadRafVerifier(_SparseNorm, SumcheckInstance):
+    def __init__(self, log_T: int, log_K: int, gamma: int,
+                 r_cycle: Sequence[int], claims: Sequence[int],
+                 code: bytes, entry: int, openings: dict, columns=None):
+        self.log_T, self.log_K = log_T, log_K
+        self.gamma = gamma
+        self.r_cycle = list(r_cycle)
+        self.claims = list(claims)
+        self.code, self.entry = code, entry
+        self.openings = openings
+        self.columns = columns
+
+    degree = 3
+
+    @property
+    def num_rounds(self) -> int:
+        return self.log_T + self.log_K
+
+    def input_claim(self, accumulator: OpeningAccumulator) -> int:
+        acc, g = 0, 1
+        for c in self.claims:
+            acc = (acc + g * c) % P
+            g = g * self.gamma % P
+        return acc
+
+    def compute_message(self, round, prev):  # pragma: no cover
+        raise NotImplementedError("verifier instance")
+
+    def ingest_challenge(self, r, round):  # pragma: no cover
+        raise NotImplementedError("verifier instance")
+
+    def expected_output_claim(self, accumulator: OpeningAccumulator,
+                              r: Sequence[int]) -> int:
+        from .bytecode import combined_table_eval
+        r_cyc, r_addr = self._split(r)
+        tab_eval = combined_table_eval(self.code, self.entry,
+                                       1 << self.log_K, self.gamma, r_addr,
+                                       self.columns)
+        return (eq.eq_int(self.r_cycle, r_cyc) * self.openings["ra"] % P
+                * tab_eval % P)

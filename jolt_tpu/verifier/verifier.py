@@ -29,15 +29,16 @@ from ..relations.opening_reduction import (OpeningReductionVerifier,
                                            embedding_factor)
 from ..r1cs import constraints as C
 from ..relations.booleanity import BooleanityVerifier, HammingWeightVerifier
-from ..relations.bytecode import CLAIM_COLUMNS, BytecodeReadRafVerifier
+from ..relations.bytecode import CLAIM_COLUMNS
 from ..relations.instruction_read_raf import InstructionReadRafVerifier
 from ..relations.ram_sparse import (SparseRamOutputCheckVerifier,
                                     SparseRamRafEvaluationVerifier,
                                     SparseRamReadWriteCheckingVerifier,
                                     SparseRamValEvaluationVerifier)
-from ..relations.registers_rw import (RegistersRafVerifier,
-                                      RegistersReadWriteCheckingVerifier,
-                                      RegistersValEvaluationVerifier)
+from ..relations.ram_sparse import (SparseBytecodeReadRafVerifier,
+                                    SparseRegistersRafVerifier,
+                                    SparseRegistersReadWriteCheckingVerifier,
+                                    SparseRegistersValEvaluationVerifier)
 from ..relations.spartan_outer import SpartanOuterVerifier
 from ..sumcheck.engine import BatchedSumcheck, OpeningAccumulator, SumcheckError
 from ..tracer.trace import Trace
@@ -139,16 +140,17 @@ def verify(proof: JoltProof, io: PublicIO, setup: "KZGSetup" = None) -> bool:
     claims = [proof.r1cs_input_openings[V_RD_WRITE_VALUE],
               proof.r1cs_input_openings[V_RS1_VALUE],
               proof.r1cs_input_openings[V_RS2_VALUE]]
-    inst2 = RegistersReadWriteCheckingVerifier(
+    inst2 = SparseRegistersReadWriteCheckingVerifier(
         log_T, gamma, r_cycle, claims, proof.stage2_openings)
     try:
         r2 = BatchedSumcheck.verify(proof.stage2_polys, [inst2], accumulator,
                                     transcript)
     except SumcheckError as e:
         raise VerificationError(f"stage2: {e}") from e
-    r2_cyc, r2_addr = r2[:log_T], r2[log_T:]
+    r2_cyc, r2_addr = inst2._split(r2)
+    r2n = r2_cyc + r2_addr
     for name in ("wa", "ra1", "ra2", "val"):
-        accumulator.insert(("registers", name), r2,
+        accumulator.insert(("registers", name), r2n,
                            proof.stage2_openings[name])
     accumulator.insert(("registers", "inc"), r2_cyc,
                        proof.stage2_openings["inc"])
@@ -156,15 +158,15 @@ def verify(proof: JoltProof, io: PublicIO, setup: "KZGSetup" = None) -> bool:
 
     # ---- Stage 3: registers Val evaluation -----------------------------
     val_claim = proof.stage2_openings["val"]
-    inst3 = RegistersValEvaluationVerifier(
+    inst3 = SparseRegistersValEvaluationVerifier(
         log_T, r2_addr, r2_cyc, val_claim, proof.stage3_openings)
     try:
         r3 = BatchedSumcheck.verify(proof.stage3_polys, [inst3], accumulator,
                                     transcript)
     except SumcheckError as e:
         raise VerificationError(f"stage3: {e}") from e
-    r3_cyc = r3[:log_T]
-    accumulator.insert(("registers_val_eval", "wa"), r3,
+    r3_cyc, r3_addr = inst3._split(r3)
+    accumulator.insert(("registers_val_eval", "wa"), r3_cyc + r3_addr,
                        proof.stage3_openings["wa"])
     accumulator.insert(("registers_val_eval", "inc"), r3_cyc,
                        proof.stage3_openings["inc"])
@@ -250,17 +252,17 @@ def verify(proof: JoltProof, io: PublicIO, setup: "KZGSetup" = None) -> bool:
     bc_claims = [proof.r1cs_input_openings[name_to_idx[name]]
                  for name, _ in CLAIM_COLUMNS[:-3]] + idx_claims
     o6 = proof.stage6_openings
-    inst6 = BytecodeReadRafVerifier(
+    inst6 = SparseBytecodeReadRafVerifier(
         log_T, proof.bytecode_log_K, gamma_bc, r_cycle, bc_claims,
         io.code, io.entry, {"ra": o6["ra"]})
     flag_claims = [o5i[f"flag_{n}"] for n in LT.TABLE_NAMES]
     flag_claims.append(o5i["raf_flag"])
-    inst6f = BytecodeReadRafVerifier(
+    inst6f = SparseBytecodeReadRafVerifier(
         log_T, proof.bytecode_log_K, gamma_bc, r_lk_cyc, flag_claims,
         io.code, io.entry, {"ra": o6["flags_ra"]},
         columns=LOOKUP_FLAG_COLUMNS)
-    raf_insts = [RegistersRafVerifier(log_T, r_cycle, idx_claims[i],
-                                      o6[f"raf_{n}"])
+    raf_insts = [SparseRegistersRafVerifier(log_T, r_cycle, idx_claims[i],
+                                            o6[f"raf_{n}"])
                  for i, n in enumerate(("wa", "ra1", "ra2"))]
     stage6_insts = [inst6, inst6f] + raf_insts
     try:
@@ -269,13 +271,17 @@ def verify(proof: JoltProof, io: PublicIO, setup: "KZGSetup" = None) -> bool:
     except SumcheckError as e:
         raise VerificationError(f"stage6: {e}") from e
     max6 = max(i.num_rounds for i in stage6_insts)
-    accumulator.insert(("bytecode", "ra"),
-                       r6[max6 - inst6.num_rounds:], o6["ra"])
-    accumulator.insert(("bytecode_flags", "ra"),
-                       r6[max6 - inst6f.num_rounds:], o6["flags_ra"])
+
+    def _norm6(inst):
+        c, a = inst._split(r6[max6 - inst.num_rounds:])
+        return c + a
+
+    accumulator.insert(("bytecode", "ra"), _norm6(inst6), o6["ra"])
+    accumulator.insert(("bytecode_flags", "ra"), _norm6(inst6f),
+                       o6["flags_ra"])
     for i, n in enumerate(("wa", "ra1", "ra2")):
-        off = max6 - raf_insts[i].num_rounds
-        accumulator.insert(("registers_raf", n), r6[off:], o6[f"raf_{n}"])
+        accumulator.insert(("registers_raf", n), _norm6(raf_insts[i]),
+                           o6[f"raf_{n}"])
     accumulator.flush_to_transcript(transcript)
 
     # ---- Stage 7: one-hot booleanity + Hamming weight --------------------
