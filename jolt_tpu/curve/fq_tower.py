@@ -51,6 +51,16 @@ class Fq2:
     def conj(s):
         return Fq2(s.a, -s.b)
 
+    def pow(s, e: int):
+        out = Fq2.ONE
+        base = s
+        while e:
+            if e & 1:
+                out = out * base
+            base = base.sqr()
+            e >>= 1
+        return out
+
     def __eq__(s, o):
         return s.a == o.a and s.b == o.b
 

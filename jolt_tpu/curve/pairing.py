@@ -98,8 +98,12 @@ def _line(ax: int, ay: int, lam: int, xq12: Fq12, yq12: Fq12) -> Fq12:
     return yq12 + lam12_x + const
 
 
-def tate_pairing(p: Point, q: G2Point) -> Fq12:
-    """e(P, Q) for P in G1 (affine ints), Q in G2 (affine Fq2)."""
+def miller(p: Point, q: G2Point) -> Fq12:
+    """Miller loop of the Tate pairing (NO final exponentiation).
+
+    The final exp costs ~6x the Miller loop; products of pairings share ONE
+    final exp via `final_exp(prod miller_i)` -- the workhorse of Dory's
+    tier-2 commits and reduce rounds."""
     if p is None or q is None:
         return Fq12.one()
     xq12, yq12 = _psi_coords(q)
@@ -127,12 +131,26 @@ def tate_pairing(p: Point, q: G2Point) -> Fq12:
             x3 = (lam * lam - tx - xp) % Q
             ty = (lam * (tx - x3) - ty) % Q
             tx = x3
+    return f
+
+
+def final_exp(f: Fq12) -> Fq12:
     return f.pow(_FINAL_EXP)
+
+
+def tate_pairing(p: Point, q: G2Point) -> Fq12:
+    """e(P, Q) for P in G1 (affine ints), Q in G2 (affine Fq2)."""
+    return final_exp(miller(p, q))
+
+
+def pairing_product(pairs: List[Tuple[Point, G2Point]]) -> Fq12:
+    """prod e(P_i, Q_i) with ONE shared final exponentiation."""
+    acc = Fq12.one()
+    for p, q in pairs:
+        acc = acc * miller(p, q)
+    return final_exp(acc)
 
 
 def pairing_product_is_one(pairs: List[Tuple[Point, G2Point]]) -> bool:
     """prod e(P_i, Q_i) == 1 -- the KZG / Dory verification predicate."""
-    acc = Fq12.one()
-    for p, q in pairs:
-        acc = acc * tate_pairing(p, q)
-    return acc.is_one()
+    return pairing_product(pairs).is_one()

@@ -1,0 +1,472 @@
+"""Dory polynomial commitment scheme: transparent setup, two-tier GT
+commitments, additive homomorphism, pay-per-bit tier-1 MSMs.
+
+Structure mirrors the reference (`crates/jolt-dory`, `book/src/how/dory.md`):
+
+  * URS: hash-to-curve G1/G2 generator vectors (NO trusted setup; unknown
+    discrete logs), sizes O(sqrt N): Gamma1 (2^sigma, tier-1 row key) and
+    Gamma2 (2^nu, tier-2 AFGHO key), plus independent per-level reduce keys.
+  * Commit: coefficients as a 2^nu x 2^sigma matrix (row-major, row index =
+    the FIRST nu point variables); tier 1: row commitments C1_i =
+    <M_i, Gamma1> in G1 (small-scalar/pay-per-bit MSMs); tier 2: C =
+    sum_i e(C1_i, Gamma2_i) in GT (one shared final exponentiation).
+  * Open at r = (r_row, r_col), claim y = L^T M R with L = eq(r_row),
+    R = eq(r_col):
+      - phase A: the REAL Dory-reduce (Lee21 `eprint 2020/1274` section 4:
+        beta-masking with per-level chi/Delta precomputations, O(log)
+        rounds, O(1) verifier work per round) proves the prover-supplied
+        E1 equals sum_i L_i C1_i for the v1 bound to C -- i.e. E1 commits
+        the combined row s = L^T M under Gamma1.
+      - phase B: a generator-folding inner-product argument (pairing-free)
+        proves <s, R> = y against E1 = <s, Gamma1>.
+    Verifier: O(log) pairings/GT work in phase A + O(sqrt N) G1 folds in
+    phase B (the reference reaches O(log N) everywhere; noted follow-up).
+  * Homomorphism: commitments are GT elements; RLCs of commitments match
+    RLCs of polynomials (used by the stage-8 joint batched opening).
+
+Citations: `crates/jolt-dory/src/scheme.rs`, `poly/commitment/dory/
+dory_globals.rs` (matrix layout), `book/src/how/dory.md:37-80`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import os
+import pickle
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from ..curve import bn254_host as host
+from ..curve.fq_tower import Fq2, Fq6, Fq12
+from ..curve.pairing import (G2Point, G2_GEN, final_exp, g2_add, g2_mul,
+                             g2_is_on_curve, g2_neg, miller, pairing_product,
+                             tate_pairing)
+from ..field.params import FQ_MODULUS as Q
+from ..field.params import FR_MODULUS as P
+from ..transcript import Blake2bTranscript
+
+# BN254 G2 cofactor (checked at setup: clearing lands in the r-torsion)
+_G2_COFACTOR = 21888242871839275222246405745257275088844257914179612981679871602714643921549
+
+
+# ---------------------------------------------------------------------------
+# hash-to-curve (try-and-increment; generators with unknown dlog)
+# ---------------------------------------------------------------------------
+
+def _hash_fq(tag: bytes, ctr: int) -> int:
+    return int.from_bytes(
+        hashlib.blake2b(tag + ctr.to_bytes(8, "little"), digest_size=48)
+        .digest(), "big") % Q
+
+
+def _sqrt_fq(a: int) -> Optional[int]:
+    if a == 0:
+        return 0
+    x = pow(a, (Q + 1) // 4, Q)  # q = 3 mod 4
+    return x if x * x % Q == a % Q else None
+
+
+def hash_to_g1(tag: bytes) -> host.Point:
+    ctr = 0
+    while True:
+        x = _hash_fq(tag + b"/g1", ctr)
+        y = _sqrt_fq((x * x % Q * x + 3) % Q)
+        if y is not None:
+            return (x, min(y, Q - y))  # normalized sign
+        ctr += 1
+
+
+def _fq2_sqrt(a: Fq2) -> Optional[Fq2]:
+    """Square root in Fq2 = Fq[u]/(u^2+1), q = 3 mod 4."""
+    if a == Fq2.ZERO:
+        return Fq2.ZERO
+    a1 = a.pow((Q - 3) // 4)
+    x0 = a1 * a
+    alpha = a1 * x0
+    if alpha == Fq2(Q - 1):
+        x = Fq2(0, 1) * x0
+    else:
+        b = (Fq2(1) + alpha).pow((Q - 1) // 2)
+        x = b * x0
+    return x if x * x == a else None
+
+
+_TWIST_B = (Fq2(3) * Fq2(9, 1).inv())
+
+
+def hash_to_g2(tag: bytes) -> G2Point:
+    ctr = 0
+    while True:
+        x = Fq2(_hash_fq(tag + b"/g2x", ctr), _hash_fq(tag + b"/g2y", ctr))
+        y = _fq2_sqrt(x * x * x + _TWIST_B)
+        if y is not None:
+            p = g2_mul((x, y), _G2_COFACTOR)  # clear cofactor -> r-torsion
+            if p is not None:
+                return p
+        ctr += 1
+
+
+# ---------------------------------------------------------------------------
+# GT serialization (transcript + proof wire format)
+# ---------------------------------------------------------------------------
+
+def gt_to_bytes(f: Fq12) -> bytes:
+    out = b""
+    for fq6 in (f.c0, f.c1):
+        for fq2 in (fq6.c0, fq6.c1, fq6.c2):
+            out += fq2.a.to_bytes(32, "big") + fq2.b.to_bytes(32, "big")
+    return out
+
+
+def _g2_bytes(p: G2Point) -> bytes:
+    if p is None:
+        return b"\x00" * 128
+    return (p[0].a.to_bytes(32, "big") + p[0].b.to_bytes(32, "big")
+            + p[1].a.to_bytes(32, "big") + p[1].b.to_bytes(32, "big"))
+
+
+def _g1_bytes(p: host.Point) -> bytes:
+    if p is None:
+        return b"\x00" * 64
+    return p[0].to_bytes(32, "big") + p[1].to_bytes(32, "big")
+
+
+def gt_exp(f: Fq12, e: int) -> Fq12:
+    e %= P
+    return f.pow(e)
+
+
+def gt_mul(a: Fq12, b: Fq12) -> Fq12:
+    return a * b
+
+
+# ---------------------------------------------------------------------------
+# setup
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class DoryLevel:
+    """Per-level precomputation for the Dory-reduce (Lee21 fig. 2)."""
+    g1: List[host.Point]   # Gamma1A^(j), length m
+    g2: List[G2Point]      # Gamma2A^(j), length m
+    chi: Fq12              # <Gamma1A, Gamma2A>
+    d1l: Fq12              # <Gamma1A_L, Gamma2A^(j-1)>
+    d1r: Fq12
+    d2l: Fq12              # <Gamma1A^(j-1), Gamma2A_L>
+    d2r: Fq12
+
+
+@dataclasses.dataclass
+class DorySetup:
+    nu: int                      # log2 rows
+    sigma: int                   # log2 cols
+    gamma1: List[host.Point]     # tier-1 row key (2^sigma)
+    levels: List[DoryLevel]      # reduce levels nu..0 (levels[j] has m=2^(nu-j))
+    g2star: G2Point
+
+    @property
+    def num_vars(self) -> int:
+        return self.nu + self.sigma
+
+    @classmethod
+    def generate(cls, num_vars: int,
+                 cache_dir: str = "/root/repo/.srs_cache") -> "DorySetup":
+        nu = num_vars // 2
+        sigma = num_vars - nu
+        cache = os.path.join(cache_dir, f"dory_{nu}_{sigma}.pkl")
+        if os.path.exists(cache):
+            with open(cache, "rb") as f:
+                return pickle.load(f)
+
+        assert host.g1_mul(hash_to_g1(b"check"), 1) is not None
+        gamma1 = [hash_to_g1(b"dory/t1/%d" % j) for j in range(1 << sigma)]
+        g2star = hash_to_g2(b"dory/g2star")
+
+        # reduce keys: independent fresh generator vectors per level
+        lv_g1 = [[hash_to_g1(b"dory/red/%d/g1/%d" % (j, i))
+                  for i in range(1 << (nu - j))] for j in range(nu + 1)]
+        lv_g2 = [[hash_to_g2(b"dory/red/%d/g2/%d" % (j, i))
+                  for i in range(1 << (nu - j))] for j in range(nu + 1)]
+        levels = []
+        for j in range(nu + 1):
+            g1v, g2v = lv_g1[j], lv_g2[j]
+            m = len(g1v)
+            chi = pairing_product(list(zip(g1v, g2v)))
+            if j < nu:
+                n1, n2 = lv_g1[j + 1], lv_g2[j + 1]
+                h = m // 2
+                d1l = pairing_product(list(zip(g1v[:h], n2)))
+                d1r = pairing_product(list(zip(g1v[h:], n2)))
+                d2l = pairing_product(list(zip(n1, g2v[:h])))
+                d2r = pairing_product(list(zip(n1, g2v[h:])))
+            else:
+                d1l = d1r = d2l = d2r = Fq12.one()
+            levels.append(DoryLevel(g1v, g2v, chi, d1l, d1r, d2l, d2r))
+
+        setup = cls(nu=nu, sigma=sigma, gamma1=gamma1, levels=levels,
+                    g2star=g2star)
+        os.makedirs(cache_dir, exist_ok=True)
+        with open(cache, "wb") as f:
+            pickle.dump(setup, f)
+        return setup
+
+
+# ---------------------------------------------------------------------------
+# commitment
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class DoryCommitment:
+    c: Fq12                       # tier-2 AFGHO commitment (GT)
+
+
+@dataclasses.dataclass
+class DoryHint:
+    rows: List[host.Point]        # tier-1 row commitments (prover-retained)
+
+
+@dataclasses.dataclass
+class DoryProof:
+    e1: host.Point                       # sum_i L_i C1_i (G1)
+    # phase A (Dory-reduce), per round:
+    a_d1l: List[Fq12]
+    a_d1r: List[Fq12]
+    a_d2l: List[Fq12]
+    a_d2r: List[Fq12]
+    a_cplus: List[Fq12]
+    a_cminus: List[Fq12]
+    a_final_v1: host.Point
+    a_final_v2: G2Point
+    # phase B (generator-folding IPA), per round:
+    b_xl: List[host.Point]
+    b_xr: List[host.Point]
+    b_yl: List[int]
+    b_yr: List[int]
+    b_final_s: int
+
+
+def _eq_tensor(point: Sequence[int]) -> List[int]:
+    tab = [1]
+    for r in point:
+        r %= P
+        tab = [w * v % P for w in tab for v in ((1 - r) % P, r)]
+    return tab
+
+
+class Dory:
+    def __init__(self, setup: DorySetup):
+        self.setup = setup
+
+    # ---- commit --------------------------------------------------------
+
+    def commit_rows(self, coeffs: Sequence[int]) -> DoryHint:
+        """Tier 1: pay-per-bit row MSMs (zero coefficients skipped)."""
+        s = self.setup
+        cols = 1 << s.sigma
+        rows = []
+        for i in range(1 << s.nu):
+            row = coeffs[i * cols:(i + 1) * cols]
+            rows.append(host.g1_msm_pippenger(s.gamma1[:len(row)], row))
+        return DoryHint(rows=rows)
+
+    def commit(self, coeffs: Sequence[int]) -> Tuple[DoryCommitment, DoryHint]:
+        s = self.setup
+        assert len(coeffs) <= 1 << s.num_vars
+        hint = self.commit_rows(list(coeffs) + [0] * ((1 << s.num_vars)
+                                                      - len(coeffs)))
+        gamma2 = s.levels[0].g2
+        c = pairing_product([(r, g) for r, g in zip(hint.rows, gamma2)
+                             if r is not None])
+        return DoryCommitment(c=c), hint
+
+    # ---- open ----------------------------------------------------------
+
+    def open(self, coeffs: Sequence[int], hint: DoryHint,
+             point: Sequence[int], value: int,
+             transcript: Blake2bTranscript) -> DoryProof:
+        s = self.setup
+        n = s.num_vars
+        coeffs = list(coeffs) + [0] * ((1 << n) - len(coeffs))
+        r_row, r_col = point[:s.nu], point[s.nu:]
+        L = _eq_tensor(r_row)
+        R = _eq_tensor(r_col)
+        cols = 1 << s.sigma
+
+        # E1 = sum_i L_i C1_i  (commits the combined row s = L^T M)
+        e1 = None
+        for li, ci in zip(L, hint.rows):
+            if ci is not None:
+                e1 = host.g1_add(e1, host.g1_mul(ci, li))
+        transcript.append_bytes(b"dory_e1", _g1_bytes(e1))
+
+        # ---- phase A: Dory-reduce on (v1 = rows, v2 = L (.) g2star) ----
+        v1 = list(hint.rows)
+        v2 = [g2_mul(s.g2star, li) for li in L]
+        a_d1l, a_d1r, a_d2l, a_d2r = [], [], [], []
+        a_cp, a_cm = [], []
+        for j in range(s.nu):
+            lev, nxt = s.levels[j], s.levels[j + 1]
+            m = len(v1)
+            h = m // 2
+            d1l = pairing_product(list(zip(v1[:h], nxt.g2)))
+            d1r = pairing_product(list(zip(v1[h:], nxt.g2)))
+            d2l = pairing_product(list(zip(nxt.g1, v2[:h])))
+            d2r = pairing_product(list(zip(nxt.g1, v2[h:])))
+            for x in (d1l, d1r, d2l, d2r):
+                transcript.append_bytes(b"dory_d", gt_to_bytes(x))
+            a_d1l.append(d1l)
+            a_d1r.append(d1r)
+            a_d2l.append(d2l)
+            a_d2r.append(d2r)
+            beta = transcript.challenge_scalar()
+            binv = pow(beta, -1, P)
+            v1 = [host.g1_add(v, host.g1_mul(g, beta))
+                  for v, g in zip(v1, lev.g1)]
+            v2 = [g2_add(v, g2_mul(g, binv)) for v, g in zip(v2, lev.g2)]
+            cplus = pairing_product(list(zip(v1[:h], v2[h:])))
+            cminus = pairing_product(list(zip(v1[h:], v2[:h])))
+            transcript.append_bytes(b"dory_c", gt_to_bytes(cplus))
+            transcript.append_bytes(b"dory_c", gt_to_bytes(cminus))
+            a_cp.append(cplus)
+            a_cm.append(cminus)
+            alpha = transcript.challenge_scalar()
+            ainv = pow(alpha, -1, P)
+            v1 = [host.g1_add(host.g1_mul(a, alpha), b)
+                  for a, b in zip(v1[:h], v1[h:])]
+            v2 = [g2_add(g2_mul(a, ainv), b)
+                  for a, b in zip(v2[:h], v2[h:])]
+        transcript.append_bytes(b"dory_fin", _g1_bytes(v1[0]))
+        transcript.append_bytes(b"dory_fin", _g2_bytes(v2[0]))
+
+        # ---- phase B: fold s against (Gamma1, R) -----------------------
+        sv = [0] * cols
+        for i, li in enumerate(L):
+            if li:
+                base = i * cols
+                for jj in range(cols):
+                    c = coeffs[base + jj]
+                    if c:
+                        sv[jj] = (sv[jj] + li * c) % P
+        gam = list(s.gamma1)
+        Rv = list(R)
+        b_xl, b_xr, b_yl, b_yr = [], [], [], []
+        while len(sv) > 1:
+            h = len(sv) // 2
+            xl = host.g1_msm_pippenger(gam[h:], sv[:h])
+            xr = host.g1_msm_pippenger(gam[:h], sv[h:])
+            yl = sum(a * b for a, b in zip(sv[:h], Rv[h:])) % P
+            yr = sum(a * b for a, b in zip(sv[h:], Rv[:h])) % P
+            transcript.append_bytes(b"dory_b", _g1_bytes(xl))
+            transcript.append_bytes(b"dory_b", _g1_bytes(xr))
+            transcript.append_scalar(b"dory_b", yl)
+            transcript.append_scalar(b"dory_b", yr)
+            b_xl.append(xl)
+            b_xr.append(xr)
+            b_yl.append(yl)
+            b_yr.append(yr)
+            alpha = transcript.challenge_scalar()
+            ainv = pow(alpha, -1, P)
+            sv = [(alpha * a + b) % P for a, b in zip(sv[:h], sv[h:])]
+            gam = [host.g1_add(host.g1_mul(a, ainv), b)
+                   for a, b in zip(gam[:h], gam[h:])]
+            Rv = [(ainv * a + b) % P for a, b in zip(Rv[:h], Rv[h:])]
+        transcript.append_scalar(b"dory_bs", sv[0])
+
+        return DoryProof(e1=e1, a_d1l=a_d1l, a_d1r=a_d1r, a_d2l=a_d2l,
+                         a_d2r=a_d2r, a_cplus=a_cp, a_cminus=a_cm,
+                         a_final_v1=v1[0], a_final_v2=v2[0],
+                         b_xl=b_xl, b_xr=b_xr, b_yl=b_yl, b_yr=b_yr,
+                         b_final_s=sv[0])
+
+    # ---- verify --------------------------------------------------------
+
+    def verify(self, commitment: DoryCommitment, point: Sequence[int],
+               value: int, proof: DoryProof,
+               transcript: Blake2bTranscript) -> bool:
+        s = self.setup
+        if len(proof.a_d1l) != s.nu or len(proof.b_xl) != s.sigma:
+            return False
+        if proof.e1 is not None and not host.g1_is_on_curve(proof.e1):
+            return False
+        r_row, r_col = point[:s.nu], point[s.nu:]
+        L = _eq_tensor(r_row)
+        transcript.append_bytes(b"dory_e1", _g1_bytes(proof.e1))
+
+        # ---- phase A verifier ------------------------------------------
+        lev0 = s.levels[0]
+        # D2 = <Gamma1A, L (.) g2star> = e(sum L_i Gamma1A_i, g2star)
+        acc = None
+        for li, g in zip(L, lev0.g1):
+            acc = host.g1_add(acc, host.g1_mul(g, li))
+        d1 = commitment.c
+        d2 = tate_pairing(acc, s.g2star)
+        c_ip = tate_pairing(proof.e1, s.g2star)
+        for j in range(s.nu):
+            lev = s.levels[j]
+            d1l, d1r = proof.a_d1l[j], proof.a_d1r[j]
+            d2l, d2r = proof.a_d2l[j], proof.a_d2r[j]
+            for x in (d1l, d1r, d2l, d2r):
+                transcript.append_bytes(b"dory_d", gt_to_bytes(x))
+            beta = transcript.challenge_scalar()
+            binv = pow(beta, -1, P)
+            cplus, cminus = proof.a_cplus[j], proof.a_cminus[j]
+            transcript.append_bytes(b"dory_c", gt_to_bytes(cplus))
+            transcript.append_bytes(b"dory_c", gt_to_bytes(cminus))
+            alpha = transcript.challenge_scalar()
+            ainv = pow(alpha, -1, P)
+            c_ip = (c_ip * gt_exp(d2, beta) * gt_exp(d1, binv) * lev.chi
+                    * gt_exp(cplus, alpha) * gt_exp(cminus, ainv))
+            d1 = (gt_exp(d1l, alpha) * d1r
+                  * gt_exp(lev.d1l, alpha * beta % P)
+                  * gt_exp(lev.d1r, beta))
+            d2 = (gt_exp(d2l, ainv) * d2r
+                  * gt_exp(lev.d2l, ainv * binv % P)
+                  * gt_exp(lev.d2r, binv))
+        u1, u2 = proof.a_final_v1, proof.a_final_v2
+        if u1 is not None and not host.g1_is_on_curve(u1):
+            return False
+        if u2 is not None and not g2_is_on_curve(u2):
+            return False
+        transcript.append_bytes(b"dory_fin", _g1_bytes(u1))
+        transcript.append_bytes(b"dory_fin", _g2_bytes(u2))
+        fin = s.levels[s.nu]
+        if not tate_pairing(u1, fin.g2[0]) == d1:
+            return False
+        if not tate_pairing(fin.g1[0], u2) == d2:
+            return False
+        if not tate_pairing(u1, u2) == c_ip:
+            return False
+
+        # ---- phase B verifier ------------------------------------------
+        R = _eq_tensor(r_col)
+        E = proof.e1
+        y = value % P
+        gam = list(s.gamma1)
+        Rv = list(R)
+        for j in range(s.sigma):
+            xl, xr = proof.b_xl[j], proof.b_xr[j]
+            if xl is not None and not host.g1_is_on_curve(xl):
+                return False
+            if xr is not None and not host.g1_is_on_curve(xr):
+                return False
+            yl, yr = proof.b_yl[j] % P, proof.b_yr[j] % P
+            transcript.append_bytes(b"dory_b", _g1_bytes(xl))
+            transcript.append_bytes(b"dory_b", _g1_bytes(xr))
+            transcript.append_scalar(b"dory_b", yl)
+            transcript.append_scalar(b"dory_b", yr)
+            alpha = transcript.challenge_scalar()
+            ainv = pow(alpha, -1, P)
+            h = len(gam) // 2
+            E = host.g1_add(E, host.g1_add(host.g1_mul(xl, alpha),
+                                           host.g1_mul(xr, ainv)))
+            y = (y + alpha * yl + ainv * yr) % P
+            gam = [host.g1_add(host.g1_mul(a, ainv), b)
+                   for a, b in zip(gam[:h], gam[h:])]
+            Rv = [(ainv * a + b) % P for a, b in zip(Rv[:h], Rv[h:])]
+        transcript.append_scalar(b"dory_bs", proof.b_final_s)
+        sf = proof.b_final_s % P
+        if host.g1_mul(gam[0], sf) != E:
+            return False
+        if sf * Rv[0] % P != y:
+            return False
+        return True
