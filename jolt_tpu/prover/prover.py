@@ -13,7 +13,7 @@ Fiat-Shamir preamble, then the staged sumcheck DAG:
   5i  instruction-execution read-raf Shout over 2^128   [reference stage 5]
   6   bytecode read-raf + register rafs + lookup-flag columns (batched)
   7   one-hot booleanity + Hamming weight (sparse, all access matrices)
-  8*  commitments (MSM) + HyperKZG opening proof
+  8*  commitments (MSM) + one joint PCS opening (Dory or HyperKZG)
 
 Claim reductions, the full joint batched opening and Dory remain pending;
 the proof container carries per-stage slots from day one.
@@ -27,8 +27,8 @@ from typing import Dict, List, Optional
 
 from ..field.params import FR
 from ..lookups import tables as LT
-from ..pcs import HyperKZG, HyperKZGProof, KZGSetup
-from ..pcs.hyperkzg import _absorb_point
+from ..pcs import KZGSetup
+from ..pcs.scheme import make_scheme
 from ..r1cs import constraints as C
 from ..relations.booleanity import Booleanity, HammingWeight
 from ..relations.bytecode import CLAIM_COLUMNS
@@ -90,7 +90,7 @@ class JoltProof:
     stage8_polys: List[List[int]]      # joint opening-reduction sumcheck
     stage8_openings: List[int]         # per-entry P_i(r*) terminal values
     commitments: Dict[str, object]     # committed polys (G1 points)
-    opening_proofs: Dict[str, object]  # "joint" -> HyperKZGProof
+    opening_proofs: Dict[str, object]  # "joint" -> DoryProof|HyperKZGProof
 
 
 def committed_poly_names():
@@ -159,9 +159,11 @@ def fiat_shamir_preamble(transcript: Blake2bTranscript, trace_length: int,
     transcript.append_u64(b"bytecode_log_K", bytecode_log_K)
 
 
-def prove(trace: Trace, setup: "KZGSetup" = None) -> JoltProof:
-    """Prove the trace.  `setup` enables the commitment layer; without it the
-    proof carries bare opening claims (sumcheck-only mode for tests)."""
+def prove(trace: Trace, setup=None) -> JoltProof:
+    """Prove the trace.  `setup` enables the commitment layer (a `DorySetup`
+    -- production, transparent -- or `KZGSetup`/scheme instance; see
+    pcs/scheme.py); without it the proof carries bare opening claims
+    (sumcheck-only mode for tests)."""
     import os as _os
     import time as _time
     _t0 = [_time.time()]
@@ -210,7 +212,7 @@ def prove(trace: Trace, setup: "KZGSetup" = None) -> JoltProof:
     # (zkvm/prover.rs:689-800 generate_and_commit_witness_polynomials --
     # commitments absorb BEFORE any challenge so they bind the witness.)
     commitments: Dict[str, object] = {}
-    pcs = HyperKZG(setup) if setup is not None else None
+    pcs = make_scheme(setup)
     committed_vectors: Dict[str, List[int]] = {}
     if pcs is not None:
         # pay-per-bit commits (msm/mod.rs:16-80): one-hot access matrices
@@ -224,9 +226,9 @@ def prove(trace: Trace, setup: "KZGSetup" = None) -> JoltProof:
             committed_vectors[name] = list(coeffs)
         for name in committed_poly_names():
             bits = 1 if name in onehot_meta else 254
-            commitments[name] = pcs.commit_ints(committed_vectors[name],
-                                                bits=bits)
-            _absorb_point(transcript, b"commitment", commitments[name])
+            commitments[name] = pcs.commit(name, committed_vectors[name],
+                                           bits=bits)
+            pcs.absorb(transcript, commitments[name])
 
     _mark("stage0-commit")
     # ---- Stage 1: Spartan outer ----------------------------------------
@@ -432,7 +434,8 @@ def prove(trace: Trace, setup: "KZGSetup" = None) -> JoltProof:
             for j, c in enumerate(vec):
                 if c:
                     rlc[j] = (rlc[j] + w * c) % P
-        opening_proofs["joint"] = pcs.open(rlc, r8, value, transcript)
+        opening_proofs["joint"] = pcs.open_rlc(weights, rlc, r8, value,
+                                               transcript)
 
     _mark("stage8-openings")
     return JoltProof(

@@ -19,8 +19,7 @@ from typing import List
 
 from ..field.params import FR
 from ..lookups import tables as LT
-from ..pcs import HyperKZG, KZGSetup
-from ..pcs.hyperkzg import _absorb_point
+from ..pcs.scheme import make_scheme
 from ..prover.prover import (LOOKUP_FLAG_COLUMNS, JoltProof,
                              committed_poly_names, fiat_shamir_preamble,
                              stage8_entry_ids)
@@ -92,7 +91,7 @@ def expected_bytecode_log_K(code: bytes) -> int:
     return K.bit_length() - 1
 
 
-def verify(proof: JoltProof, io: PublicIO, setup: "KZGSetup" = None) -> bool:
+def verify(proof: JoltProof, io: PublicIO, setup=None) -> bool:
     # the bytecode table size is derivable from the public program; the RAM
     # address-space size is a proof-carried config bound by the preamble
     if proof.bytecode_log_K != expected_bytecode_log_K(io.code):
@@ -103,12 +102,12 @@ def verify(proof: JoltProof, io: PublicIO, setup: "KZGSetup" = None) -> bool:
                          io.memory_layout, proof.ram_log_K,
                          proof.bytecode_log_K)
 
-    pcs = HyperKZG(setup) if setup is not None else None
+    pcs = make_scheme(setup)
     if pcs is not None:
         for name in committed_poly_names():
             if name not in proof.commitments:
                 raise VerificationError(f"missing commitment {name}")
-            _absorb_point(transcript, b"commitment", proof.commitments[name])
+            pcs.absorb(transcript, proof.commitments[name])
 
     log_T = io.padded_length.bit_length() - 1
     accumulator = OpeningAccumulator()
@@ -367,7 +366,6 @@ def verify(proof: JoltProof, io: PublicIO, setup: "KZGSetup" = None) -> bool:
     accumulator.flush_to_transcript(transcript)
 
     if pcs is not None:
-        from ..curve import bn254_host as host
         mu = transcript.challenge_scalar()
         weights = {}
         mup = 1
@@ -377,14 +375,11 @@ def verify(proof: JoltProof, io: PublicIO, setup: "KZGSetup" = None) -> bool:
             value = (value + mup * o % P
                      * embedding_factor(r8, len(pt))) % P
             mup = mup * mu % P
-        joint_comm = None
-        for cname, w in weights.items():
-            joint_comm = host.g1_add(joint_comm,
-                                     host.g1_mul(proof.commitments[cname], w))
+        joint_comm = pcs.combine(proof.commitments, weights)
         op = proof.opening_proofs.get("joint")
         if op is None:
             raise VerificationError("missing joint opening proof")
-        if not pcs.verify(joint_comm, r8, value, op, transcript):
+        if not pcs.verify_rlc(joint_comm, r8, value, op, transcript):
             raise VerificationError("joint opening proof invalid")
 
     return True
