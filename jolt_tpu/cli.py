@@ -18,10 +18,19 @@ import sys
 import time
 
 
+def _read_guest(path: str):
+    """Guest file -> assembly source (str) or ELF bytes."""
+    from .riscv.elf import is_elf
+    raw = open(path, "rb").read()
+    if is_elf(raw):
+        return raw
+    return raw.decode()
+
+
 def _trace(args):
     from .riscv.emulator import MemoryLayout
     layout = MemoryLayout(max_input_size=args.io_size, max_output_size=args.io_size)
-    src = open(args.guest).read()
+    src = _read_guest(args.guest)
     inputs = bytes.fromhex(args.input) if args.input else b""
     t0 = time.time()
     if args.native:
@@ -77,19 +86,25 @@ def cmd_verify(args):
     statement from the proof file's claimed outputs + the verifier's own
     inputs, and run the O(log) verifier."""
     from .riscv.assembler import assemble
+    from .riscv.elf import is_elf, load_elf
     from .riscv.emulator import MemoryLayout
     from .verifier import VerificationError, verify
     from .verifier.verifier import PublicIO
     layout = MemoryLayout(max_input_size=args.io_size,
                           max_output_size=args.io_size)
-    code = assemble(open(args.guest).read())
-    entry = 0x80000000
+    guest = _read_guest(args.guest)
+    entry = start = 0x80000000
+    if isinstance(guest, bytes):
+        loaded = load_elf(guest)
+        code, entry, start = loaded.image, loaded.base, loaded.entry
+    else:
+        code = assemble(guest)
     inputs = bytes.fromhex(args.input) if args.input else b""
     with open(args.proof, "rb") as f:
         blob = pickle.load(f)
     proof, st = blob["proof"], blob["statement"]
     io = PublicIO(st["trace_length"], st["padded_length"], inputs,
-                  st["outputs"], st["panic"], layout, code, entry)
+                  st["outputs"], st["panic"], layout, code, entry, start)
     t0 = time.time()
     try:
         ok = verify(proof, io)
@@ -108,7 +123,7 @@ def main(argv=None):
     for name, fn in (("run", cmd_run), ("trace", cmd_trace),
                      ("prove", cmd_prove), ("verify", cmd_verify)):
         sp = sub.add_parser(name)
-        sp.add_argument("guest", help="guest assembly file")
+        sp.add_argument("guest", help="guest assembly or ELF file")
         sp.add_argument("--input", default="", help="input bytes as hex")
         sp.add_argument("--io-size", type=int, default=64,
                         help="max input/output region size")

@@ -411,6 +411,11 @@ def _maybe_shard(a: jnp.ndarray) -> jnp.ndarray:
 
 def unpack_ints(a: jnp.ndarray, fp: FieldParams = FR):
     """Montgomery limb array (NUM_LIMBS, N) -> list of canonical Python ints."""
-    arr = np.asarray(jax.device_get(a))
+    return np_unpack_ints(np.asarray(jax.device_get(a)), fp)
+
+
+def np_unpack_ints(arr: np.ndarray, fp: FieldParams = FR):
+    """Host-side twin of unpack_ints for already-fetched arrays (the
+    engine's one-device_get-per-round batching)."""
     flat = arr.reshape(arr.shape[0], -1)
     return [fp.mont_limbs_to_int(flat[:, i]) for i in range(flat.shape[1])]

@@ -197,8 +197,99 @@ class _PositionWeighted(PrefixFamily):
         return (state + self._xw(t) * a + self._yw(t) * b) % P
 
 
+class _PairProduct(PrefixFamily):
+    """prod over pairs t of factor(x_t, y_t, t) -- the multiplicative
+    family class behind Pow2, the division/alignment validity tables and
+    the change-divisor triggers.  factor must be multilinear in (a, b) and
+    equal 1 on pairs it ignores, so the product decomposes across any
+    pair-aligned prefix/suffix cut."""
+
+    def __init__(self, name, factor: Callable[[int, int, int], int]):
+        self.name = name
+        self.factor = factor
+
+    def init(self):
+        return 1
+
+    def update(self, state, a, b, t):
+        return state * self.factor(a % P, b % P, t) % P
+
+
+class _BitAt(PrefixFamily):
+    """The value of one index bit (global bit position `pos`); 0 until the
+    owning pair is folded, so the suffix twin covers the early cuts."""
+
+    def __init__(self, name, pos: int):
+        self.name = name
+        self._t = pos // 2
+        self._is_x = bool(pos & 1)
+
+    def update(self, state, a, b, t):
+        if t == self._t:
+            return (a if self._is_x else b) % P
+        return state
+
+
 def _w_if(cond, shift):
     return (1 << shift) if cond else 0
+
+
+# multiplicative pair factors ------------------------------------------------
+
+def _f_pow2(a, b, t):
+    """Pairs t<3 (index bits 0..5): 2^(idx & 63) as a product of per-bit
+    multipliers (tables/pow2.rs)."""
+    if t >= 3:
+        return 1
+    fy = (1 + b * ((1 << (1 << (2 * t))) - 1)) % P
+    fx = (1 + a * ((1 << (1 << (2 * t + 1))) - 1)) % P
+    return fy * fx % P
+
+
+def _f_pow2w(a, b, t):
+    """Bits 0..4 only: 2^(idx & 31) (tables/pow2_w.rs)."""
+    if t > 2:
+        return 1
+    fy = (1 + b * ((1 << (1 << (2 * t))) - 1)) % P
+    fx = 1 if t == 2 else (1 + a * ((1 << (1 << (2 * t + 1))) - 1)) % P
+    return fy * fx % P
+
+
+def _f_zerox_onesy(a, b, t):
+    return (1 - a) * b % P
+
+
+def _f_zerox(a, b, t):
+    return (1 - a) % P
+
+
+def _f_zeroy(a, b, t):
+    return (1 - b) % P
+
+
+def _f_chdiv(a, b, t):
+    """x == 2^63 (signed MIN) and y == all-ones (tables/virtual_change_divisor.rs)."""
+    return a * b % P if t == 63 else (1 - a) * b % P
+
+
+def _f_chdivw(a, b, t):
+    """x == sext32(2^31) = 0xFFFF_FFFF_8000_0000 and y == all-ones."""
+    return a * b % P if t >= 31 else (1 - a) * b % P
+
+
+def _f_hizero(a, b, t):
+    """index bits 64..127 all zero (tables/mulu_no_overflow.rs)."""
+    return (1 - a) * (1 - b) % P if t >= 32 else 1
+
+
+def _f_nbit0(a, b, t):
+    """1 - index bit 0 (tables/halfword_alignment.rs)."""
+    return (1 - b) % P if t == 0 else 1
+
+
+def _f_align4(a, b, t):
+    """(1 - bit0)(1 - bit1) (tables/word_alignment.rs)."""
+    return (1 - a) * (1 - b) % P if t == 0 else 1
 
 
 PREFIXES: Dict[str, PrefixFamily] = {}
@@ -224,6 +315,20 @@ for fam in [
     _PositionWeighted("right", lambda t: 0, lambda t: 1 << t),
     _PositionWeighted("id", lambda t: (1 << (2 * t + 1)) % P,
                       lambda t: (1 << (2 * t)) % P),
+    # low 32 index bits (pairs 0..15), for the word extend tables
+    _PositionWeighted("low32", lambda t: _w_if(2 * t + 1 < 32, 2 * t + 1),
+                      lambda t: _w_if(2 * t < 32, 2 * t)),
+    _BitAt("bit31", 31),
+    _PairProduct("pow2", _f_pow2),
+    _PairProduct("pow2w", _f_pow2w),
+    _PairProduct("zerox", _f_zerox),
+    _PairProduct("zeroy", _f_zeroy),
+    _PairProduct("zerox_onesy", _f_zerox_onesy),
+    _PairProduct("chdiv", _f_chdiv),
+    _PairProduct("chdivw", _f_chdivw),
+    _PairProduct("hizero", _f_hizero),
+    _PairProduct("nbit0", _f_nbit0),
+    _PairProduct("align4", _f_align4),
 ]:
     PREFIXES[fam.name] = fam
 
@@ -251,6 +356,23 @@ SUFFIXES: Dict[str, Callable[[int, int, int, int], int]] = {
     "rsh_helper": lambda xs, ys, s, L: 1 << bin(ys).count("1"),
     "sign_ext": lambda xs, ys, s, L: sum(
         (1 << (XLEN - 1 - p)) for p in range(L // 2) if not (ys >> p) & 1),
+    # suffix twins of the multiplicative / word-extract prefix families
+    "pow2": lambda xs, ys, s, L: 1 << (s & 63),
+    "pow2w": lambda xs, ys, s, L: 1 << (s & 31),
+    "zerox": lambda xs, ys, s, L: int(xs == 0),
+    "zeroy": lambda xs, ys, s, L: int(ys == 0),
+    "zerox_onesy": lambda xs, ys, s, L: int(
+        xs == 0 and ys == (1 << (L // 2)) - 1),
+    "chdiv": lambda xs, ys, s, L: int(
+        xs == 0 and ys == (1 << (L // 2)) - 1),
+    "chdivw": lambda xs, ys, s, L: int(
+        ys == (1 << (L // 2)) - 1
+        and xs == (((1 << (L // 2)) - 1) >> 31 << 31)),
+    "hizero": lambda xs, ys, s, L: int(s >> 64 == 0),
+    "nbit0": lambda xs, ys, s, L: int(L == 0 or (s & 1) == 0),
+    "align4": lambda xs, ys, s, L: int(L == 0 or (s & 3) == 0),
+    "low32": lambda xs, ys, s, L: s & 0xFFFFFFFF,
+    "bit31": lambda xs, ys, s, L: (s >> 31) & 1,
 }
 
 
@@ -343,6 +465,71 @@ TABLES: Dict[str, dict] = {
                                     for p in range(XLEN - 1)
                                     if not (y >> p) & 1))),
     },
+    # ---- virtual-sequence support tables (jolt-program expand/) ---------
+    "Pow2": {  # pow2.rs: 2^(operand & 63), non-interleaved operand
+        "terms": [(1, "pow2", "pow2")],
+        "entry": lambda idx: 1 << (idx & 63),
+    },
+    "Pow2W": {  # pow2_w.rs: 2^(operand & 31)
+        "terms": [(1, "pow2w", "pow2w")],
+        "entry": lambda idx: 1 << (idx & 31),
+    },
+    "ShiftRightBitmask": {  # shift_right_bitmask.rs: 2^64 - 2^(operand & 63)
+        "terms": [(1 << 64, "one", "one"), (-1, "pow2", "pow2")],
+        "entry": lambda idx: (1 << 64) - (1 << (idx & 63)),
+    },
+    "SignMask": {  # sign_mask.rs (movsign): all-ones iff x is negative
+        "terms": [(M64, "msbx", "one")],
+        "entry": _entry_split(lambda x, y: M64 if x >> 63 else 0),
+    },
+    "SignExtendHalfWord": {  # sign_extend_half_word.rs: sext32 of low word
+        "terms": [(1, "low32", "one"), (1, "one", "low32"),
+                  ((1 << 64) - (1 << 32), "bit31", "one"),
+                  ((1 << 64) - (1 << 32), "one", "bit31")],
+        "entry": lambda idx: (idx & 0xFFFFFFFF) | (
+            0xFFFFFFFF00000000 if (idx >> 31) & 1 else 0),
+    },
+    "LowerHalfWord": {  # lower_half_word.rs: zext32 of low word
+        "terms": [(1, "low32", "one"), (1, "one", "low32")],
+        "entry": lambda idx: idx & 0xFFFFFFFF,
+    },
+    "ValidDiv0": {  # valid_div0.rs: x=divisor, y=quotient
+        "terms": [(1, "one", "one"), (-1, "zerox", "zerox"),
+                  (1, "zerox_onesy", "zerox_onesy")],
+        "entry": _entry_split(lambda x, y: 1 if x else int(y == M64)),
+    },
+    "ValidUnsignedRemainder": {  # valid_unsigned_remainder.rs: x=rem, y=div
+        "terms": [(1, "zeroy", "zeroy"), (1, "ltu", "one"), (1, "eq", "ltu")],
+        "entry": _entry_split(lambda x, y: int(y == 0 or x < y)),
+    },
+    "VirtualChangeDivisor": {  # virtual_change_divisor.rs: x=dividend, y=divisor
+        "terms": [(1, "right", "one"), (1, "one", "right"),
+                  (2 - (1 << 64), "chdiv", "chdiv")],
+        "entry": _entry_split(
+            lambda x, y: 1 if (x == 1 << 63 and y == M64) else y),
+    },
+    "VirtualChangeDivisorW": {  # virtual_change_divisor_w.rs (word MIN)
+        "terms": [(1, "right", "one"), (1, "one", "right"),
+                  (2 - (1 << 64), "chdivw", "chdivw")],
+        "entry": _entry_split(
+            lambda x, y: 1 if (x == 0xFFFFFFFF80000000 and y == M64) else y),
+    },
+    "UnsignedLessThanEqual": {  # unsigned_less_than_equal.rs
+        "terms": [(1, "ltu", "one"), (1, "eq", "ltu"), (1, "eq", "eq")],
+        "entry": _entry_split(lambda x, y: int(x <= y)),
+    },
+    "MulUNoOverflow": {  # mulu_no_overflow.rs: product fits 64 bits
+        "terms": [(1, "hizero", "hizero")],
+        "entry": lambda idx: int(idx >> 64 == 0),
+    },
+    "HalfwordAlignment": {  # halfword_alignment.rs: (rs1+imm) 2-byte aligned
+        "terms": [(1, "nbit0", "nbit0")],
+        "entry": lambda idx: int(idx & 1 == 0),
+    },
+    "WordAlignment": {  # word_alignment.rs: (rs1+imm) 4-byte aligned
+        "terms": [(1, "align4", "align4")],
+        "entry": lambda idx: int(idx & 3 == 0),
+    },
 }
 
 
@@ -433,6 +620,27 @@ KIND_TABLE: Dict[str, Optional[str]] = {
     "SLLI": "RangeCheck", "SRLI": "VirtualSRL", "SRAI": "VirtualSRA",
     "LD": None, "SD": None, "FENCE": None, "ECALL": None, "EBREAK": None,
     "NOOP": None,
+    # virtual (final) instructions -> their dedicated tables
+    # (crates/jolt-lookup-tables/src/instructions/virt/*.rs)
+    "VirtualAdvice": "RangeCheck",
+    "VirtualMovsign": "SignMask",
+    "VirtualPow2": "Pow2",
+    "VirtualPow2W": "Pow2W",
+    "VirtualShiftRightBitmask": "ShiftRightBitmask",
+    "VirtualSignExtendWord": "SignExtendHalfWord",
+    "VirtualZeroExtendWord": "LowerHalfWord",
+    "VirtualChangeDivisor": "VirtualChangeDivisor",
+    "VirtualChangeDivisorW": "VirtualChangeDivisorW",
+    "VirtualSRL": "VirtualSRL",
+    "VirtualSRA": "VirtualSRA",
+    "VirtualMULI": "RangeCheck",
+    "VirtualAssertEQ": "Equal",
+    "VirtualAssertLTE": "UnsignedLessThanEqual",
+    "VirtualAssertValidDiv0": "ValidDiv0",
+    "VirtualAssertValidUnsignedRemainder": "ValidUnsignedRemainder",
+    "VirtualAssertMulUNoOverflow": "MulUNoOverflow",
+    "VirtualAssertHalfwordAlignment": "HalfwordAlignment",
+    "VirtualAssertWordAlignment": "WordAlignment",
 }
 
 

@@ -135,7 +135,7 @@ def stage8_entry_ids():
 
 def fiat_shamir_preamble(transcript: Blake2bTranscript, trace_length: int,
                          padded_length: int, inputs: bytes, outputs: bytes,
-                         panic: bool, code: bytes, entry: int,
+                         panic: bool, code: bytes, entry: int, start: int,
                          memory_layout, ram_log_K: int,
                          bytecode_log_K: int) -> None:
     """Preamble binding the full public statement
@@ -151,6 +151,7 @@ def fiat_shamir_preamble(transcript: Blake2bTranscript, trace_length: int,
     transcript.append_u64(b"panic", 1 if panic else 0)
     transcript.append_bytes(b"program", hashlib.blake2b(code).digest())
     transcript.append_u64(b"entry", entry)
+    transcript.append_u64(b"start", start)
     transcript.append_u64(b"input_start", memory_layout.input_start)
     transcript.append_u64(b"output_start", memory_layout.output_start)
     transcript.append_u64(b"max_input", memory_layout.max_input_size)
@@ -185,7 +186,7 @@ def prove(trace: Trace, setup=None) -> JoltProof:
     inputs = extract_r1cs_inputs(trace)
     reg_wit = extract_register_log(trace)
     ram_wit = extract_ram_log(trace)
-    bc_wit = extract_bytecode_witness(trace, trace.code, trace.entry)
+    bc_wit = extract_bytecode_witness(trace)
     lk_wit = extract_instruction_lookup_witness(trace, inputs)
     log_T = trace.log_T
     # per-cycle one-hot index streams (x0-sink discipline for registers)
@@ -203,8 +204,8 @@ def prove(trace: Trace, setup=None) -> JoltProof:
     fiat_shamir_preamble(
         transcript, trace.length, trace.padded_length,
         bytes(trace.device.inputs), bytes(trace.device.outputs),
-        trace.device.panic, trace.code, trace.entry, trace.memory_layout,
-        ram_wit.log_K, bc_wit.log_K)
+        trace.device.panic, trace.code, trace.entry, trace.program.start,
+        trace.memory_layout, ram_wit.log_K, bc_wit.log_K)
 
     accumulator = OpeningAccumulator()
 

@@ -134,19 +134,21 @@ class Booleanity(SumcheckInstance):
     def input_claim(self, accumulator: OpeningAccumulator) -> int:
         return 0
 
-    def compute_message(self, round: int, previous_claim: int) -> UniPoly:
+    def message_evals_dev(self, round: int):
         if round < self.log_K:
             on3 = _mont_consts([0, 2, 3])
             off3 = _mont_consts([1, -1, -2])
-            evals = ops.unpack_ints(_sbool_addr_kernel(
-                self.WS[round], self.U, self.masks[round], on3, off3))
+            arr = _sbool_addr_kernel(self.WS[round], self.U,
+                                     self.masks[round], on3, off3)
             rb = self.r_addr[round]
-            evals = [self.A * ((rb * X + (1 - rb) * (1 - X)) % P) % P * e % P
-                     for X, e in zip((0, 2, 3), evals)]
-        else:
-            evals = ops.unpack_ints(_bool_cycle_kernel(self.E, self.V))
-            evals = [self.A * e % P for e in evals]
-        return UniPoly.from_evals_and_hint(previous_claim, evals, P)
+            A = self.A
+            post = lambda evals: [
+                A * ((rb * X + (1 - rb) * (1 - X)) % P) % P * e % P
+                for X, e in zip((0, 2, 3), evals)]
+            return arr, post
+        A = self.A
+        return (_bool_cycle_kernel(self.E, self.V),
+                lambda evals: [A * e % P for e in evals])
 
     def ingest_challenge(self, r: int, round: int) -> None:
         if round < self.log_K:
@@ -236,15 +238,13 @@ class HammingWeight(SumcheckInstance):
     def input_claim(self, accumulator: OpeningAccumulator) -> int:
         return 1
 
-    def compute_message(self, round: int, previous_claim: int) -> UniPoly:
+    def message_evals_dev(self, round: int):
         if round < self.log_K:
             on2 = _mont_consts([0, 2])
             off2 = _mont_consts([1, -1])
-            evals = ops.unpack_ints(_sham_addr_kernel(
-                self.W, self.U, self.masks[round], on2, off2))
-        else:
-            evals = ops.unpack_ints(_ham_cycle_kernel(self.W, self.V))
-        return UniPoly.from_evals_and_hint(previous_claim, evals, P)
+            return _sham_addr_kernel(self.W, self.U, self.masks[round],
+                                     on2, off2), None
+        return _ham_cycle_kernel(self.W, self.V), None
 
     def ingest_challenge(self, r: int, round: int) -> None:
         if round < self.log_K:

@@ -203,6 +203,13 @@ class InstructionReadRaf(SumcheckInstance):
                                   t_start=pair_t)
         return {n: LT.PREFIXES[n].value(s) for n, s in states.items()}
 
+    def message_evals_dev(self, round: int):
+        # cycle rounds run on device; the 128 address rounds are host-side
+        # prefix-suffix algebra (tiny) and use the compute_message path
+        if round >= LOG_K:
+            return _cycle_message_kernel(self.S), None
+        return None
+
     def compute_message(self, round: int, previous_claim: int) -> UniPoly:
         if round >= LOG_K:
             evals = ops.unpack_ints(_cycle_message_kernel(self.S))

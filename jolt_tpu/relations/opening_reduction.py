@@ -102,19 +102,21 @@ class SparseOneHotOpening(SumcheckInstance):
     def input_claim(self, accumulator: OpeningAccumulator) -> int:
         return self.claim
 
-    def compute_message(self, round: int, previous_claim: int) -> UniPoly:
+    def message_evals_dev(self, round: int):
         if round < self.log_K:
             on2 = _mont_consts([0, 2])
             off2 = _mont_consts([1, -1])
-            evals = ops.unpack_ints(_sham_addr_kernel(
-                self.WS[round], self.U, self.masks[round], on2, off2))
+            arr = _sham_addr_kernel(self.WS[round], self.U,
+                                    self.masks[round], on2, off2)
             qb = self.q_addr[round]
-            evals = [self.A * ((qb * X + (1 - qb) * (1 - X)) % P) % P * e % P
-                     for X, e in zip((0, 2), evals)]
-        else:
-            evals = ops.unpack_ints(_ham_cycle_kernel(self.E, self.V))
-            evals = [self.A * e % P for e in evals]
-        return UniPoly.from_evals_and_hint(previous_claim, evals, P)
+            A = self.A
+            post = lambda evals: [
+                A * ((qb * X + (1 - qb) * (1 - X)) % P) % P * e % P
+                for X, e in zip((0, 2), evals)]
+            return arr, post
+        A = self.A
+        return (_ham_cycle_kernel(self.E, self.V),
+                lambda evals: [A * e % P for e in evals])
 
     def ingest_challenge(self, r: int, round: int) -> None:
         if round < self.log_K:
@@ -165,9 +167,8 @@ class DenseOpening(SumcheckInstance):
     def input_claim(self, accumulator: OpeningAccumulator) -> int:
         return self.claim
 
-    def compute_message(self, round: int, previous_claim: int) -> UniPoly:
-        evals = ops.unpack_ints(_ham_cycle_kernel(self.E, self.Pv))
-        return UniPoly.from_evals_and_hint(previous_claim, evals, P)
+    def message_evals_dev(self, round: int):
+        return _ham_cycle_kernel(self.E, self.Pv), None
 
     def ingest_challenge(self, r: int, round: int) -> None:
         r_dev = ops.pack_ints([r])

@@ -285,14 +285,12 @@ class _SparseRamBase(SumcheckInstance):
     def _addr_scale(self) -> int:
         return 1
 
-    def compute_message(self, round: int, previous_claim: int) -> UniPoly:
+    def message_evals_dev(self, round: int):
         if round < self.log_T:
-            evals = ops.unpack_ints(self._cycle_message(
-                round, self.sched.rounds[round]))
-        else:
-            s = self._addr_scale()
-            evals = [s * v % P for v in ops.unpack_ints(self._addr_message())]
-        return UniPoly.from_evals_and_hint(previous_claim, evals, P)
+            return self._cycle_message(round, self.sched.rounds[round]), None
+        s = self._addr_scale()
+        post = None if s == 1 else (lambda evals: [s * v % P for v in evals])
+        return self._addr_message(), post
 
     def ingest_challenge(self, r: int, round: int) -> None:
         r_dev = ops.pack_ints([r])
@@ -1018,12 +1016,12 @@ class SparseRegistersRafVerifier(_SparseNorm, SumcheckInstance):
 class SparseBytecodeReadRafVerifier(_SparseNorm, SumcheckInstance):
     def __init__(self, log_T: int, log_K: int, gamma: int,
                  r_cycle: Sequence[int], claims: Sequence[int],
-                 code: bytes, entry: int, openings: dict, columns=None):
+                 program, openings: dict, columns=None):
         self.log_T, self.log_K = log_T, log_K
         self.gamma = gamma
         self.r_cycle = list(r_cycle)
         self.claims = list(claims)
-        self.code, self.entry = code, entry
+        self.program = program
         self.openings = openings
         self.columns = columns
 
@@ -1050,8 +1048,7 @@ class SparseBytecodeReadRafVerifier(_SparseNorm, SumcheckInstance):
                               r: Sequence[int]) -> int:
         from .bytecode import combined_table_eval
         r_cyc, r_addr = self._split(r)
-        tab_eval = combined_table_eval(self.code, self.entry,
-                                       1 << self.log_K, self.gamma, r_addr,
-                                       self.columns)
+        tab_eval = combined_table_eval(self.program, 1 << self.log_K,
+                                       self.gamma, r_addr, self.columns)
         return (eq.eq_int(self.r_cycle, r_cyc) * self.openings["ra"] % P
                 * tab_eval % P)

@@ -89,10 +89,8 @@ class SpartanOuterProver(SumcheckInstance):
     def input_claim(self, accumulator: OpeningAccumulator) -> int:
         return 0
 
-    def compute_message(self, round: int, previous_claim: int) -> UniPoly:
-        evals = ops.unpack_ints(
-            _outer_message_kernel(self.E, self.AZ, self.BZ, self.CZ))
-        return UniPoly.from_evals_and_hint(previous_claim, evals, P)
+    def message_evals_dev(self, round: int):
+        return _outer_message_kernel(self.E, self.AZ, self.BZ, self.CZ), None
 
     def ingest_challenge(self, r: int, round: int) -> None:
         r_dev = ops.pack_ints([r])

@@ -74,7 +74,10 @@ _LOADS = {"lb": 0, "lh": 1, "lw": 2, "ld": 3, "lbu": 4, "lhu": 5, "lwu": 6}
 _STORES = {"sb": 0, "sh": 1, "sw": 2, "sd": 3}
 _BRANCHES = {"beq": 0, "bne": 1, "blt": 4, "bge": 5, "bltu": 6, "bgeu": 7}
 _SHIFTS_I = {"slli": (0x13, 1, 0), "srli": (0x13, 5, 0), "srai": (0x13, 5, 0x10),
-             "slliw": (0x1B, 1, 0), "srliw": (0x1B, 5, 0), "sraiw": (0x1B, 5, 0x20)}
+             # W-shift "top" values are pre-shifted so that sh | (top << 6)
+             # lands funct7 at word bits 25.. (5-bit shamt): 0x10<<6 == 0x20<<5
+             "slliw": (0x1B, 1, 0), "srliw": (0x1B, 5, 0),
+             "sraiw": (0x1B, 5, 0x10)}
 
 _MEM_RE = re.compile(r"^(-?\w+)\((\w+)\)$")
 

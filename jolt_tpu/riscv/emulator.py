@@ -214,9 +214,13 @@ class Emulator:
         elif kind == "JAL":
             rd_post = next_pc
             next_pc = (pc + imm) & _M64
+            if next_pc == pc:
+                self.device.terminated = True  # jump-to-self halt heuristic
         elif kind == "JALR":
             rd_post = next_pc
             next_pc = (rs1_val + imm) & _M64 & ~1
+            if next_pc == pc:
+                self.device.terminated = True
         elif kind in ("BEQ", "BNE", "BLT", "BGE", "BLTU", "BGEU"):
             a, b = rs1_val, rs2_val
             sa, sb = _s64(a), _s64(b)
@@ -392,3 +396,186 @@ class Emulator:
                 raise RuntimeError(f"exceeded max_cycles={max_cycles}")
             self.step()
         return self.trace
+
+
+class AssertionFailure(RuntimeError):
+    """A virtual assert row evaluated to 0 -- the trace is unprovable
+    (honest execution never raises; indicates an expansion/advice bug)."""
+
+
+class RowEmulator(Emulator):
+    """Row-stepping machine over the EXPANDED program (riscv/program.py).
+
+    This is the proving tracer: the proving PC is the expanded row index,
+    the source byte address is the unexpanded PC, and every executed row is
+    a FINAL instruction with a direct lookup table.  Mirrors the reference
+    tracer's per-row execution of cached inline sequences
+    (`tracer/src/emulator/cpu.rs` + `instruction/mod.rs:174`)."""
+
+    def __init__(self, device: JoltDevice, program):
+        super().__init__(device, entry=program.start)
+        self.program = program
+        self.row_idx = program.addr2row[program.start]
+        self.load_bytes(program.entry, program.code)
+
+    def _exec_virtual(self, kind: str, row, rs1_val: int, rs2_val: int) -> int:
+        """rd value of a virtual (non-assert) row."""
+        from ..lookups.tables import _rsh_fold  # table-exact shift fold
+        if kind == "VirtualAdvice":
+            op, a, b2 = row.advice
+            return advice_value_fn(op, self.regs[a], self.regs[b2])
+        if kind == "VirtualMovsign":
+            return _M64 if rs1_val >> 63 else 0
+        if kind == "VirtualPow2":
+            return (1 << (rs1_val & 63)) & _M64
+        if kind == "VirtualPow2W":
+            return (1 << (rs1_val & 31)) & _M64
+        if kind == "VirtualShiftRightBitmask":
+            return ((1 << 64) - (1 << (rs1_val & 63))) & _M64
+        if kind == "VirtualSignExtendWord":
+            return _sext32(rs1_val)
+        if kind == "VirtualZeroExtendWord":
+            return rs1_val & _M32
+        if kind == "VirtualChangeDivisor":
+            return (1 if (rs1_val == 1 << 63 and rs2_val == _M64)
+                    else rs2_val)
+        if kind == "VirtualChangeDivisorW":
+            return (1 if (rs1_val == 0xFFFFFFFF80000000 and rs2_val == _M64)
+                    else rs2_val)
+        if kind == "VirtualSRL":
+            return _rsh_fold(rs1_val, rs2_val, 64)
+        if kind == "VirtualSRA":
+            ext = sum((1 << (63 - p)) for p in range(63)
+                      if not (rs2_val >> p) & 1) if rs1_val >> 63 else 0
+            return (_rsh_fold(rs1_val, rs2_val, 64) + ext) & _M64
+        if kind == "VirtualMULI":
+            return (rs1_val * (row.imm & _M64)) & _M64
+        raise AssertionError(kind)
+
+    @staticmethod
+    def _assert_output(kind: str, rs1_val: int, rs2_val: int, imm: int) -> int:
+        if kind == "VirtualAssertEQ":
+            return int(rs1_val == rs2_val)
+        if kind == "VirtualAssertLTE":
+            return int(rs1_val <= rs2_val)
+        if kind == "VirtualAssertValidDiv0":
+            return 1 if rs1_val else int(rs2_val == _M64)
+        if kind == "VirtualAssertValidUnsignedRemainder":
+            return int(rs2_val == 0 or rs1_val < rs2_val)
+        if kind == "VirtualAssertMulUNoOverflow":
+            return int(rs1_val * rs2_val <= _M64)
+        if kind == "VirtualAssertHalfwordAlignment":
+            return int((rs1_val + imm) & 1 == 0)
+        if kind == "VirtualAssertWordAlignment":
+            return int((rs1_val + imm) & 3 == 0)
+        raise AssertionError(kind)
+
+    def step(self) -> None:
+        row = self.program.rows[self.row_idx]
+        kind = row.kind
+        pc = row.address
+        regs = self.regs
+        rs1_val = regs[row.rs1]
+        rs2_val = regs[row.rs2]
+        imm = row.imm
+        rd = row.rd
+        if rd == 0 and kind in ("JAL", "JALR"):
+            rd = 32  # x0-jump rewrite (see Emulator.step)
+        rd_pre = regs[rd]
+        rd_post = rd_pre
+        ram_addr = 0
+        ram_pre = 0
+        ram_post = 0
+        # default next: within-sequence rows hold the unexpanded pc
+        next_row = self.row_idx + 1
+        next_pc = pc + 4 if row.advances_pc else pc
+        taken_target = None
+
+        if kind in ("NOOP", "FENCE", "ECALL", "EBREAK"):
+            pass
+        elif kind == "LUI":
+            rd_post = imm & _M64
+        elif kind == "AUIPC":
+            rd_post = (pc + imm) & _M64
+        elif kind == "JAL":
+            rd_post = (pc + 4) & _M64
+            taken_target = (pc + imm) & _M64
+        elif kind == "JALR":
+            rd_post = (pc + 4) & _M64
+            taken_target = (rs1_val + imm) & _M64 & ~1
+        elif kind in ("BEQ", "BNE", "BLT", "BGE", "BLTU", "BGEU"):
+            a, b = rs1_val, rs2_val
+            sa, sb = _s64(a), _s64(b)
+            taken = {
+                "BEQ": a == b, "BNE": a != b, "BLT": sa < sb,
+                "BGE": sa >= sb, "BLTU": a < b, "BGEU": a >= b,
+            }[kind]
+            if taken:
+                taken_target = (pc + imm) & _M64
+        elif kind == "LD":
+            addr = (rs1_val + imm) & _M64
+            if addr & 7:
+                raise RuntimeError(f"misaligned LD {addr:#x} at pc {pc:#x}")
+            rd_post = self.read_mem(addr, 8)
+            ram_addr = addr
+            ram_pre = ram_post = self.read_dword(ram_addr)
+        elif kind == "SD":
+            addr = (rs1_val + imm) & _M64
+            if addr & 7:
+                raise RuntimeError(f"misaligned SD {addr:#x} at pc {pc:#x}")
+            ram_addr = addr
+            ram_pre = self.read_dword(ram_addr)
+            ram_post = rs2_val
+            self.write_mem(addr, rs2_val, 8)
+        elif kind in ("ADDI", "SLTI", "SLTIU", "XORI", "ORI", "ANDI",
+                      "SLLI", "SRLI", "SRAI"):
+            rd_post = self._alu_imm(kind, rs1_val, imm)
+        elif kind in ("ADD", "SUB", "SLT", "SLTU", "XOR", "OR", "AND",
+                      "MUL", "MULHU"):
+            rd_post = self._alu_reg(kind, rs1_val, rs2_val)
+        elif kind.startswith("VirtualAssert"):
+            if self._assert_output(kind, rs1_val, rs2_val, imm) != 1:
+                raise AssertionFailure(
+                    f"{kind} failed at pc {pc:#x} row {self.row_idx} "
+                    f"(rs1={rs1_val:#x} rs2={rs2_val:#x})")
+        elif kind.startswith("Virtual"):
+            rd_post = self._exec_virtual(kind, row, rs1_val, rs2_val)
+        else:  # pragma: no cover
+            raise isa.DecodeError(f"unhandled final kind {kind}")
+
+        if taken_target is not None:
+            next_pc = taken_target
+            next_row = self.program.addr2row.get(taken_target)
+            if next_row is None:
+                raise RuntimeError(
+                    f"jump/branch to unmapped address {taken_target:#x}")
+            # reference termination heuristic (tracer/src/lib.rs:331): a
+            # jump-to-self ends the trace (its row is the final cycle,
+            # whose Jump flag disables the next-pc constraints)
+            if kind in ("JAL", "JALR") and taken_target == pc:
+                self.device.terminated = True
+
+        has_rd = (kind not in ("SD", "BEQ", "BNE", "BLT", "BGE", "BLTU",
+                               "BGEU", "FENCE", "ECALL", "EBREAK", "NOOP")
+                  and not kind.startswith("VirtualAssert"))
+        if has_rd and rd != 0:
+            regs[rd] = rd_post & _M64
+        if rd == 0:
+            rd_post = 0
+            rd_pre = 0
+
+        if self.trace is not None:
+            self.trace.append((
+                isa.KIND_ID[kind], pc, rd if has_rd else 255, row.rs1,
+                row.rs2, rs1_val, rs2_val, rd_pre,
+                regs[rd] if (has_rd and rd != 0) else 0,
+                ram_addr, ram_pre, ram_post, imm & _M64, next_pc,
+                self.row_idx, next_row,
+            ))
+        self.row_idx = next_row
+        self.pc = next_pc
+        self.instret += 1
+
+
+# late import seam so program.py can be imported standalone
+from .program import advice_value as advice_value_fn  # noqa: E402

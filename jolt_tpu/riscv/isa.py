@@ -35,6 +35,16 @@ KINDS = [
     # RV64M
     "MUL", "MULH", "MULHSU", "MULHU", "DIV", "DIVU", "REM", "REMU",
     "MULW", "DIVW", "DIVUW", "REMW", "REMUW",
+    # virtual instructions (bytecode-expansion targets; these are FINAL
+    # provable rows -- reference `tracer/src/instruction/virtual_*.rs` and
+    # `crates/jolt-riscv/src/instructions/{virt,assert}/`)
+    "VirtualAdvice", "VirtualMovsign", "VirtualPow2", "VirtualPow2W",
+    "VirtualShiftRightBitmask", "VirtualSignExtendWord",
+    "VirtualZeroExtendWord", "VirtualChangeDivisor", "VirtualChangeDivisorW",
+    "VirtualSRL", "VirtualSRA", "VirtualMULI",
+    "VirtualAssertEQ", "VirtualAssertLTE", "VirtualAssertValidDiv0",
+    "VirtualAssertValidUnsignedRemainder", "VirtualAssertMulUNoOverflow",
+    "VirtualAssertHalfwordAlignment", "VirtualAssertWordAlignment",
 ]
 KIND_ID = {name: i for i, name in enumerate(KINDS)}
 

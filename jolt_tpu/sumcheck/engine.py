@@ -23,6 +23,7 @@ from __future__ import annotations
 import abc
 from typing import Dict, List, Optional, Sequence, Tuple
 
+from ..field import ops
 from ..field.params import FR
 from ..poly.univariate import UniPoly
 from ..transcript import Blake2bTranscript
@@ -79,8 +80,29 @@ class SumcheckInstance(abc.ABC):
     @abc.abstractmethod
     def input_claim(self, accumulator: OpeningAccumulator) -> int: ...
 
-    @abc.abstractmethod
-    def compute_message(self, round: int, previous_claim: int) -> UniPoly: ...
+    def message_evals_dev(self, round: int):
+        """Device path for the round message: return (device_array, post)
+        where the array holds the message's Montgomery-limb evaluations and
+        `post` (optional) maps the fetched int list to the final evals.
+        Returning None selects the host `compute_message` path.
+
+        The engine fetches ALL instances' arrays with ONE blocking
+        device_get per round -- per-instance kernel dispatches stay async,
+        so a batch of N instances costs one device round-trip instead of N
+        (the prover is dispatch-latency-bound on the TPU relay)."""
+        return None
+
+    def compute_message(self, round: int, previous_claim: int) -> UniPoly:
+        md = self.message_evals_dev(round)
+        if md is None:
+            raise NotImplementedError(
+                f"{type(self).__name__} implements neither compute_message "
+                f"nor message_evals_dev")
+        arr, post = md
+        evals = ops.unpack_ints(arr)
+        if post is not None:
+            evals = post(evals)
+        return UniPoly.from_evals_and_hint(previous_claim, evals, P)
 
     @abc.abstractmethod
     def ingest_challenge(self, r: int, round: int) -> None: ...
@@ -128,13 +150,32 @@ class BatchedSumcheck:
         compressed_polys: List[List[int]] = []
 
         for rnd in range(max_rounds):
-            polys: List[UniPoly] = []
-            for inst, claim in zip(instances, claims):
+            # 1: launch every active instance's message kernel (async),
+            # 2: ONE blocking device_get for the whole batch,
+            # 3: host fallback / postprocess / RLC.
+            polys: List[Optional[UniPoly]] = [None] * len(instances)
+            dev_batch: List[Tuple[int, object]] = []
+            dev_arrays = []
+            for i, (inst, claim) in enumerate(zip(instances, claims)):
                 off = inst.round_offset(max_rounds)
                 if off <= rnd < off + inst.num_rounds:
-                    polys.append(inst.compute_message(rnd - off, claim))
+                    md = inst.message_evals_dev(rnd - off)
+                    if md is not None:
+                        dev_batch.append((i, md[1]))
+                        dev_arrays.append(md[0])
+                    else:
+                        polys[i] = inst.compute_message(rnd - off, claim)
                 else:
-                    polys.append(UniPoly([claim * two_inv % P]))
+                    polys[i] = UniPoly([claim * two_inv % P])
+            if dev_arrays:
+                import jax as _jax
+                fetched = _jax.device_get(dev_arrays)
+                for (i, post), arr in zip(dev_batch, fetched):
+                    evals = ops.np_unpack_ints(arr)
+                    if post is not None:
+                        evals = post(evals)
+                    polys[i] = UniPoly.from_evals_and_hint(
+                        claims[i], evals, P)
 
             batched = UniPoly([0])
             for poly, c in zip(polys, coeffs):

@@ -1,7 +1,9 @@
-"""ctypes bindings for the native C++ tracer (native/tracer.cpp).
+"""ctypes bindings for the native C++ row tracer (native/tracer.cpp).
 
-Produces the identical SoA `Trace` as the Python emulator; equivalence is a
-test gate (the reference's serial-vs-parallel tracer paranoia checks,
+Python performs the static bytecode expansion (riscv/program.py) and
+serializes the FINAL row table; the C++ tracer executes it and produces the
+identical SoA `Trace` as the Python RowEmulator.  Equivalence is a test
+gate (the reference's serial-vs-parallel tracer paranoia checks,
 `tracer/src/parallel.rs:54-60`).
 """
 
@@ -14,22 +16,24 @@ from typing import Optional
 
 import numpy as np
 
+from ..riscv import isa
 from ..riscv.assembler import assemble
 from ..riscv.emulator import JoltDevice, MemoryLayout, RAM_START_ADDRESS
+from ..riscv.elf import is_elf, load_elf
+from ..riscv.program import ADVICE_OP_ID, Program, expand_program
 from .trace import TRACE_FIELDS, Trace, _padded_length
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
 _SO = os.path.join(_NATIVE_DIR, "libjolt_tracer.so")
 _SRC = os.path.join(_NATIVE_DIR, "tracer.cpp")
 
-_ROW_DTYPE = np.dtype([
+# mirror of tracer.cpp ProgRow
+_PROG_DTYPE = np.dtype([
     ("kind", np.uint16), ("rd", np.uint8), ("rs1", np.uint8),
-    ("rs2", np.uint8), ("_pad", np.uint8, 3),
-    ("pc", np.uint64),
-    ("rs1_val", np.uint64), ("rs2_val", np.uint64),
-    ("rd_pre", np.uint64), ("rd_post", np.uint64),
-    ("ram_addr", np.uint64), ("ram_pre", np.uint64), ("ram_post", np.uint64),
-    ("imm", np.int64), ("next_pc", np.uint64),
+    ("rs2", np.uint8), ("flags", np.uint8), ("advice_op", np.int8),
+    ("advice_rs1", np.uint8), ("advice_rs2", np.uint8),
+    ("_pad", np.uint8, 3),
+    ("imm", np.int64), ("address", np.uint64),
 ])
 
 
@@ -53,18 +57,42 @@ def _load() -> ctypes.CDLL:
         subprocess.run(
             ["g++", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC], check=True)
     lib = ctypes.CDLL(_SO)
-    lib.jolt_trace.restype = ctypes.POINTER(_TraceResult)
-    lib.jolt_trace.argtypes = [
-        ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint64,
+    lib.jolt_trace_rows.restype = ctypes.POINTER(_TraceResult)
+    lib.jolt_trace_rows.argtypes = [
+        ctypes.c_void_p, ctypes.c_uint64,
+        ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64,
         ctypes.c_char_p, ctypes.c_uint64,
         ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64,
         ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64,
     ]
     lib.jolt_trace_free.argtypes = [ctypes.POINTER(_TraceResult)]
     lib.jolt_trace_fill_columns.argtypes = [ctypes.POINTER(_TraceResult)] + \
-        [ctypes.c_void_p] * 24
+        [ctypes.c_void_p] * 28
     _lib = lib
     return lib
+
+
+def serialize_program(program: Program) -> np.ndarray:
+    """Pack the expanded rows into the C ABI ProgRow array."""
+    arr = np.zeros(program.n_rows, dtype=_PROG_DTYPE)
+    for i, r in enumerate(program.rows):
+        arr[i]["kind"] = isa.KIND_ID[r.kind]
+        arr[i]["rd"] = r.rd
+        arr[i]["rs1"] = r.rs1
+        arr[i]["rs2"] = r.rs2
+        arr[i]["flags"] = ((1 if r.virtual else 0) | (2 if r.first else 0)
+                           | (4 if r.last else 0))
+        if r.advice is not None:
+            op, a, b = r.advice
+            arr[i]["advice_op"] = ADVICE_OP_ID[op]
+            arr[i]["advice_rs1"] = a
+            arr[i]["advice_rs2"] = b
+        else:
+            arr[i]["advice_op"] = -1
+        arr[i]["imm"] = np.int64(r.imm if -(1 << 63) <= r.imm < (1 << 63)
+                                 else r.imm - (1 << 64))
+        arr[i]["address"] = r.address
+    return arr
 
 
 def trace_program_native(code: bytes | str, inputs: bytes = b"",
@@ -74,10 +102,17 @@ def trace_program_native(code: bytes | str, inputs: bytes = b"",
     """Native-tracer twin of `trace_program` (same Trace output)."""
     if isinstance(code, str):
         code = assemble(code, base=entry)
+    start = entry
+    if is_elf(code):
+        loaded = load_elf(code)
+        code, entry, start = loaded.image, loaded.base, loaded.entry
     layout = layout or MemoryLayout()
+    program = expand_program(code, entry, start)
+    prog_arr = serialize_program(program)
     lib = _load()
-    res_p = lib.jolt_trace(
-        code, len(code), entry, inputs, len(inputs),
+    res_p = lib.jolt_trace_rows(
+        prog_arr.ctypes.data_as(ctypes.c_void_p), program.n_rows,
+        code, len(code), entry, program.start, inputs, len(inputs),
         layout.input_start, layout.input_end,
         layout.output_start, layout.output_end,
         layout.panic, layout.termination, layout.io_end,
@@ -85,7 +120,7 @@ def trace_program_native(code: bytes | str, inputs: bytes = b"",
     res = res_p.contents
     try:
         if res.status == 1:
-            raise ValueError("native tracer: decode error")
+            raise ValueError("native tracer: bad jump target / failed assert")
         if res.status == 2:
             raise RuntimeError(f"exceeded max_cycles={max_cycles}")
         T = int(res.count)
@@ -110,12 +145,22 @@ def trace_program_native(code: bytes | str, inputs: bytes = b"",
         lib.jolt_trace_free(res_p)
 
     if T and padded > T:
-        final_pc = (int(cols["next_pc_lo"][T - 1])
-                    | int(cols["next_pc_hi"][T - 1]) << 32)
+        from .trace import padding_target
+        last_kind = isa.KINDS[int(cols["kind"][T - 1])]
+        final_pc, final_idx = padding_target(
+            program, last_kind,
+            int(cols["next_pc_lo"][T - 1])
+            | int(cols["next_pc_hi"][T - 1]) << 32,
+            int(cols["next_pc_idx_lo"][T - 1])
+            | int(cols["next_pc_idx_hi"][T - 1]) << 32)
         cols["pc_lo"][T:] = final_pc & 0xFFFFFFFF
         cols["pc_hi"][T:] = final_pc >> 32
         cols["next_pc_lo"][T:] = final_pc & 0xFFFFFFFF
         cols["next_pc_hi"][T:] = final_pc >> 32
+        cols["pc_idx_lo"][T:] = final_idx & 0xFFFFFFFF
+        cols["pc_idx_hi"][T:] = final_idx >> 32
+        cols["next_pc_idx_lo"][T:] = final_idx & 0xFFFFFFFF
+        cols["next_pc_idx_hi"][T:] = final_idx >> 32
         cols["rd"][T:] = 255
 
     device = JoltDevice(layout, inputs)
@@ -123,4 +168,5 @@ def trace_program_native(code: bytes | str, inputs: bytes = b"",
     device.panic = panic
     device.terminated = True
     return Trace(columns=cols, length=T, padded_length=padded,
-                 device=device, memory_layout=layout, code=code, entry=entry)
+                 device=device, memory_layout=layout, code=code, entry=entry,
+                 program=program)

@@ -23,7 +23,10 @@ import numpy as np
 
 from ..riscv import isa
 from ..riscv.assembler import assemble
-from ..riscv.emulator import Emulator, JoltDevice, MemoryLayout, RAM_START_ADDRESS
+from ..riscv.emulator import (Emulator, JoltDevice, MemoryLayout,
+                              RAM_START_ADDRESS, RowEmulator)
+from ..riscv.elf import is_elf, load_elf
+from ..riscv.program import expand_program
 
 # column -> dtype; u64 columns are split into <name>_lo / <name>_hi uint32
 TRACE_FIELDS = [
@@ -41,6 +44,8 @@ TRACE_FIELDS = [
     ("ram_post", "u64"),
     ("imm", "i64"),
     ("next_pc", "u64"),
+    ("pc_idx", "u64"),      # expanded bytecode row index (the proving PC)
+    ("next_pc_idx", "u64"),
 ]
 
 
@@ -55,6 +60,7 @@ class Trace:
     memory_layout: MemoryLayout
     code: bytes = b""      # the (public) program image
     entry: int = RAM_START_ADDRESS
+    program: object = None  # riscv.program.Program (expanded public rows)
 
     def col(self, name: str) -> np.ndarray:
         return self.columns[name]
@@ -78,6 +84,32 @@ def _padded_length(T: int, min_padded: int = 256) -> int:
     return m
 
 
+def padding_target(program, last_kind: str, final_pc: int, final_idx: int):
+    """(pc, pc_idx) for trace padding rows.
+
+    Padding NOOP cycles must read a NOOP bytecode row whose address
+    satisfies the R1CS next-pc constraints of the final real cycle:
+      * if the row after the final cycle is a NOOP row (or the halt row),
+        padding continues there (termination store placed at the end of
+        the image -- the assembler-guest convention);
+      * if the final cycle is a jump (the reference's jump-to-self
+        termination heuristic, tracer/src/lib.rs:331), its Jump flag
+        disables the next-pc constraints and padding reads the halt row.
+    """
+    halt_addr = program.entry + len(program.code)
+    n = program.n_rows
+    if final_idx == n:
+        return halt_addr, n
+    if final_idx < n and program.rows[final_idx].kind == "NOOP":
+        return program.rows[final_idx].address, final_idx
+    if last_kind in ("JAL", "JALR"):
+        return halt_addr, n
+    raise ValueError(
+        "guest must terminate with the store as the last image instruction "
+        f"or end on a jump-to-self (last kind {last_kind}, next row "
+        f"{final_idx} is {program.rows[final_idx].kind})")
+
+
 def trace_program(code: bytes | str, inputs: bytes = b"",
                   layout: Optional[MemoryLayout] = None,
                   max_cycles: int = 1 << 24,
@@ -88,20 +120,26 @@ def trace_program(code: bytes | str, inputs: bytes = b"",
     address (see `MemoryLayout`)."""
     if isinstance(code, str):
         code = assemble(code, base=entry)
+    start = entry
+    if is_elf(code):
+        loaded = load_elf(code)
+        code, entry, start = loaded.image, loaded.base, loaded.entry
     layout = layout or MemoryLayout()
     device = JoltDevice(layout, inputs)
-    emu = Emulator(device, entry=entry)
-    emu.load_bytes(entry, code)
+    program = expand_program(code, entry, start)
+    emu = RowEmulator(device, program)
     rows = emu.run(max_cycles=max_cycles)
 
     T = len(rows)
     padded = _padded_length(T, min_padded)
 
-    raw = np.zeros((T, 14), dtype=np.uint64)
+    n_fields = len(TRACE_FIELDS)
+    raw = np.zeros((T, n_fields), dtype=np.uint64)
     if T:
         raw[:] = np.array(
             [[r[0], r[1], r[2], r[3], r[4], r[5], r[6], r[7], r[8], r[9],
-              r[10], r[11], r[12] & ((1 << 64) - 1), r[13]] for r in rows],
+              r[10], r[11], r[12] & ((1 << 64) - 1), r[13], r[14], r[15]]
+             for r in rows],
             dtype=np.uint64)
 
     cols: Dict[str, np.ndarray] = {}
@@ -117,12 +155,19 @@ def trace_program(code: bytes | str, inputs: bytes = b"",
     # Padding rows are NOOP (kind id 0); pc of padding rows repeats the final
     # next_pc so PC-continuity relations stay satisfiable.
     if T and padded > T:
-        final_pc = int(raw[T - 1, 13])
+        last_kind = isa.KINDS[int(raw[T - 1, 0])]
+        final_pc, final_idx = padding_target(
+            program, last_kind, int(raw[T - 1, 13]), int(raw[T - 1, 15]))
         cols["pc_lo"][T:] = final_pc & 0xFFFFFFFF
         cols["pc_hi"][T:] = final_pc >> 32
         cols["next_pc_lo"][T:] = final_pc & 0xFFFFFFFF
         cols["next_pc_hi"][T:] = final_pc >> 32
+        cols["pc_idx_lo"][T:] = final_idx & 0xFFFFFFFF
+        cols["pc_idx_hi"][T:] = final_idx >> 32
+        cols["next_pc_idx_lo"][T:] = final_idx & 0xFFFFFFFF
+        cols["next_pc_idx_hi"][T:] = final_idx >> 32
         cols["rd"][T:] = 255
 
     return Trace(columns=cols, length=T, padded_length=padded,
-                 device=device, memory_layout=layout, code=code, entry=entry)
+                 device=device, memory_layout=layout, code=code, entry=entry,
+                 program=program)

@@ -50,7 +50,7 @@ from ..witness.r1cs_inputs import (V_RAM_ADDRESS, V_RAM_READ_VALUE,
                                    V_RS1_VALUE, V_RS2_VALUE,
                                    V_LOOKUP_OUTPUT, V_LEFT_LOOKUP_OPERAND,
                                    V_RIGHT_LOOKUP_OPERAND)
-from ..witness.ram import input_init_vals
+from ..witness.ram import initial_memory_vals
 
 P = FR.modulus
 
@@ -64,7 +64,8 @@ class PublicIO:
 
     def __init__(self, trace_length: int, padded_length: int,
                  inputs: bytes, outputs: bytes, panic: bool,
-                 memory_layout=None, code: bytes = b"", entry: int = 0):
+                 memory_layout=None, code: bytes = b"", entry: int = 0,
+                 start: int = None):
         from ..riscv.emulator import MemoryLayout
         self.trace_length = trace_length
         self.padded_length = padded_length
@@ -74,32 +75,33 @@ class PublicIO:
         self.memory_layout = memory_layout or MemoryLayout()
         self.code = code
         self.entry = entry
+        self.start = entry if start is None else start
 
     @classmethod
     def from_trace(cls, trace: Trace) -> "PublicIO":
         return cls(trace.length, trace.padded_length,
                    bytes(trace.device.inputs), bytes(trace.device.outputs),
                    trace.device.panic, trace.memory_layout,
-                   trace.code, trace.entry)
+                   trace.code, trace.entry, trace.program.start)
 
 
-def expected_bytecode_log_K(code: bytes) -> int:
-    n = len(code) // 4
-    K = 1
-    while K < n + 2:
-        K *= 2
-    return K.bit_length() - 1
+def expected_bytecode_log_K(program) -> int:
+    from ..witness.bytecode import bytecode_K
+    return bytecode_K(program).bit_length() - 1
 
 
 def verify(proof: JoltProof, io: PublicIO, setup=None) -> bool:
-    # the bytecode table size is derivable from the public program; the RAM
-    # address-space size is a proof-carried config bound by the preamble
-    if proof.bytecode_log_K != expected_bytecode_log_K(io.code):
+    # the bytecode table size is derivable from the public program (the
+    # expansion is a pure function of the image); the RAM address-space
+    # size is a proof-carried config bound by the preamble
+    from ..riscv.program import expand_program
+    program = expand_program(io.code, io.entry, io.start)
+    if proof.bytecode_log_K != expected_bytecode_log_K(program):
         raise VerificationError("bytecode_log_K inconsistent with program")
     transcript = Blake2bTranscript(b"Jolt")
     fiat_shamir_preamble(transcript, io.trace_length, io.padded_length,
                          io.inputs, io.outputs, io.panic, io.code, io.entry,
-                         io.memory_layout, proof.ram_log_K,
+                         io.start, io.memory_layout, proof.ram_log_K,
                          proof.bytecode_log_K)
 
     pcs = make_scheme(setup)
@@ -198,7 +200,10 @@ def verify(proof: JoltProof, io: PublicIO, setup=None) -> bool:
     accumulator.flush_to_transcript(transcript)
 
     # ---- Stage 5: RAM Val evaluation + output check ----------------------
-    init_vals = input_init_vals(io.inputs, io.memory_layout)
+    # public initial image = inputs region + program image, restricted to
+    # the proof's RAM address space (same rule as the prover witness)
+    init_vals = initial_memory_vals(io.inputs, io.memory_layout, io.code,
+                                    io.entry, K=1 << proof.ram_log_K)
     o5 = proof.stage5_openings
     inst5 = SparseRamValEvaluationVerifier(
         log_T, proof.ram_log_K, r4_addr, r4_cyc, o4["rw_val"], init_vals,
@@ -253,12 +258,12 @@ def verify(proof: JoltProof, io: PublicIO, setup=None) -> bool:
     o6 = proof.stage6_openings
     inst6 = SparseBytecodeReadRafVerifier(
         log_T, proof.bytecode_log_K, gamma_bc, r_cycle, bc_claims,
-        io.code, io.entry, {"ra": o6["ra"]})
+        program, {"ra": o6["ra"]})
     flag_claims = [o5i[f"flag_{n}"] for n in LT.TABLE_NAMES]
     flag_claims.append(o5i["raf_flag"])
     inst6f = SparseBytecodeReadRafVerifier(
         log_T, proof.bytecode_log_K, gamma_bc, r_lk_cyc, flag_claims,
-        io.code, io.entry, {"ra": o6["flags_ra"]},
+        program, {"ra": o6["flags_ra"]},
         columns=LOOKUP_FLAG_COLUMNS)
     raf_insts = [SparseRegistersRafVerifier(log_T, r_cycle, idx_claims[i],
                                             o6[f"raf_{n}"])

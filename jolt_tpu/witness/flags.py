@@ -86,19 +86,43 @@ FLAGS: Dict[str, Tuple[Tuple[str, ...], Tuple[str, ...]]] = {
     "MULW": (("MultiplyOperands",) + _WR, _RS1_RS2),
     # MULH/MULHSU/DIV*/REM* are virtual-sequence expanded in the reference
     # (no direct lookup); until bytecode expansion lands they are emulate-only.
+    # source-only kinds below are bytecode-expanded (riscv/program.py) and
+    # never appear in a proving trace; entries kept for the semantic oracle
     "MULH": (("MultiplyOperands",) + _WR, _RS1_RS2),
     "MULHSU": (("MultiplyOperands",) + _WR, _RS1_RS2),
     "DIV": (_WR, _RS1_RS2), "DIVU": (_WR, _RS1_RS2),
     "REM": (_WR, _RS1_RS2), "REMU": (_WR, _RS1_RS2),
     "DIVW": (_WR, _RS1_RS2), "DIVUW": (_WR, _RS1_RS2),
     "REMW": (_WR, _RS1_RS2), "REMUW": (_WR, _RS1_RS2),
+    # virtual (final) instructions, jolt-riscv/src/instructions/{virt,assert}
+    "VirtualAdvice": (("Advice",) + _WR, ()),
+    "VirtualMovsign": (_WR, _RS1_IMM),
+    "VirtualPow2": (("AddOperands",) + _WR, ("LeftOperandIsRs1Value",)),
+    "VirtualPow2W": (("AddOperands",) + _WR, ("LeftOperandIsRs1Value",)),
+    "VirtualShiftRightBitmask": (("AddOperands",) + _WR,
+                                 ("LeftOperandIsRs1Value",)),
+    "VirtualSignExtendWord": (("AddOperands",) + _WR,
+                              ("LeftOperandIsRs1Value",)),
+    "VirtualZeroExtendWord": (("AddOperands",) + _WR,
+                              ("LeftOperandIsRs1Value",)),
+    "VirtualChangeDivisor": (_WR, _RS1_RS2),
+    "VirtualChangeDivisorW": (_WR, _RS1_RS2),
+    "VirtualSRL": (_WR, _RS1_RS2),
+    "VirtualSRA": (_WR, _RS1_RS2),
+    "VirtualMULI": (("MultiplyOperands",) + _WR, _RS1_IMM),
+    "VirtualAssertEQ": (("Assert",), _RS1_RS2),
+    "VirtualAssertLTE": (("Assert",), _RS1_RS2),
+    "VirtualAssertValidDiv0": (("Assert",), _RS1_RS2),
+    "VirtualAssertValidUnsignedRemainder": (("Assert",), _RS1_RS2),
+    "VirtualAssertMulUNoOverflow": (("MultiplyOperands", "Assert"), _RS1_RS2),
+    "VirtualAssertHalfwordAlignment": (("AddOperands", "Assert"), _RS1_IMM),
+    "VirtualAssertWordAlignment": (("AddOperands", "Assert"), _RS1_IMM),
 }
 
-# Instructions with a direct lookup table (or none needed) -- the set the
-# instruction-execution Shout can prove today.  Shifts, W-variants, MULH*,
-# div/rem and sub-word loads/stores are virtual-sequence expanded in the
-# reference (`tracer/src/instruction/` virtual ops) and stay emulate-only
-# until bytecode expansion lands.
+# Kinds that may appear as FINAL bytecode rows: every one has a direct
+# lookup table (or none needed).  Source-only kinds (sub-word memory ops,
+# register/word shifts, W arithmetic, MULH*, div/rem) are expanded by
+# riscv/program.py into sequences of these.
 PROVABLE_KINDS: FrozenSet[str] = frozenset([
     "NOOP", "LUI", "AUIPC", "JAL", "JALR",
     "BEQ", "BNE", "BLT", "BGE", "BLTU", "BGEU",
@@ -107,6 +131,13 @@ PROVABLE_KINDS: FrozenSet[str] = frozenset([
     "ADD", "SUB", "SLT", "SLTU", "XOR", "OR", "AND",
     "SLLI", "SRLI", "SRAI",
     "FENCE", "ECALL", "EBREAK", "MUL", "MULHU",
+    "VirtualAdvice", "VirtualMovsign", "VirtualPow2", "VirtualPow2W",
+    "VirtualShiftRightBitmask", "VirtualSignExtendWord",
+    "VirtualZeroExtendWord", "VirtualChangeDivisor", "VirtualChangeDivisorW",
+    "VirtualSRL", "VirtualSRA", "VirtualMULI",
+    "VirtualAssertEQ", "VirtualAssertLTE", "VirtualAssertValidDiv0",
+    "VirtualAssertValidUnsignedRemainder", "VirtualAssertMulUNoOverflow",
+    "VirtualAssertHalfwordAlignment", "VirtualAssertWordAlignment",
 ])
 
 

@@ -80,7 +80,11 @@ def _lookup_output(kind: str, rs1: int, rs2: int, imm: int, pc: int,
     """Per-kind lookup output (jolt-lookup-tables/src/instructions/riscv/*).
 
     For WriteLookupOutputToRD instructions the output equals the value
-    written to rd; branches produce the comparison bit; jumps the target."""
+    written to rd; branches produce the comparison bit; jumps the target;
+    asserts are 1 on any honest trace (the extractor's table self-check
+    rejects a violating trace before proving)."""
+    if F.circuit_flag(kind, "Assert"):
+        return 1
     if F.circuit_flag(kind, "WriteLookupOutputToRD"):
         return rd_post
     if F.instruction_flag(kind, "Branch"):
@@ -108,39 +112,76 @@ class R1CSCycleInputs:
         return self.columns[idx]
 
 
+def row_circuit_flags(row) -> frozenset:
+    """Kind flags + per-row sequence flags (VirtualInstruction,
+    IsFirst/IsLastInSequence, and DoNotUpdateUnexpandedPC on every
+    non-final sequence row)."""
+    cf = set(F.FLAGS[row.kind][0])
+    if row.virtual:
+        cf.add("VirtualInstruction")
+        if row.first:
+            cf.add("IsFirstInSequence")
+        if row.last:
+            cf.add("IsLastInSequence")
+        else:
+            cf.add("DoNotUpdateUnexpandedPC")
+    return frozenset(cf)
+
+
+_HALT_ROW = None
+
+
+def halt_row():
+    """The one-past-the-end bytecode row (NOOP); trace padding rows point
+    here, as do cycles that fall off the end of the program."""
+    global _HALT_ROW
+    if _HALT_ROW is None:
+        from ..riscv.program import Row
+        _HALT_ROW = Row(kind="NOOP", address=0)
+    return _HALT_ROW
+
+
 def extract_r1cs_inputs(trace: Trace, strict: bool = True) -> R1CSCycleInputs:
     T = trace.padded_length
     kinds = trace.col("kind")
     names = [isa.KINDS[k] for k in kinds.tolist()]
+    program = trace.program
 
     def u64(name):
         lo, hi = trace.u64_col(name)
         return (lo.astype(np.uint64) | (hi.astype(np.uint64) << np.uint64(32))).tolist()
 
     pc = u64("pc")
-    next_pc_col = u64("next_pc")
+    pc_idx = u64("pc_idx")
     rs1v = u64("rs1_val")
     rs2v = u64("rs2_val")
     rd_post = u64("rd_post")
-    ram_addr = u64("ram_addr")
     ram_pre = u64("ram_pre")
     ram_post = u64("ram_post")
-    imm_raw = u64("imm")
 
     cols: List[List[int]] = [[0] * T for _ in range(NUM_VARS)]
+    rows = []   # per-cycle bytecode row (static source of imm/flags)
 
     for j in range(T):
         kind = names[j]
         if strict and kind not in F.PROVABLE_KINDS:
             raise ValueError(
-                f"instruction {kind} at cycle {j} needs virtual-sequence "
-                f"expansion (not yet supported for proving)")
-        cf, inf = F.FLAGS[kind]
-        imm_s = _s64(int(imm_raw[j]))
-        eff = LT.effective_imm(kind, int(imm_raw[j]))
+                f"{kind} at cycle {j} is not a final bytecode row "
+                f"(expansion bug)")
+        k_idx = int(pc_idx[j])
+        row = (program.rows[k_idx] if program is not None
+               and k_idx < program.n_rows else halt_row())
+        if program is not None and row.kind != kind and kind != "NOOP":
+            raise ValueError(
+                f"trace kind {kind} at cycle {j} disagrees with bytecode "
+                f"row {k_idx} ({row.kind})")
+        rows.append(row)
+        cf = row_circuit_flags(row)
+        inf = F.FLAGS[kind][1]
+        imm_s = row.imm if kind != "NOOP" else 0
+        eff = LT.effective_imm(kind, imm_s)
         if eff is not None:
             imm_s = eff   # 1:1 virtual rewrite (2^shift / shift bitmask)
-        is_noop = kind == "NOOP"
 
         left = rs1v[j] if "LeftOperandIsRs1Value" in inf else (
             pc[j] if "LeftOperandIsPC" in inf else 0)
@@ -154,8 +195,13 @@ def extract_r1cs_inputs(trace: Trace, strict: bool = True) -> R1CSCycleInputs:
         mul_f = "MultiplyOperands" in cf
         load_f = "Load" in cf
         store_f = "Store" in cf
+        advice_f = "Advice" in cf
 
-        if add_f or sub_f or mul_f:
+        if advice_f:
+            # the advice value IS the lookup index (RangeCheck-bound)
+            left_lookup = 0
+            right_lookup = rd_post[j]
+        elif add_f or sub_f or mul_f:
             left_lookup = 0
             right_lookup = (left + right) if add_f else (
                 (left - right + (1 << 64)) if sub_f else product)
@@ -168,7 +214,7 @@ def extract_r1cs_inputs(trace: Trace, strict: bool = True) -> R1CSCycleInputs:
         c(V_LEFT_INSTRUCTION_INPUT, left)
         c(V_RIGHT_INSTRUCTION_INPUT, right)
         c(V_PRODUCT, product)
-        c(V_PC, pc[j])
+        c(V_PC, k_idx)
         c(V_UNEXPANDED_PC, pc[j])
         c(V_IMM, imm_s)
         c(V_RAM_ADDRESS, (rs1v[j] + imm_s) if (load_f or store_f) else 0)
@@ -191,6 +237,9 @@ def extract_r1cs_inputs(trace: Trace, strict: bool = True) -> R1CSCycleInputs:
         cols[V_NEXT_UNEXPANDED_PC][j] = cols[V_UNEXPANDED_PC][nxt] if j + 1 < T \
             else cols[V_UNEXPANDED_PC][j]
         cols[V_NEXT_PC][j] = cols[V_PC][nxt] if j + 1 < T else cols[V_PC][j]
+        nrow = rows[nxt] if j + 1 < T else halt_row()
+        cols[V_NEXT_IS_VIRTUAL][j] = 1 if nrow.virtual else 0
+        cols[V_NEXT_IS_FIRST_IN_SEQUENCE][j] = 1 if nrow.first else 0
         cols[V_NEXT_IS_NOOP][j] = next_is_noop
         jump_f = cols[V_FLAG_BASE + F.CIRCUIT_FLAGS.index("Jump")][j]
         cols[V_SHOULD_JUMP][j] = jump_f * (1 - next_is_noop)

@@ -60,6 +60,26 @@ def input_init_vals(inputs: bytes, layout) -> Dict[int, int]:
     return out
 
 
+def initial_memory_vals(inputs: bytes, layout, code: bytes = b"",
+                        base: int = 0, K: int = None) -> Dict[int, int]:
+    """The full public initial memory image: inputs region + the program
+    image loaded at `base` (so guests may read their own .text/.rodata/.data
+    through the RAM argument; the reference folds the image into the
+    preprocessing digest, jolt-program/src/image/).  With K set, cells
+    outside the proof's 2^log_K address space are dropped identically on
+    both sides (they are unreachable by any in-range access)."""
+    out = input_init_vals(inputs, layout)
+    wb = layout.input_start
+    assert base % 8 == 0
+    for off in range(0, len(code), 8):
+        dword = int.from_bytes(code[off:off + 8].ljust(8, b"\x00"), "little")
+        if dword:
+            out[remap_address(base + off, wb)] = dword
+    if K is not None:
+        out = {k: v for k, v in out.items() if k < K}
+    return out
+
+
 @dataclasses.dataclass
 class RamLog:
     """Sparse per-cycle access log: the O(T) witness interface for the
@@ -96,7 +116,9 @@ def extract_ram_log(trace: Trace) -> RamLog:
         K *= 2
     K = max(K, 2)
 
-    init_vals = input_init_vals(bytes(trace.device.inputs), trace.memory_layout)
+    init_vals = initial_memory_vals(bytes(trace.device.inputs),
+                                    trace.memory_layout, trace.code,
+                                    trace.entry)
 
     cols = np.asarray(ks, dtype=np.int64)
     pre = np.zeros(T, dtype=np.uint64)
@@ -113,9 +135,8 @@ def extract_ram_log(trace: Trace) -> RamLog:
             if int(ram_pre[j]) != expected:
                 raise ValueError(
                     f"cycle {j}: first access of cell {k} reads "
-                    f"{int(ram_pre[j]):#x} not implied by inputs -- "
-                    f"program-image reads need the ProgramImageInit claim "
-                    f"reduction (future round)")
+                    f"{int(ram_pre[j]):#x} not implied by the public "
+                    f"initial image (inputs + program image)")
             cur = expected
         assert cur == int(ram_pre[j]), f"ram pre mismatch cycle {j}"
         pre[j] = cur
@@ -125,7 +146,8 @@ def extract_ram_log(trace: Trace) -> RamLog:
             mem[k] = int(post[j])
 
     return RamLog(cols=cols, pre=pre, post=post, inc=inc,
-                  init_vals=init_vals, K=K, log_K=K.bit_length() - 1, T=T,
+                  init_vals={k: v for k, v in init_vals.items() if k < K},
+                  K=K, log_K=K.bit_length() - 1, T=T,
                   witness_base=wb)
 
 

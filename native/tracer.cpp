@@ -1,10 +1,13 @@
-// Native RV64IM tracer: the production witness producer.
+// Native row tracer: the production witness producer.
 //
-// C++ twin of jolt_tpu/riscv/emulator.py (same architectural semantics,
-// same SoA trace row schema), playing the role of the reference's Rust
-// tracer (/root/reference/tracer/) as the host-side execution layer.
-// Mode-equivalence gate: traces must be bit-identical to the Python
-// emulator (tests/test_native_tracer.py), mirroring the reference's
+// C++ twin of jolt_tpu/riscv/emulator.py:RowEmulator (same architectural
+// semantics, same SoA trace row schema), playing the role of the
+// reference's Rust tracer (/root/reference/tracer/) as the host-side
+// execution layer.  Python performs the static bytecode expansion
+// (riscv/program.py) and hands the FINAL row table to this tracer; both
+// sides therefore execute the identical expanded program.  Mode-equivalence
+// gate: traces must be bit-identical to the Python row emulator
+// (tests/test_native_tracer.py), mirroring the reference's
 // parallel-vs-serial tracer paranoia checks (tracer/src/parallel.rs).
 //
 // Build: g++ -O3 -shared -fPIC -o libjolt_tracer.so tracer.cpp
@@ -21,6 +24,7 @@ typedef uint32_t u32;
 typedef int32_t i32;
 typedef uint16_t u16;
 typedef uint8_t u8;
+typedef int8_t i8;
 
 namespace {
 
@@ -40,17 +44,35 @@ enum Kind : u16 {
   FENCE, ECALL, EBREAK,
   MUL, MULH, MULHSU, MULHU, DIV, DIVU, REM, REMU,
   MULW, DIVW, DIVUW, REMW, REMUW,
+  // virtual (final) instructions -- isa.py order continues here
+  V_ADVICE, V_MOVSIGN, V_POW2, V_POW2W,
+  V_SHIFT_BITMASK, V_SEXT_W, V_ZEXT_W, V_CHANGE_DIV, V_CHANGE_DIVW,
+  V_SRL, V_SRA, V_MULI,
+  VA_EQ, VA_LTE, VA_VALID_DIV0, VA_VALID_UREM, VA_MULU_NO_OVF,
+  VA_HALF_ALIGN, VA_WORD_ALIGN,
   KIND_COUNT
 };
 
-struct Decoded {
-  u16 kind;
-  u8 rd, rs1, rs2;
-  i64 imm;
-  bool valid;
+// advice ops -- MUST match jolt_tpu/riscv/program.py ADVICE_OPS order.
+enum AdviceOp : i8 {
+  ADV_NONE = -1,
+  ADV_DIVU_Q = 0, ADV_DIV_Q, ADV_DIV_R_ABS,
+  ADV_DIVUW_Q, ADV_DIVW_Q, ADV_DIVW_R_ABS,
 };
 
 #pragma pack(push, 1)
+// one expanded bytecode row, serialized by jolt_tpu/tracer/native.py
+struct ProgRow {
+  u16 kind;
+  u8 rd, rs1, rs2;
+  u8 flags;        // 1 = virtual, 2 = first, 4 = last
+  i8 advice_op;    // -1 = none
+  u8 advice_rs1, advice_rs2;
+  u8 _pad[3];
+  i64 imm;
+  u64 address;     // unexpanded source pc
+};
+
 struct TraceRow {
   u16 kind;
   u8 rd, rs1, rs2;      // rd = 255 when no destination
@@ -60,6 +82,7 @@ struct TraceRow {
   u64 ram_addr, ram_pre, ram_post;
   i64 imm;
   u64 next_pc;
+  u64 pc_idx, next_pc_idx;
 };
 #pragma pack(pop)
 
@@ -67,120 +90,11 @@ static inline i64 sext(u64 v, int bits) {
   return (i64)(v << (64 - bits)) >> (64 - bits);
 }
 
-Decoded decode(u32 w) {
-  Decoded d{};
-  d.valid = true;
-  u32 opcode = w & 0x7F;
-  d.rd = (w >> 7) & 0x1F;
-  u32 f3 = (w >> 12) & 7;
-  d.rs1 = (w >> 15) & 0x1F;
-  d.rs2 = (w >> 20) & 0x1F;
-  u32 f7 = (w >> 25) & 0x7F;
-  switch (opcode) {
-    case 0x37: d.kind = LUI; d.imm = sext(w & 0xFFFFF000u, 32); d.rs1 = d.rs2 = 0; return d;
-    case 0x17: d.kind = AUIPC; d.imm = sext(w & 0xFFFFF000u, 32); d.rs1 = d.rs2 = 0; return d;
-    case 0x6F: {
-      u64 imm = (((w >> 31) & 1) << 20) | (((w >> 12) & 0xFF) << 12)
-              | (((w >> 20) & 1) << 11) | (((w >> 21) & 0x3FF) << 1);
-      d.kind = JAL; d.imm = sext(imm, 21); d.rs1 = d.rs2 = 0; return d;
-    }
-    case 0x67:
-      if (f3 != 0) break;
-      d.kind = JALR; d.imm = sext(w >> 20, 12); d.rs2 = 0; return d;
-    case 0x63: {
-      static const i32 br[8] = {BEQ, BNE, -1, -1, BLT, BGE, BLTU, BGEU};
-      if (br[f3] < 0) break;
-      u64 imm = (((w >> 31) & 1) << 12) | (((w >> 7) & 1) << 11)
-              | (((w >> 25) & 0x3F) << 5) | (((w >> 8) & 0xF) << 1);
-      d.kind = (u16)br[f3]; d.imm = sext(imm, 13); d.rd = 0; return d;
-    }
-    case 0x03: {
-      static const i32 ld[8] = {LB, LH, LW, LD_, LBU, LHU, LWU, -1};
-      if (ld[f3] < 0) break;
-      d.kind = (u16)ld[f3]; d.imm = sext(w >> 20, 12); d.rs2 = 0; return d;
-    }
-    case 0x23: {
-      static const i32 st[8] = {SB, SH, SW, SD_, -1, -1, -1, -1};
-      if (st[f3] < 0) break;
-      u64 imm = ((u64)(w >> 25) << 5) | d.rd;
-      d.kind = (u16)st[f3]; d.imm = sext(imm, 12); d.rd = 0; return d;
-    }
-    case 0x13: {
-      if (f3 == 1 && (w >> 26) == 0) { d.kind = SLLI; d.imm = (w >> 20) & 0x3F; d.rs2 = 0; return d; }
-      if (f3 == 5) {
-        u32 top = w >> 26, sh = (w >> 20) & 0x3F;
-        if (top == 0x00) { d.kind = SRLI; d.imm = sh; d.rs2 = 0; return d; }
-        if (top == 0x10) { d.kind = SRAI; d.imm = sh; d.rs2 = 0; return d; }
-        break;
-      }
-      static const i32 oi[8] = {ADDI, -1, SLTI, SLTIU, XORI, -1, ORI, ANDI};
-      if (oi[f3] < 0) break;
-      d.kind = (u16)oi[f3]; d.imm = sext(w >> 20, 12); d.rs2 = 0; return d;
-    }
-    case 0x1B: {
-      if (f3 == 0) { d.kind = ADDIW; d.imm = sext(w >> 20, 12); d.rs2 = 0; return d; }
-      u32 sh = (w >> 20) & 0x1F;
-      if (f3 == 1 && f7 == 0) { d.kind = SLLIW; d.imm = sh; d.rs2 = 0; return d; }
-      if (f3 == 5 && f7 == 0x00) { d.kind = SRLIW; d.imm = sh; d.rs2 = 0; return d; }
-      if (f3 == 5 && f7 == 0x20) { d.kind = SRAIW; d.imm = sh; d.rs2 = 0; return d; }
-      break;
-    }
-    case 0x33: {
-      u32 key = (f3 << 8) | f7;
-      switch (key) {
-        case 0x000: d.kind = ADD; return d;
-        case 0x020: d.kind = SUB; return d;
-        case 0x100: d.kind = SLL; return d;
-        case 0x200: d.kind = SLT; return d;
-        case 0x300: d.kind = SLTU; return d;
-        case 0x400: d.kind = XOR_; return d;
-        case 0x500: d.kind = SRL; return d;
-        case 0x520: d.kind = SRA; return d;
-        case 0x600: d.kind = OR_; return d;
-        case 0x700: d.kind = AND_; return d;
-        case 0x001: d.kind = MUL; return d;
-        case 0x101: d.kind = MULH; return d;
-        case 0x201: d.kind = MULHSU; return d;
-        case 0x301: d.kind = MULHU; return d;
-        case 0x401: d.kind = DIV; return d;
-        case 0x501: d.kind = DIVU; return d;
-        case 0x601: d.kind = REM; return d;
-        case 0x701: d.kind = REMU; return d;
-      }
-      break;
-    }
-    case 0x3B: {
-      u32 key = (f3 << 8) | f7;
-      switch (key) {
-        case 0x000: d.kind = ADDW; return d;
-        case 0x020: d.kind = SUBW; return d;
-        case 0x100: d.kind = SLLW; return d;
-        case 0x500: d.kind = SRLW; return d;
-        case 0x520: d.kind = SRAW; return d;
-        case 0x001: d.kind = MULW; return d;
-        case 0x401: d.kind = DIVW; return d;
-        case 0x501: d.kind = DIVUW; return d;
-        case 0x601: d.kind = REMW; return d;
-        case 0x701: d.kind = REMUW; return d;
-      }
-      break;
-    }
-    case 0x0F: d.kind = FENCE; d.rd = d.rs1 = d.rs2 = 0; return d;
-    case 0x73:
-      if (w == 0x00000073) { d.kind = ECALL; d.rd = d.rs1 = d.rs2 = 0; return d; }
-      if (w == 0x00100073) { d.kind = EBREAK; d.rd = d.rs1 = d.rs2 = 0; return d; }
-      break;
-  }
-  d.valid = false;
-  return d;
-}
-
 struct Layout {
   u64 input_start, input_end, output_start, output_end, panic, termination, io_end;
 };
 
 struct Machine {
-  u64 pc;
   u64 regs[128];
   std::unordered_map<u64, std::unique_ptr<u8[]>> pages;
   Layout lay;
@@ -188,7 +102,6 @@ struct Machine {
   u64 inputs_len;
   std::vector<u8> outputs;
   bool panic_flag = false, terminated = false;
-  std::unordered_map<u32, Decoded> dcache;
 
   u8* page(u64 addr) {
     u64 pg = addr >> 12;
@@ -249,10 +162,6 @@ static inline u64 alu_imm(u16 k, u64 a, i64 imm) {
     case SLLI: return a << imm;
     case SRLI: return a >> imm;
     case SRAI: return (u64)((i64)a >> imm);
-    case ADDIW: return (u64)(i64)(i32)(a + (u64)imm);
-    case SLLIW: return (u64)(i64)(i32)((u32)a << imm);
-    case SRLIW: return (u64)(i64)(i32)((u32)a >> imm);
-    case SRAIW: return (u64)(i64)((i32)a >> imm);
   }
   return 0;
 }
@@ -261,57 +170,49 @@ static inline u64 alu_reg(u16 k, u64 a, u64 b) {
   switch (k) {
     case ADD: return a + b;
     case SUB: return a - b;
-    case SLL: return a << (b & 63);
     case SLT: return (i64)a < (i64)b ? 1 : 0;
     case SLTU: return a < b ? 1 : 0;
     case XOR_: return a ^ b;
-    case SRL: return a >> (b & 63);
-    case SRA: return (u64)((i64)a >> (b & 63));
     case OR_: return a | b;
     case AND_: return a & b;
-    case ADDW: return (u64)(i64)(i32)(a + b);
-    case SUBW: return (u64)(i64)(i32)(a - b);
-    case SLLW: return (u64)(i64)(i32)((u32)a << (b & 31));
-    case SRLW: return (u64)(i64)(i32)((u32)a >> (b & 31));
-    case SRAW: return (u64)(i64)((i32)a >> (b & 31));
     case MUL: return a * b;
-    case MULH: return (u64)(((__int128)(i64)a * (__int128)(i64)b) >> 64);
-    case MULHSU: return (u64)(((__int128)(i64)a * (unsigned __int128)b) >> 64);
     case MULHU: return (u64)(((unsigned __int128)a * (unsigned __int128)b) >> 64);
-    case MULW: return (u64)(i64)(i32)((u32)a * (u32)b);
-    case DIV: {
-      i64 sa = (i64)a, sb = (i64)b;
-      if (sb == 0) return (u64)-1ll;
-      if (sa == INT64_MIN && sb == -1) return (u64)sa;
-      return (u64)(sa / sb);
-    }
-    case DIVU: return b == 0 ? ~0ull : a / b;
-    case REM: {
-      i64 sa = (i64)a, sb = (i64)b;
-      if (sb == 0) return (u64)sa;
-      if (sa == INT64_MIN && sb == -1) return 0;
-      return (u64)(sa % sb);
-    }
-    case REMU: return b == 0 ? a : a % b;
-    case DIVW: {
-      i32 sa = (i32)a, sb = (i32)b;
-      if (sb == 0) return (u64)(i64)-1;
-      if (sa == INT32_MIN && sb == -1) return (u64)(i64)sa;
-      return (u64)(i64)(sa / sb);
-    }
-    case DIVUW: {
+  }
+  return 0;
+}
+
+// table-exact shift fold (lookups/tables.py _rsh_fold, virtual_srl.rs)
+static inline u64 rsh_fold(u64 x, u64 y) {
+  u64 e = 0;
+  for (int p = 63; p >= 0; p--) {
+    u64 yb = (y >> p) & 1;
+    e = e * (1 + yb) + ((x >> p) & 1) * yb;
+  }
+  return e;
+}
+
+static inline u64 advice_value(i8 op, u64 a, u64 b) {
+  switch (op) {
+    case ADV_DIVU_Q: return b == 0 ? ~0ull : a / b;
+    case ADV_DIVUW_Q: {
       u32 ua = (u32)a, ub = (u32)b;
-      return ub == 0 ? (u64)(i64)(i32)0xFFFFFFFF : (u64)(i64)(i32)(ua / ub);
+      return ub == 0 ? ~0ull : (u64)(ua / ub);
     }
-    case REMW: {
+    case ADV_DIV_Q: case ADV_DIV_R_ABS: {
+      i64 sa = (i64)a, sb = (i64)b;
+      i64 q, r;
+      if (sb == 0) { q = -1; r = sa; }
+      else if (sa == INT64_MIN && sb == -1) { q = sa; r = 0; }
+      else { q = sa / sb; r = sa % sb; }
+      return op == ADV_DIV_Q ? (u64)q : (u64)(r < 0 ? -(u64)r : (u64)r);
+    }
+    case ADV_DIVW_Q: case ADV_DIVW_R_ABS: {
       i32 sa = (i32)a, sb = (i32)b;
-      if (sb == 0) return (u64)(i64)sa;
-      if (sa == INT32_MIN && sb == -1) return 0;
-      return (u64)(i64)(sa % sb);
-    }
-    case REMUW: {
-      u32 ua = (u32)a, ub = (u32)b;
-      return ub == 0 ? (u64)(i64)(i32)ua : (u64)(i64)(i32)(ua % ub);
+      i64 q, r;
+      if (sb == 0) { q = -1; r = sa; }
+      else if (sa == INT32_MIN && sb == -1) { q = sa; r = 0; }
+      else { q = (i64)(sa / sb); r = (i64)(sa % sb); }
+      return op == ADV_DIVW_Q ? (u64)q : (u64)(r < 0 ? -(u64)r : (u64)r);
     }
   }
   return 0;
@@ -327,19 +228,21 @@ struct TraceResult {
   u8* outputs;
   u64 outputs_len;
   i32 panic_flag;
-  i32 status;  // 0 ok, 1 decode error, 2 max cycles exceeded
+  i32 status;  // 0 ok, 1 unmapped jump/assert failure, 2 max cycles exceeded
   void* rows_owner;     // std::vector<TraceRow>*
   void* machine_owner;  // Machine*
 };
 
-TraceResult* jolt_trace(const u8* code, u64 code_len, u64 entry,
-                        const u8* inputs, u64 inputs_len,
-                        u64 input_start, u64 input_end,
-                        u64 output_start, u64 output_end,
-                        u64 panic_addr, u64 termination, u64 io_end,
-                        u64 max_cycles) {
+// Execute the expanded program (prog[0..n_prog)) from the entry row.
+TraceResult* jolt_trace_rows(const ProgRow* prog, u64 n_prog,
+                             const u8* code, u64 code_len, u64 entry,
+                             u64 start,
+                             const u8* inputs, u64 inputs_len,
+                             u64 input_start, u64 input_end,
+                             u64 output_start, u64 output_end,
+                             u64 panic_addr, u64 termination, u64 io_end,
+                             u64 max_cycles) {
   auto* m = new Machine();
-  m->pc = entry;
   std::memset(m->regs, 0, sizeof(m->regs));
   m->lay = {input_start, input_end, output_start, output_end,
             panic_addr, termination, io_end};
@@ -347,39 +250,49 @@ TraceResult* jolt_trace(const u8* code, u64 code_len, u64 entry,
   m->inputs_len = inputs_len;
   for (u64 i = 0; i < code_len; i++) m->wr8(entry + i, code[i]);
 
+  // source address -> first row index (riscv/program.py addr2row)
+  std::unordered_map<u64, u64> addr2row;
+  addr2row.reserve(n_prog + 1);
+  for (u64 i = 0; i < n_prog; i++) {
+    if (addr2row.find(prog[i].address) == addr2row.end())
+      addr2row.emplace(prog[i].address, i);
+  }
+  addr2row.emplace(entry + (code_len / 4) * 4, n_prog);  // halt row
+
   auto* res = new TraceResult();
   auto* rows = new std::vector<TraceRow>();
   rows->reserve(1 << 16);
   res->status = 0;
 
+  u64 row_idx = addr2row[start];
   while (!m->terminated) {
     if (rows->size() >= max_cycles) { res->status = 2; break; }
-    u64 pc = m->pc;
-    u32 word = (u32)m->rd(pc, 4);
-    Decoded dec;
-    auto it = m->dcache.find(word);
-    if (it != m->dcache.end()) dec = it->second;
-    else { dec = decode(word); m->dcache.emplace(word, dec); }
-    if (!dec.valid) { res->status = 1; break; }
-
-    u16 k = dec.kind;
-    u8 rd = dec.rd;
-    // rd=x0 jump remap to virtual register 32 (see emulator.py)
+    const ProgRow& pr = prog[row_idx];
+    u16 k = pr.kind;
+    u64 pc = pr.address;
+    u8 rd = pr.rd;
     if (rd == 0 && (k == JAL || k == JALR)) rd = 32;
-    u64 rs1v = m->regs[dec.rs1];
-    u64 rs2v = m->regs[dec.rs2];
-    i64 imm = dec.imm;
-    u64 next_pc = pc + 4;
+    u64 rs1v = m->regs[pr.rs1];
+    u64 rs2v = m->regs[pr.rs2];
+    i64 imm = pr.imm;
+    bool advances = !(pr.flags & 1) || (pr.flags & 4);  // !virtual || last
+    u64 next_row = row_idx + 1;
+    u64 next_pc = advances ? pc + 4 : pc;
     u64 rd_pre = m->regs[rd];
     u64 rd_post = rd_pre;
     u64 ram_addr = 0, ram_pre = 0, ram_post = 0;
     bool has_rd = true;
+    bool has_target = false;
+    u64 target = 0;
 
     switch (k) {
+      case NOOP: case FENCE: case ECALL: case EBREAK:
+        has_rd = false;
+        break;
       case LUI: rd_post = (u64)imm; break;
       case AUIPC: rd_post = pc + (u64)imm; break;
-      case JAL: rd_post = next_pc; next_pc = pc + (u64)imm; break;
-      case JALR: rd_post = next_pc; next_pc = (rs1v + (u64)imm) & ~1ull; break;
+      case JAL: rd_post = pc + 4; target = pc + (u64)imm; has_target = true; break;
+      case JALR: rd_post = pc + 4; target = (rs1v + (u64)imm) & ~1ull; has_target = true; break;
       case BEQ: case BNE: case BLT: case BGE: case BLTU: case BGEU: {
         bool taken = false;
         switch (k) {
@@ -390,46 +303,95 @@ TraceResult* jolt_trace(const u8* code, u64 code_len, u64 entry,
           case BLTU: taken = rs1v < rs2v; break;
           case BGEU: taken = rs1v >= rs2v; break;
         }
-        if (taken) next_pc = pc + (u64)imm;
+        if (taken) { target = pc + (u64)imm; has_target = true; }
         has_rd = false;
         break;
       }
-      case LB: case LH: case LW: case LD_: case LBU: case LHU: case LWU: {
-        int size = (k == LB || k == LBU) ? 1 : (k == LH || k == LHU) ? 2
-                 : (k == LW || k == LWU) ? 4 : 8;
+      case LD_: {
         u64 addr = rs1v + (u64)imm;
-        u64 raw = m->rd(addr, size);
-        if (k == LB) raw = (u64)sext(raw, 8);
-        else if (k == LH) raw = (u64)sext(raw, 16);
-        else if (k == LW) raw = (u64)sext(raw, 32);
-        rd_post = raw;
-        ram_addr = addr & ~7ull;
-        ram_pre = ram_post = m->rd(ram_addr, 8);
+        if (addr & 7) { res->status = 1; m->terminated = true; break; }
+        rd_post = m->rd(addr, 8);
+        ram_addr = addr;
+        ram_pre = ram_post = rd_post;
         break;
       }
-      case SB: case SH: case SW: case SD_: {
-        int size = k == SB ? 1 : k == SH ? 2 : k == SW ? 4 : 8;
+      case SD_: {
         u64 addr = rs1v + (u64)imm;
-        ram_addr = addr & ~7ull;
-        ram_pre = m->rd(ram_addr, 8);
-        u64 off = addr - ram_addr;
-        u64 mask = (size == 8) ? ~0ull : (((1ull << (8 * size)) - 1) << (8 * off));
-        ram_post = (ram_pre & ~mask) | ((rs2v << (8 * off)) & mask);
-        m->wr(addr, rs2v, size);
+        if (addr & 7) { res->status = 1; m->terminated = true; break; }
+        ram_addr = addr;
+        ram_pre = m->rd(addr, 8);
+        ram_post = rs2v;
+        m->wr(addr, rs2v, 8);
         has_rd = false;
         break;
       }
-      case FENCE: case ECALL: case EBREAK:
+      case ADDI: case SLTI: case SLTIU: case XORI: case ORI: case ANDI:
+      case SLLI: case SRLI: case SRAI:
+        rd_post = alu_imm(k, rs1v, imm);
+        break;
+      case ADD: case SUB: case SLT: case SLTU: case XOR_: case OR_:
+      case AND_: case MUL: case MULHU:
+        rd_post = alu_reg(k, rs1v, rs2v);
+        break;
+      case V_ADVICE:
+        rd_post = advice_value(pr.advice_op, m->regs[pr.advice_rs1],
+                               m->regs[pr.advice_rs2]);
+        break;
+      case V_MOVSIGN: rd_post = (rs1v >> 63) ? ~0ull : 0; break;
+      case V_POW2: rd_post = 1ull << (rs1v & 63); break;
+      case V_POW2W: rd_post = 1ull << (rs1v & 31); break;
+      case V_SHIFT_BITMASK: rd_post = ~0ull - (1ull << (rs1v & 63)) + 1; break;
+      case V_SEXT_W: rd_post = (u64)(i64)(i32)rs1v; break;
+      case V_ZEXT_W: rd_post = (u64)(u32)rs1v; break;
+      case V_CHANGE_DIV:
+        rd_post = (rs1v == (1ull << 63) && rs2v == ~0ull) ? 1 : rs2v;
+        break;
+      case V_CHANGE_DIVW:
+        rd_post = (rs1v == 0xFFFFFFFF80000000ull && rs2v == ~0ull) ? 1 : rs2v;
+        break;
+      case V_SRL: rd_post = rsh_fold(rs1v, rs2v); break;
+      case V_SRA: {
+        u64 ext = 0;
+        if (rs1v >> 63)
+          for (int p = 0; p < 63; p++)
+            if (!((rs2v >> p) & 1)) ext += 1ull << (63 - p);
+        rd_post = rsh_fold(rs1v, rs2v) + ext;
+        break;
+      }
+      case V_MULI: rd_post = rs1v * (u64)imm; break;
+      case VA_EQ: case VA_LTE: case VA_VALID_DIV0: case VA_VALID_UREM:
+      case VA_MULU_NO_OVF: case VA_HALF_ALIGN: case VA_WORD_ALIGN: {
+        bool ok = false;
+        switch (k) {
+          case VA_EQ: ok = rs1v == rs2v; break;
+          case VA_LTE: ok = rs1v <= rs2v; break;
+          case VA_VALID_DIV0: ok = rs1v != 0 || rs2v == ~0ull; break;
+          case VA_VALID_UREM: ok = rs2v == 0 || rs1v < rs2v; break;
+          case VA_MULU_NO_OVF:
+            ok = ((unsigned __int128)rs1v * (unsigned __int128)rs2v) >> 64 == 0;
+            break;
+          case VA_HALF_ALIGN: ok = ((rs1v + (u64)imm) & 1) == 0; break;
+          case VA_WORD_ALIGN: ok = ((rs1v + (u64)imm) & 3) == 0; break;
+        }
+        if (!ok) { res->status = 1; m->terminated = true; }
         has_rd = false;
         break;
+      }
       default:
-        // ALU kinds, dispatched by enum range below.
+        res->status = 1;
+        m->terminated = true;
         break;
     }
-    if ((k >= ADDI && k <= SRAI) || (k >= ADDIW && k <= SRAIW))
-      rd_post = alu_imm(k, rs1v, imm);
-    else if ((k >= ADD && k <= AND_) || (k >= ADDW && k <= SRAW) || k >= MUL)
-      rd_post = alu_reg(k, rs1v, rs2v);
+    if (res->status) break;
+
+    if (has_target) {
+      next_pc = target;
+      auto it = addr2row.find(target);
+      if (it == addr2row.end()) { res->status = 1; break; }
+      next_row = it->second;
+      // jump-to-self terminates the trace (tracer/src/lib.rs:331 heuristic)
+      if ((k == JAL || k == JALR) && target == pc) m->terminated = true;
+    }
 
     if (has_rd && rd != 0) m->regs[rd] = rd_post;
     if (rd == 0) { rd_post = 0; rd_pre = 0; }
@@ -437,8 +399,8 @@ TraceResult* jolt_trace(const u8* code, u64 code_len, u64 entry,
     TraceRow row{};
     row.kind = k;
     row.rd = has_rd ? rd : 255;
-    row.rs1 = dec.rs1;
-    row.rs2 = dec.rs2;
+    row.rs1 = pr.rs1;
+    row.rs2 = pr.rs2;
     row.pc = pc;
     row.rs1_val = rs1v;
     row.rs2_val = rs2v;
@@ -449,8 +411,10 @@ TraceResult* jolt_trace(const u8* code, u64 code_len, u64 entry,
     row.ram_post = ram_post;
     row.imm = imm;
     row.next_pc = next_pc;
+    row.pc_idx = row_idx;
+    row.next_pc_idx = next_row;
     rows->push_back(row);
-    m->pc = next_pc;
+    row_idx = next_row;
   }
 
   res->rows = rows->data();
@@ -479,7 +443,9 @@ void jolt_trace_fill_columns(
     u32* ram_pre_lo, u32* ram_pre_hi,
     u32* ram_post_lo, u32* ram_post_hi,
     u32* imm_lo, u32* imm_hi,
-    u32* next_pc_lo, u32* next_pc_hi) {
+    u32* next_pc_lo, u32* next_pc_hi,
+    u32* pc_idx_lo, u32* pc_idx_hi,
+    u32* next_pc_idx_lo, u32* next_pc_idx_hi) {
   const TraceRow* rows = res->rows;
   const u64 n = res->count;
   for (u64 i = 0; i < n; i++) {
@@ -498,6 +464,8 @@ void jolt_trace_fill_columns(
     split(r.ram_post, ram_post_lo, ram_post_hi, i);
     split((u64)r.imm, imm_lo, imm_hi, i);
     split(r.next_pc, next_pc_lo, next_pc_hi, i);
+    split(r.pc_idx, pc_idx_lo, pc_idx_hi, i);
+    split(r.next_pc_idx, next_pc_idx_lo, next_pc_idx_hi, i);
   }
 }
 
