@@ -1,76 +1,82 @@
-"""Benchmark: core prover kernel throughput on the real TPU chip.
+"""Benchmark: end-to-end prover throughput on the real TPU chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Headline metric: useful Montgomery multiplies/s inside the fused Pallas
-product-sumcheck round kernel (message evals + binds in one HBM pass) --
-the #1 hot loop of the Jolt prover (SURVEY.md §3.2: compute_message + bind
-dominate every stage).
+Headline metric: e2e proving throughput in RISC-V cycles/second on a real
+guest (ALU + memory + mul/div mix exercising the full expanded RV64IM
+surface), measured on the SECOND prove in-process -- the first warms the
+jit caches, mirroring the reference's steady-state "Proved in Xs (Y kHz)"
+log metric (`zkvm/prover.rs:588-592`).  All eight sumcheck stages run
+(Spartan, registers/RAM Twist, instruction + bytecode Shout, booleanity,
+joint opening reduction); the PCS commit/open phase is excluded until the
+streaming one-hot commitment lands (building dense K*T commitment vectors
+host-side does not scale past toy traces -- tracked gap).
 
-Measurement methodology: rounds are chained inside ONE jitted fori_loop
-with the bound outputs feeding the next iteration, and the result is
-device_get-forced -- on this remote-relay platform, block_until_ready alone
-does not guarantee execution, so naive timings inflate by >10x.
+vs_baseline: ratio against the reference's 500,000 cycles/s e2e prover
+throughput (MacBook M4 Max 16-core figure, BASELINE.md; the 32-core
+Threadripper figure is 1.5 MHz).
 
-vs_baseline: ratio against an estimated 1.0e9 Montgomery muls/s for the
-reference's 32-core CPU class (arkworks 4x64 Montgomery ~30ns/core/mul;
-`BASELINE.md` e2e 1.5MHz on a Threadripper 7975WX).
+Measurement note: on this axon-relay platform `block_until_ready` does not
+force execution; prove() is self-forcing (every sumcheck round fetches the
+message evaluations to the host transcript).
 """
 
 import json
 import time
 
 import jax
-import jax.numpy as jnp
-import numpy as np
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+def _guest(layout, iters: int) -> str:
+    """ALU/memory/shift/mul mix, ~11 cycles/iteration (expanded)."""
+    return f"""
+    li   s0, 0x80004000
+    li   t0, 0x9e3779b97f4a7c15
+    li   t1, {iters}
+loop:
+    sd   t0, 0(s0)
+    mul  t0, t0, t1
+    srl  t2, t0, t1
+    xor  t0, t0, t2
+    addi s0, s0, 8
+    andi s0, s0, -8
+    addi t1, t1, -1
+    bne  t1, zero, loop
+    li   t3, {layout.output_start}
+    sd   t0, 0(t3)
+    li   t4, {layout.termination}
+    li   t5, 1
+    sd   t5, 0(t4)
+"""
+
+
 def main():
-    from jolt_tpu.field import FR
-    from jolt_tpu.field import pallas_ops as po
+    from jolt_tpu.prover.prover import prove
+    from jolt_tpu.riscv.emulator import MemoryLayout
+    from jolt_tpu.tracer.trace import trace_program
+    from jolt_tpu.utils.env import ensure_map_count
 
-    T = 1 << 20
-    ITERS = 10
-    rng = np.random.default_rng(0)
+    ensure_map_count()
+    layout = MemoryLayout()
+    iters = 1100  # ~2^14 padded cycles
+    tr = trace_program(_guest(layout, iters), layout=layout)
 
-    def rand_mle(n=T):
-        limbs = rng.integers(0, 1 << 13, size=(FR.num_limbs, n), dtype=np.uint32)
-        limbs[-1] &= 0x7F
-        return jnp.asarray(limbs)
-
-    p0, p1, p2 = rand_mle(), rand_mle(), rand_mle()
-    r = rand_mle(1)
-
-    @jax.jit
-    def loop(p0, p1, p2, r):
-        def body(i, carry):
-            q0, q1, q2 = carry
-            msg, b0, b1, b2 = po.product_round_deg3(q0, q1, q2, r)
-            return (jnp.concatenate([b0, b0], 1),
-                    jnp.concatenate([b1, b1], 1),
-                    jnp.concatenate([b2, b2], 1))
-        return jax.lax.fori_loop(0, ITERS, body, (p0, p1, p2))
-
-    out = loop(p0, p1, p2, r)
-    jax.device_get(out[0][:, :1])  # warm + force
+    prove(tr)  # warm the jit/compile caches (steady-state measurement)
 
     t0 = time.perf_counter()
-    out = loop(p0, p1, p2, r)
-    jax.device_get(out[0][:, :1])
-    dt = (time.perf_counter() - t0) / ITERS
+    prove(tr)
+    dt = time.perf_counter() - t0
 
-    n_mul = 9 * (T // 2)  # 6 message-product + 3 bind muls per index pair
-    ops_per_s = n_mul / dt
-
-    cpu_baseline = 1.0e9  # est. 32-core arkworks Montgomery muls/s
+    cycles_per_s = tr.length / dt
+    baseline = 500_000.0  # reference e2e cycles/s (M4 Max, BASELINE.md)
     print(json.dumps({
-        "metric": "fused_sumcheck_round_mont_mul_throughput",
-        "value": round(ops_per_s / 1e6, 2),
-        "unit": "Mmul/s",
-        "vs_baseline": round(ops_per_s / cpu_baseline, 4),
+        "metric": "e2e_prove_throughput",
+        "value": round(cycles_per_s, 1),
+        "unit": "cycles/s",
+        "vs_baseline": round(cycles_per_s / baseline, 6),
     }))
 
 

@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import argparse
 import collections
-import pickle
 import sys
 import time
 
@@ -70,14 +69,17 @@ def cmd_prove(args):
     khz = tr.length / dt / 1e3
     print(f"proved {tr.length} cycles in {dt:.1f}s ({khz:.2f} kHz)")
     # the claimed public statement travels WITH the proof so verification
-    # never re-executes the guest (succinct verify)
+    # never re-executes the guest (succinct verify); canonical bytes, no
+    # pickle on the wire (proof_io.py)
+    from .proof_io import serialize_proof
     statement = {"trace_length": tr.length,
                  "padded_length": tr.padded_length,
                  "outputs": bytes(tr.device.outputs),
                  "panic": tr.device.panic}
+    blob = serialize_proof(proof, statement)
     with open(args.output, "wb") as f:
-        pickle.dump({"proof": proof, "statement": statement}, f)
-    print(f"proof -> {args.output}")
+        f.write(blob)
+    print(f"proof -> {args.output} ({len(blob)} bytes)")
     return 0
 
 
@@ -99,10 +101,13 @@ def cmd_verify(args):
         code, entry, start = loaded.image, loaded.base, loaded.entry
     else:
         code = assemble(guest)
+    from .proof_io import ProofDecodeError, deserialize_proof
     inputs = bytes.fromhex(args.input) if args.input else b""
-    with open(args.proof, "rb") as f:
-        blob = pickle.load(f)
-    proof, st = blob["proof"], blob["statement"]
+    try:
+        proof, st = deserialize_proof(open(args.proof, "rb").read())
+    except (ProofDecodeError, Exception) as e:
+        print(f"REJECTED: malformed proof file: {e}")
+        return 1
     io = PublicIO(st["trace_length"], st["padded_length"], inputs,
                   st["outputs"], st["panic"], layout, code, entry, start)
     t0 = time.time()

@@ -384,11 +384,28 @@ def dot(a: jnp.ndarray, b: jnp.ndarray, fp: FieldParams = FR) -> jnp.ndarray:
 # host <-> device conversion of Python ints (tests / transcript boundary)
 # ---------------------------------------------------------------------------
 
+_SCALAR_CACHE: dict = {}
+
+
 def pack_ints(vals, fp: FieldParams = FR) -> jnp.ndarray:
     """Python ints -> Montgomery limb array of shape (NUM_LIMBS, len(vals)).
 
     Witness columns repeat values heavily (one-hot flags, register values),
-    so conversions are memoized per call."""
+    so conversions are memoized per call.  Single scalars (sumcheck
+    challenges -- every instance of a batch packs the same r each round)
+    are memoized in a small module cache keyed on the active mesh."""
+    if len(vals) == 1:
+        from ..parallel.mesh import active_mesh
+        key = (int(vals[0]), fp.modulus, id(active_mesh()))
+        hit = _SCALAR_CACHE.get(key)
+        if hit is not None:
+            return hit
+        if len(_SCALAR_CACHE) > 1024:
+            _SCALAR_CACHE.clear()
+        out = _maybe_shard(jnp.asarray(
+            fp.int_to_mont_limbs(int(vals[0]))[:, None], dtype=_U32))
+        _SCALAR_CACHE[key] = out
+        return out
     cache = {}
     cols = []
     for v in vals:
