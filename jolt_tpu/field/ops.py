@@ -404,7 +404,10 @@ def pack_ints(vals, fp: FieldParams = FR) -> jnp.ndarray:
             _SCALAR_CACHE.clear()
         out = _maybe_shard(jnp.asarray(
             fp.int_to_mont_limbs(int(vals[0]))[:, None], dtype=_U32))
-        _SCALAR_CACHE[key] = out
+        # never cache under a trace: device_put inside jit yields a tracer
+        # whose escape would poison later proves (UnexpectedTracerError)
+        if not isinstance(out, jax.core.Tracer):
+            _SCALAR_CACHE[key] = out
         return out
     cache = {}
     cols = []

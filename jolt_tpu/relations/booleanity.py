@@ -40,8 +40,17 @@ from ..field import FR, ops
 from ..poly import dense, eq
 from ..poly.univariate import UniPoly
 from ..sumcheck.engine import OpeningAccumulator, SumcheckInstance
+from ..sumcheck.fused import FusedInstance
 
 P = FR.modulus
+
+
+def _chi_dev(rb_mont, rb1m_mont, r, fp=FR):
+    """chi(rb, r) = rb*r + (1-rb)*(1-r) on device; rb passed as the
+    Montgomery pair (rb, 1-rb)."""
+    one = ops.ones((1,), fp)
+    return ops.add(ops.mont_mul(rb_mont, r, fp),
+                   ops.mont_mul(rb1m_mont, ops.sub(one, r, fp), fp), fp)
 
 
 @partial(jax.jit, static_argnames=('fp',))
@@ -89,7 +98,7 @@ def _mont_consts(vals):
     return arr[:, :, None]
 
 
-class Booleanity(SumcheckInstance):
+class Booleanity(FusedInstance):
     """0 = sum eq(r_addr,k)*eq(r_cyc,j)*(M^2 - M); M given as the per-cycle
     one-hot index stream.  Rounds: log_K address vars then log_T cycle vars."""
 
@@ -177,6 +186,60 @@ class Booleanity(SumcheckInstance):
     def expected_output_claim(self, accumulator, r):  # pragma: no cover
         raise NotImplementedError
 
+    # ---- fused (device-transcript) protocol ----------------------------
+    # The host path's A-scaling `post` hooks move onto the device: A is a
+    # (L,1) running product updated per address round, and the per-round
+    # chi(r_addr_b, X) factors enter as precomputed constant arrays.
+
+    def fused_key(self):
+        return (self.log_K, self.log_T)
+
+    def fused_consts(self):
+        chi3 = tuple(
+            ops.pack_ints([(1 - rb) % P, (3 * rb - 1) % P,
+                           (5 * rb - 2) % P])[:, :, None]
+            for rb in self.r_addr)
+        rbs = tuple(
+            (ops.pack_ints([rb]), ops.pack_ints([(1 - rb) % P]))
+            for rb in self.r_addr)
+        return {"masks": tuple(self.masks), "WS": tuple(self.WS),
+                "chi3": chi3, "rbs": rbs}
+
+    def fused_state(self):
+        return {"U": self.U, "A": ops.ones((1,)), "E": self.E}
+
+    def fused_message(self, consts, st, round: int):
+        on3 = _mont_consts([0, 2, 3])
+        off3 = _mont_consts([1, -1, -2])
+        if round < self.log_K:
+            arr = _sbool_addr_kernel(consts["WS"][round], st["U"],
+                                     consts["masks"][round], on3, off3)
+            arr = ops.mont_mul(arr, consts["chi3"][round], FR)
+        else:
+            arr = _bool_cycle_kernel(st["E"], st["V"])
+        return ops.mont_mul(arr, st["A"][:, None, :], FR)
+
+    def fused_bind(self, consts, st, r, round: int):
+        st = dict(st)
+        if round < self.log_K:
+            one = ops.ones((1,))
+            r_off = ops.sub(one, r, FR)
+            st["U"] = _update_u(st["U"], consts["masks"][round], r, r_off)
+            rb_m, rb1m = consts["rbs"][round]
+            st["A"] = ops.mont_mul(st["A"], _chi_dev(rb_m, rb1m, r), FR)
+            if round + 1 == self.log_K:
+                st["V"] = st["U"]
+        else:
+            st["E"] = dense.bind_high(st["E"], r, FR)
+            st["V"] = dense.bind_high(st["V"], r, FR)
+        return st
+
+    def fused_finals(self, st):
+        return {"V": st["V"]}
+
+    def fused_store(self, finals) -> None:
+        self.V = finals["V"]
+
 
 class BooleanityVerifier(SumcheckInstance):
     degree = 3
@@ -210,7 +273,7 @@ class BooleanityVerifier(SumcheckInstance):
                 % P * ((m * m - m) % P) % P)
 
 
-class HammingWeight(SumcheckInstance):
+class HammingWeight(FusedInstance):
     """1 = sum_{k,j} eq(r_h, j) * M(k,j), M from the index stream."""
 
     degree = 2
@@ -269,6 +332,44 @@ class HammingWeight(SumcheckInstance):
 
     def expected_output_claim(self, accumulator, r):  # pragma: no cover
         raise NotImplementedError
+
+    # ---- fused (device-transcript) protocol ----------------------------
+
+    def fused_key(self):
+        return (self.log_K, self.log_T)
+
+    def fused_consts(self):
+        return {"masks": tuple(self.masks)}
+
+    def fused_state(self):
+        return {"U": self.U, "W": self.W}
+
+    def fused_message(self, consts, st, round: int):
+        on2 = _mont_consts([0, 2])
+        off2 = _mont_consts([1, -1])
+        if round < self.log_K:
+            return _sham_addr_kernel(st["W"], st["U"],
+                                     consts["masks"][round], on2, off2)
+        return _ham_cycle_kernel(st["W"], st["V"])
+
+    def fused_bind(self, consts, st, r, round: int):
+        st = dict(st)
+        if round < self.log_K:
+            one = ops.ones((1,))
+            r_off = ops.sub(one, r, FR)
+            st["U"] = _update_u(st["U"], consts["masks"][round], r, r_off)
+            if round + 1 == self.log_K:
+                st["V"] = st["U"]
+        else:
+            st["W"] = dense.bind_high(st["W"], r, FR)
+            st["V"] = dense.bind_high(st["V"], r, FR)
+        return st
+
+    def fused_finals(self, st):
+        return {"V": st["V"]}
+
+    def fused_store(self, finals) -> None:
+        self.V = finals["V"]
 
 
 class HammingWeightVerifier(SumcheckInstance):

@@ -35,8 +35,9 @@ from ..field import FR, ops
 from ..poly import dense, eq
 from ..poly.univariate import UniPoly
 from ..sumcheck.engine import OpeningAccumulator, SumcheckInstance
-from .booleanity import _mont_consts, _sham_addr_kernel, _ham_cycle_kernel, \
-    _update_u
+from ..sumcheck.fused import FusedInstance
+from .booleanity import _chi_dev, _mont_consts, _sham_addr_kernel, \
+    _ham_cycle_kernel, _update_u
 
 P = FR.modulus
 
@@ -58,7 +59,7 @@ def cycle_major_to_address_major_point(point: Sequence[int],
     return list(point[log_T:]) + list(point[:log_T])
 
 
-class SparseOneHotOpening(SumcheckInstance):
+class SparseOneHotOpening(FusedInstance):
     """v = sum_{k,j} eq(q, (k,j)) * M(k,j) for a one-hot M given by its
     per-cycle index stream; q in address-major var order."""
 
@@ -143,8 +144,58 @@ class SparseOneHotOpening(SumcheckInstance):
     def expected_output_claim(self, accumulator, r):  # pragma: no cover
         raise NotImplementedError
 
+    # ---- fused (device-transcript) protocol ----------------------------
 
-class DenseOpening(SumcheckInstance):
+    def fused_key(self):
+        return (self.log_K, self.log_T)
+
+    def fused_consts(self):
+        chi2 = tuple(
+            ops.pack_ints([(1 - qb) % P, (3 * qb - 1) % P])[:, :, None]
+            for qb in self.q_addr)
+        qbs = tuple(
+            (ops.pack_ints([qb]), ops.pack_ints([(1 - qb) % P]))
+            for qb in self.q_addr)
+        return {"masks": tuple(self.masks), "WS": tuple(self.WS),
+                "chi2": chi2, "qbs": qbs}
+
+    def fused_state(self):
+        return {"U": self.U, "A": ops.ones((1,)), "E": self.E}
+
+    def fused_message(self, consts, st, round: int):
+        on2 = _mont_consts([0, 2])
+        off2 = _mont_consts([1, -1])
+        if round < self.log_K:
+            arr = _sham_addr_kernel(consts["WS"][round], st["U"],
+                                    consts["masks"][round], on2, off2)
+            arr = ops.mont_mul(arr, consts["chi2"][round], FR)
+        else:
+            arr = _ham_cycle_kernel(st["E"], st["V"])
+        return ops.mont_mul(arr, st["A"][:, None, :], FR)
+
+    def fused_bind(self, consts, st, r, round: int):
+        st = dict(st)
+        if round < self.log_K:
+            one = ops.ones((1,))
+            r_off = ops.sub(one, r, FR)
+            st["U"] = _update_u(st["U"], consts["masks"][round], r, r_off)
+            qb_m, qb1m = consts["qbs"][round]
+            st["A"] = ops.mont_mul(st["A"], _chi_dev(qb_m, qb1m, r), FR)
+            if round + 1 == self.log_K:
+                st["V"] = st["U"]
+        else:
+            st["E"] = dense.bind_high(st["E"], r, FR)
+            st["V"] = dense.bind_high(st["V"], r, FR)
+        return st
+
+    def fused_finals(self, st):
+        return {"V": st["V"]}
+
+    def fused_store(self, finals) -> None:
+        self.V = finals["V"]
+
+
+class DenseOpening(FusedInstance):
     """v = sum_x eq(q, x) * P(x) for a dense coefficient vector."""
 
     degree = 2
@@ -185,6 +236,29 @@ class DenseOpening(SumcheckInstance):
 
     def expected_output_claim(self, accumulator, r):  # pragma: no cover
         raise NotImplementedError
+
+    # ---- fused (device-transcript) protocol ----------------------------
+
+    def fused_key(self):
+        return (self.n,)
+
+    def fused_state(self):
+        return {"E": self.E, "Pv": self.Pv}
+
+    def fused_message(self, consts, st, round: int):
+        return _ham_cycle_kernel(st["E"], st["Pv"])
+
+    def fused_bind(self, consts, st, r, round: int):
+        st = dict(st)
+        st["E"] = dense.bind_high(st["E"], r, FR)
+        st["Pv"] = dense.bind_high(st["Pv"], r, FR)
+        return st
+
+    def fused_finals(self, st):
+        return {"Pv": st["Pv"]}
+
+    def fused_store(self, finals) -> None:
+        self.Pv = finals["Pv"]
 
 
 class OpeningReductionVerifier(SumcheckInstance):

@@ -47,6 +47,7 @@ from ..field import FR, ops
 from ..poly import dense, eq, lt
 from ..poly.univariate import UniPoly
 from ..sumcheck.engine import OpeningAccumulator, SumcheckInstance
+from ..sumcheck.fused import FusedInstance
 from ..witness.ram import address_of_index
 from .ram import (RamOutputCheckVerifier, RamRafEvaluationVerifier,
                   RamReadWriteCheckingVerifier, RamValEvaluationVerifier,
@@ -258,7 +259,7 @@ def _materialize(vals, cols, base, K: int, fp=FR):
 # shared prover base
 # ---------------------------------------------------------------------------
 
-class _SparseRamBase(SumcheckInstance):
+class _SparseRamBase(FusedInstance):
     """Cycle phase on the pair schedule, address phase on dense K arrays."""
 
     degree = 3
@@ -313,6 +314,67 @@ class _SparseRamBase(SumcheckInstance):
     def normalize_opening_point(self, r: Sequence[int]) -> List[int]:
         r_cyc = list(reversed(r[:self.log_T]))
         return r_cyc + list(r[self.log_T:])
+
+    # ---- fused (device-transcript) protocol ----------------------------
+    # Same algebra under one jit dispatch for the whole stage; the host
+    # `post` scale factors are applied on device (exact mod-p ops, so the
+    # proof bytes are identical).  Subclasses fill the _f_* hooks.
+
+    def fused_key(self):
+        return (self.log_T, self.log_K, len(self.sched.final_cols))
+
+    def fused_consts(self):
+        sched = tuple(
+            (r.even_src, r.odd_src, r.has_e, r.has_o, r.imp_e, r.imp_o,
+             r.rows)
+            for r in self.sched.rounds)
+        return {"sched": sched,
+                "cols": jnp.asarray(self.sched.final_cols, jnp.int32),
+                **self._f_consts_extra()}
+
+    def _f_consts_extra(self) -> dict:
+        return {}
+
+    def _f_cycle_message(self, consts, st, t: int, rnd): ...
+    def _f_cycle_bind(self, consts, st, t: int, rnd, r): ...
+
+    def _f_enter_addr(self, consts, st):
+        return st
+
+    def _f_addr_message(self, consts, st): ...
+
+    def _f_addr_scale(self, consts, st):
+        return None
+
+    def _f_addr_bind(self, consts, st, r): ...
+
+    def fused_message(self, consts, st, round: int):
+        if round < self.log_T:
+            return self._f_cycle_message(consts, st, round,
+                                         consts["sched"][round])
+        msg = self._f_addr_message(consts, st)
+        scale = self._f_addr_scale(consts, st)
+        if scale is not None:
+            msg = ops.mont_mul(msg, scale[:, None, :])
+        return msg
+
+    def fused_bind(self, consts, st, r, round: int):
+        st = dict(st)
+        if round < self.log_T:
+            rnd = consts["sched"][round]
+            e, o, he, ho, ie, io, rows = rnd
+            zero = jnp.zeros_like(ie)
+            st["RA"] = _bind_pairs(st["RA"], e, o, he, ho, zero, zero, r)
+            st = self._f_cycle_bind(consts, st, round, rnd, r)
+            if round + 1 == self.log_T:
+                n = len(self.sched.final_cols)
+                st["RA_K"] = _materialize(st["RA"][:, :n], consts["cols"],
+                                          ops.zeros((self.K,)), self.K)
+                st = self._f_enter_addr(consts, st)
+        else:
+            st["RA_K"] = dense.bind_high(st["RA_K"], r, FR)
+            st = self._f_addr_bind(consts, st, r)
+        return st
 
 
 def _norm_split(r: Sequence[int], log_T: int):
@@ -404,6 +466,62 @@ class SparseRamReadWriteChecking(_SparseRamBase):
     def expected_output_claim(self, accumulator, r):  # pragma: no cover
         raise NotImplementedError
 
+    # ---- fused hooks ----------------------------------------------------
+
+    def _f_consts_extra(self) -> dict:
+        base = np.zeros(self.K, dtype=np.uint64)
+        for k, v in self.init_vals.items():
+            if k < self.K:
+                base[k] = v
+        lo = jnp.asarray((base & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+        hi = jnp.asarray((base >> np.uint64(32)).astype(np.uint32))
+        return {"val_base": ops.from_u64(lo, hi, FR),
+                "g": self.g, "one_pg": self.one_pg}
+
+    def fused_state(self):
+        return {"RA": self.RA, "VAL": self.VAL, "EQ": self.EQ,
+                "INC": self.INC}
+
+    def _f_cycle_message(self, consts, st, t, rnd):
+        e, o, he, ho, ie, io, rows = rnd
+        return _rw_cycle_message(st["RA"], st["VAL"], st["EQ"], st["INC"],
+                                 e, o, he, ho, ie, io, rows,
+                                 consts["one_pg"], consts["g"])
+
+    def _f_cycle_bind(self, consts, st, t, rnd, r):
+        e, o, he, ho, ie, io, rows = rnd
+        st["VAL"] = _bind_pairs(st["VAL"], e, o, he, ho, ie, io, r)
+        st["EQ"] = dense.bind_low(st["EQ"], r, FR)
+        st["INC"] = dense.bind_low(st["INC"], r, FR)
+        return st
+
+    def _f_enter_addr(self, consts, st):
+        n = len(self.sched.final_cols)
+        st["VAL_K"] = _materialize(st["VAL"][:, :n], consts["cols"],
+                                   consts["val_base"], self.K)
+        st["ginc"] = ops.mont_mul(consts["g"], st["INC"][:, :1], FR)
+        return st
+
+    def _f_addr_message(self, consts, st):
+        return _rw_addr_message(st["RA_K"], st["VAL_K"], consts["one_pg"],
+                                st["ginc"])
+
+    def _f_addr_scale(self, consts, st):
+        return st["EQ"][:, :1]
+
+    def _f_addr_bind(self, consts, st, r):
+        st["VAL_K"] = dense.bind_high(st["VAL_K"], r, FR)
+        return st
+
+    def fused_finals(self, st):
+        return {"RA_K": st["RA_K"], "VAL_K": st["VAL_K"],
+                "INC": st["INC"][:, :1]}
+
+    def fused_store(self, finals) -> None:
+        self.RA_K = finals["RA_K"]
+        self.VAL_K = finals["VAL_K"]
+        self.INC = finals["INC"]
+
 
 class SparseRamRafEvaluation(_SparseRamBase):
     """address_claim = sum eq(r_cyc,j) ra(k,j) A(k); A public affine."""
@@ -460,6 +578,39 @@ class SparseRamRafEvaluation(_SparseRamBase):
 
     def expected_output_claim(self, accumulator, r):  # pragma: no cover
         raise NotImplementedError
+
+    # ---- fused hooks ----------------------------------------------------
+
+    def _f_consts_extra(self) -> dict:
+        return {"percol": tuple(self._percol)}
+
+    def fused_state(self):
+        return {"RA": self.RA, "EQ": self.EQ, "A_K": self.A_K}
+
+    def _f_cycle_message(self, consts, st, t, rnd):
+        e, o, he, ho, ie, io, rows = rnd
+        return _prod_cycle_message(st["RA"], st["EQ"][:, None, :],
+                                   consts["percol"][t], e, o, he, ho, rows)
+
+    def _f_cycle_bind(self, consts, st, t, rnd, r):
+        st["EQ"] = dense.bind_low(st["EQ"], r, FR)
+        return st
+
+    def _f_addr_message(self, consts, st):
+        return _prod_addr_message(st["RA_K"], st["A_K"])
+
+    def _f_addr_scale(self, consts, st):
+        return st["EQ"][:, :1]
+
+    def _f_addr_bind(self, consts, st, r):
+        st["A_K"] = dense.bind_high(st["A_K"], r, FR)
+        return st
+
+    def fused_finals(self, st):
+        return {"RA_K": st["RA_K"]}
+
+    def fused_store(self, finals) -> None:
+        self.RA_K = finals["RA_K"]
 
 
 class SparseRamValEvaluation(_SparseRamBase):
@@ -524,6 +675,43 @@ class SparseRamValEvaluation(_SparseRamBase):
 
     def expected_output_claim(self, accumulator, r):  # pragma: no cover
         raise NotImplementedError
+
+    # ---- fused hooks ----------------------------------------------------
+
+    def _f_consts_extra(self) -> dict:
+        return {"percol": tuple(self._percol)}
+
+    def fused_state(self):
+        return {"RA": self.RA, "LT": self.LT, "INC": self.INC,
+                "EA_K": self.EA_K}
+
+    def _f_cycle_message(self, consts, st, t, rnd):
+        e, o, he, ho, ie, io, rows = rnd
+        CYC = jnp.stack([st["LT"], st["INC"]], axis=1)
+        return _prod_cycle_message(st["RA"], CYC, consts["percol"][t],
+                                   e, o, he, ho, rows)
+
+    def _f_cycle_bind(self, consts, st, t, rnd, r):
+        st["LT"] = dense.bind_low(st["LT"], r, FR)
+        st["INC"] = dense.bind_low(st["INC"], r, FR)
+        return st
+
+    def _f_addr_message(self, consts, st):
+        return _prod_addr_message(st["RA_K"], st["EA_K"])
+
+    def _f_addr_scale(self, consts, st):
+        return ops.mont_mul(st["LT"][:, :1], st["INC"][:, :1], FR)
+
+    def _f_addr_bind(self, consts, st, r):
+        st["EA_K"] = dense.bind_high(st["EA_K"], r, FR)
+        return st
+
+    def fused_finals(self, st):
+        return {"RA_K": st["RA_K"], "INC": st["INC"][:, :1]}
+
+    def fused_store(self, finals) -> None:
+        self.RA_K = finals["RA_K"]
+        self.INC = finals["INC"]
 
 
 class SparseRamOutputCheck(_SparseRamBase):
@@ -597,6 +785,40 @@ class SparseRamOutputCheck(_SparseRamBase):
 
     def expected_output_claim(self, accumulator, r):  # pragma: no cover
         raise NotImplementedError
+
+    # ---- fused hooks ----------------------------------------------------
+
+    def _f_consts_extra(self) -> dict:
+        return {"percol": tuple(self._percol)}
+
+    def fused_state(self):
+        return {"RA": self.RA, "INC": self.INC, "W_K": self.W_K}
+
+    def _f_cycle_message(self, consts, st, t, rnd):
+        e, o, he, ho, ie, io, rows = rnd
+        return _prod_cycle_message(st["RA"], st["INC"][:, None, :],
+                                   consts["percol"][t], e, o, he, ho, rows)
+
+    def _f_cycle_bind(self, consts, st, t, rnd, r):
+        st["INC"] = dense.bind_low(st["INC"], r, FR)
+        return st
+
+    def _f_addr_message(self, consts, st):
+        return _prod_addr_message(st["RA_K"], st["W_K"])
+
+    def _f_addr_scale(self, consts, st):
+        return st["INC"][:, :1]
+
+    def _f_addr_bind(self, consts, st, r):
+        st["W_K"] = dense.bind_high(st["W_K"], r, FR)
+        return st
+
+    def fused_finals(self, st):
+        return {"RA_K": st["RA_K"], "INC": st["INC"][:, :1]}
+
+    def fused_store(self, finals) -> None:
+        self.RA_K = finals["RA_K"]
+        self.INC = finals["INC"]
 
 
 # ---------------------------------------------------------------------------
@@ -712,6 +934,39 @@ class SparseOneHotTableEval(_SparseRamBase):
 
     def expected_output_claim(self, accumulator, r):  # pragma: no cover
         raise NotImplementedError
+
+    # ---- fused hooks ----------------------------------------------------
+
+    def _f_consts_extra(self) -> dict:
+        return {"percol": tuple(self._percol)}
+
+    def fused_state(self):
+        return {"RA": self.RA, "EQ": self.EQ, "TAB_K": self.TAB_K}
+
+    def _f_cycle_message(self, consts, st, t, rnd):
+        e, o, he, ho, ie, io, rows = rnd
+        return _prod_cycle_message(st["RA"], st["EQ"][:, None, :],
+                                   consts["percol"][t], e, o, he, ho, rows)
+
+    def _f_cycle_bind(self, consts, st, t, rnd, r):
+        st["EQ"] = dense.bind_low(st["EQ"], r, FR)
+        return st
+
+    def _f_addr_message(self, consts, st):
+        return _prod_addr_message(st["RA_K"], st["TAB_K"])
+
+    def _f_addr_scale(self, consts, st):
+        return st["EQ"][:, :1]
+
+    def _f_addr_bind(self, consts, st, r):
+        st["TAB_K"] = dense.bind_high(st["TAB_K"], r, FR)
+        return st
+
+    def fused_finals(self, st):
+        return {"RA_K": st["RA_K"]}
+
+    def fused_store(self, finals) -> None:
+        self.RA_K = finals["RA_K"]
 
 
 def index_table(K: int) -> jnp.ndarray:
@@ -874,6 +1129,68 @@ class SparseRegistersReadWriteChecking(_SparseRamBase):
 
     def expected_output_claim(self, accumulator, r):  # pragma: no cover
         raise NotImplementedError
+
+    # ---- fused hooks (3-port layout; overrides the base RA handling) ----
+
+    def _f_consts_extra(self) -> dict:
+        return {"g1": self.g1_dev, "g2": self.g2_dev}
+
+    def fused_state(self):
+        return {"WA": self.WA, "RA1": self.RA1, "RA2": self.RA2,
+                "VAL": self.VAL, "EQ": self.EQ, "INC": self.INC}
+
+    def fused_message(self, consts, st, round: int):
+        if round < self.log_T:
+            e, o, he, ho, ie, io, rows = consts["sched"][round]
+            return _reg_rw_cycle_message(
+                st["WA"], st["RA1"], st["RA2"], st["VAL"], st["EQ"],
+                st["INC"], e, o, he, ho, ie, io, rows,
+                consts["g1"], consts["g2"])
+        msg = _reg_rw_addr_message(st["WA_K"], st["RA1_K"], st["RA2_K"],
+                                   st["VAL_K"], st["incc"],
+                                   consts["g1"], consts["g2"])
+        return ops.mont_mul(msg, st["EQ"][:, :1][:, None, :])
+
+    def fused_bind(self, consts, st, r, round: int):
+        st = dict(st)
+        if round < self.log_T:
+            e, o, he, ho, ie, io, rows = consts["sched"][round]
+            zero = jnp.zeros_like(ie)
+            bind = lambda X, fe, fo: _bind_pairs(X, e, o, he, ho, fe, fo, r)
+            st["WA"] = bind(st["WA"], zero, zero)
+            st["RA1"] = bind(st["RA1"], zero, zero)
+            st["RA2"] = bind(st["RA2"], zero, zero)
+            st["VAL"] = bind(st["VAL"], ie, io)
+            st["EQ"] = dense.bind_low(st["EQ"], r, FR)
+            st["INC"] = dense.bind_low(st["INC"], r, FR)
+            if round + 1 == self.log_T:
+                n = len(self.sched.final_cols)
+                zK = ops.zeros((self.K,))
+                cols = consts["cols"]
+                st["WA_K"] = _materialize(st["WA"][:, :n], cols, zK, self.K)
+                st["RA1_K"] = _materialize(st["RA1"][:, :n], cols, zK,
+                                           self.K)
+                st["RA2_K"] = _materialize(st["RA2"][:, :n], cols, zK,
+                                           self.K)
+                st["VAL_K"] = _materialize(st["VAL"][:, :n], cols, zK,
+                                           self.K)
+                st["incc"] = st["INC"][:, :1]
+        else:
+            for kname in ("WA_K", "RA1_K", "RA2_K", "VAL_K"):
+                st[kname] = dense.bind_high(st[kname], r, FR)
+        return st
+
+    def fused_finals(self, st):
+        return {"WA_K": st["WA_K"], "RA1_K": st["RA1_K"],
+                "RA2_K": st["RA2_K"], "VAL_K": st["VAL_K"],
+                "INC": st["INC"][:, :1]}
+
+    def fused_store(self, finals) -> None:
+        self.WA_K = finals["WA_K"]
+        self.RA1_K = finals["RA1_K"]
+        self.RA2_K = finals["RA2_K"]
+        self.VAL_K = finals["VAL_K"]
+        self.INC = finals["INC"]
 
 
 class SparseRegistersValEvaluation(SparseRamValEvaluation):

@@ -31,6 +31,7 @@ from ..poly import dense, eq
 from ..poly.univariate import UniPoly
 from ..r1cs import constraints as C
 from ..sumcheck.engine import OpeningAccumulator, SumcheckInstance
+from ..sumcheck.fused import FusedInstance
 from ..witness.r1cs_inputs import NUM_VARS, R1CSCycleInputs, VAR_NAMES
 
 P = FR.modulus
@@ -70,7 +71,7 @@ def materialize_az_bz_cz(inputs: R1CSCycleInputs):
     return (ops.pack_ints(rows_a), ops.pack_ints(rows_b), ops.pack_ints(rows_c))
 
 
-class SpartanOuterProver(SumcheckInstance):
+class SpartanOuterProver(FusedInstance):
     def __init__(self, inputs: R1CSCycleInputs, tau: Sequence[int]):
         self.inputs = inputs
         T = inputs.T
@@ -96,6 +97,22 @@ class SpartanOuterProver(SumcheckInstance):
         r_dev = ops.pack_ints([r])
         self.E, self.AZ, self.BZ, self.CZ = _bind4(
             self.E, self.AZ, self.BZ, self.CZ, r_dev)
+
+    # ---- fused (device-transcript) protocol -----------------------------
+
+    degree = 3
+
+    def fused_state(self):
+        return (self.E, self.AZ, self.BZ, self.CZ)
+
+    def fused_message(self, consts, st, round: int):
+        return _outer_message_kernel(*st)
+
+    def fused_bind(self, consts, st, r_mont, round: int):
+        return _bind4(*st, r_mont)
+
+    def fused_store(self, finals) -> None:
+        self.E, self.AZ, self.BZ, self.CZ = finals
 
     def finalize(self) -> None:
         self.final_az = ops.unpack_ints(self.AZ)[0]

@@ -63,6 +63,15 @@ import random
 
 import pytest
 
+# Fused (device-transcript) sumcheck stages compile one large unrolled
+# graph per stage shape -- worthwhile on the TPU (compiled once, reused
+# every prove) but a compile-time explosion across the suite's many tiny
+# trace shapes.  Default the suite to the host engine; the fused path is
+# covered by tests/test_fused_prove.py (which flips this back on) and is
+# byte-identity-checked against the host transcript inside prove_fused
+# itself.
+os.environ.setdefault("JOLT_TPU_FUSE", "0")
+
 
 @pytest.fixture
 def rng():
