@@ -47,7 +47,7 @@ from ..relations.ram_sparse import (RamPairSchedule, SparseOneHotTableEval,
                                     combined_table_dev, index_table)
 from ..relations.spartan_outer import SpartanOuterProver
 from ..sumcheck.engine import BatchedSumcheck, OpeningAccumulator
-from ..sumcheck.fused import prove_fused
+from ..sumcheck.scan import prove_scan
 from ..tracer.trace import Trace
 from ..transcript import Blake2bTranscript
 from ..witness.bytecode import extract_bytecode_witness
@@ -239,7 +239,7 @@ def prove(trace: Trace, setup=None) -> JoltProof:
     outer = SpartanOuterProver(inputs, tau)
     # fused device-transcript stage (one dispatch for all rounds); falls
     # back to the host engine under a device mesh
-    stage1_polys, _ = prove_fused([outer], accumulator, transcript)
+    stage1_polys, _ = prove_scan([outer], accumulator, transcript)
 
     _mark("stage1-spartan")
     # ---- Stage 2: registers read/write checking ------------------------
@@ -250,7 +250,7 @@ def prove(trace: Trace, setup=None) -> JoltProof:
               accumulator.get_claim(("r1cs_input", "rs2_value"))]
     gamma = transcript.challenge_scalar()
     rw = SparseRegistersReadWriteChecking(reg_wit, gamma, r_cycle, claims)
-    stage2_polys, r2 = prove_fused([rw], accumulator, transcript)
+    stage2_polys, r2 = prove_scan([rw], accumulator, transcript)
 
     _mark("stage2-reg-rw")
     # ---- Stage 3: registers Val evaluation -----------------------------
@@ -258,7 +258,7 @@ def prove(trace: Trace, setup=None) -> JoltProof:
     r2_cyc, r2_addr = list(val_pt2[:log_T]), list(val_pt2[log_T:])
     val_claim = accumulator.get_claim(("registers", "val"))
     ve = SparseRegistersValEvaluation(reg_wit, r2_addr, r2_cyc, val_claim)
-    stage3_polys, r3 = prove_fused([ve], accumulator, transcript)
+    stage3_polys, r3 = prove_scan([ve], accumulator, transcript)
     r3_cyc = list(accumulator.get_point(("registers_val_eval", "inc")))
 
     _mark("stage3-reg-val")
@@ -277,7 +277,7 @@ def prove(trace: Trace, setup=None) -> JoltProof:
     ram_raf = SparseRamRafEvaluation(ram_sched, ram_wit.log_K,
                                      ram_wit.witness_base, r_cycle,
                                      addr_claim)
-    stage4_polys, r4 = prove_fused([ram_rw, ram_raf], accumulator,
+    stage4_polys, r4 = prove_scan([ram_rw, ram_raf], accumulator,
                                              transcript)
 
     # ---- Stage 5: RAM Val evaluation + output check (batched) ------------
@@ -292,7 +292,7 @@ def prove(trace: Trace, setup=None) -> JoltProof:
                                   ram_wit.init_vals, ram_wit.inc,
                                   trace.memory_layout, ram_wit.witness_base,
                                   z_out, bytes(trace.device.outputs))
-    stage5_polys, _ = prove_fused([ram_ve, ram_oc], accumulator,
+    stage5_polys, _ = prove_scan([ram_ve, ram_oc], accumulator,
                                             transcript)
 
     _mark("stage4-5-ram")
@@ -305,7 +305,7 @@ def prove(trace: Trace, setup=None) -> JoltProof:
         accumulator.get_claim(("r1cs_input", "lookup_output")),
         accumulator.get_claim(("r1cs_input", "left_lookup_operand")),
         accumulator.get_claim(("r1cs_input", "right_lookup_operand")))
-    stage5i_polys, r5i = prove_fused([lk], accumulator, transcript)
+    stage5i_polys, r5i = prove_scan([lk], accumulator, transcript)
     r_lk_cyc = r5i[LT.LOG_K:]
     stage5i_openings = {f"ra{i}": lk.final_openings[f"ra{i}"]
                         for i in range(LK_D)}
@@ -360,7 +360,7 @@ def prove(trace: Trace, setup=None) -> JoltProof:
             sched_p, 7, reg_idx_tab, r_cycle, claim,
             ("registers_raf", name), opening_key="m"))
     raf_rd, raf_rs1, raf_rs2 = raf_insts
-    stage6_polys, _ = prove_fused(
+    stage6_polys, _ = prove_scan(
         [bc, bc_flags, raf_rd, raf_rs1, raf_rs2], accumulator, transcript)
 
     _mark("stage6-bytecode")
@@ -382,7 +382,7 @@ def prove(trace: Trace, setup=None) -> JoltProof:
         r_bcyc = r_b[max_log_K:]
         insts7.append(Booleanity(indices, Km, r_addr, r_bcyc, label))
         insts7.append(HammingWeight(indices, Km, r_h, label))
-    stage7_polys, _ = prove_fused(insts7, accumulator, transcript)
+    stage7_polys, _ = prove_scan(insts7, accumulator, transcript)
     stage7_openings = {}
     for inst in insts7:
         kind7 = "bool" if isinstance(inst, Booleanity) else "ham"
@@ -414,7 +414,7 @@ def prove(trace: Trace, setup=None) -> JoltProof:
         else:
             insts8.append(DenseOpening(dense_meta[cname], pt, cl,
                                        f"{n8}_{cname}"))
-    stage8_polys, r8 = prove_fused(insts8, accumulator, transcript)
+    stage8_polys, r8 = prove_scan(insts8, accumulator, transcript)
     stage8_openings = [inst.final_openings["p"] for inst in insts8]
 
     _mark("stage8-reduction")

@@ -39,8 +39,10 @@ import numpy as np
 from ..field import FR, ops
 from ..poly import dense, eq
 from ..poly.univariate import UniPoly
+from ..sumcheck import scan
 from ..sumcheck.engine import OpeningAccumulator, SumcheckInstance
 from ..sumcheck.fused import FusedInstance
+from ..sumcheck.scan import ScanFusedInstance
 
 P = FR.modulus
 
@@ -98,7 +100,7 @@ def _mont_consts(vals):
     return arr[:, :, None]
 
 
-class Booleanity(FusedInstance):
+class Booleanity(ScanFusedInstance):
     """0 = sum eq(r_addr,k)*eq(r_cyc,j)*(M^2 - M); M given as the per-cycle
     one-hot index stream.  Rounds: log_K address vars then log_T cycle vars."""
 
@@ -240,6 +242,64 @@ class Booleanity(FusedInstance):
     def fused_store(self, finals) -> None:
         self.V = finals["V"]
 
+    # ---- scan-fused protocol --------------------------------------------
+
+    def scan_plan(self):
+        return [("addr", self.log_K), ("cycle", self.log_T)]
+
+    def scan_bconsts(self):
+        return {"E0": scan.to_pair_order(self.E)}
+
+    def scan_state0(self):
+        return {"U": self.U, "A": ops.ones((1,))}
+
+    def scan_xs(self, mode, lo, hi):
+        if mode != "addr":
+            return ()
+        rbs = self.r_addr[lo:hi]
+        chi3 = jnp.stack([
+            ops.pack_ints([(1 - rb) % P, (3 * rb - 1) % P,
+                           (5 * rb - 2) % P])[:, :, None] for rb in rbs])
+        return {"mask": jnp.stack(self.masks[lo:hi]),
+                "WS": jnp.stack(self.WS[lo:hi]),
+                "chi3": chi3,
+                "rb": jnp.stack([ops.pack_ints([rb]) for rb in rbs]),
+                "rb1m": jnp.stack([ops.pack_ints([(1 - rb) % P])
+                                   for rb in rbs])}
+
+    def scan_message(self, mode, bc, x, st):
+        if mode == "addr":
+            on3 = _mont_consts([0, 2, 3])
+            off3 = _mont_consts([1, -1, -2])
+            arr = _sbool_addr_kernel(x["WS"], st["U"], x["mask"], on3, off3)
+            arr = ops.mont_mul(arr, x["chi3"], FR)
+        else:
+            e = scan.pair_eval_points(st["E"], 3)
+            v = scan.pair_eval_points(st["V"], 3)
+            vv = ops.sub(ops.mont_mul(v, v, FR), v, FR)
+            arr = ops.sum_mod(ops.mont_mul(e, vv, FR), FR)
+        return ops.mont_mul(arr, st["A"][:, None, :], FR)
+
+    def scan_bind(self, mode, bc, x, st, r):
+        st = dict(st)
+        if mode == "addr":
+            one = ops.ones((1,))
+            r_off = ops.sub(one, r, FR)
+            st["U"] = _update_u(st["U"], x["mask"], r, r_off)
+            st["A"] = ops.mont_mul(st["A"],
+                                   _chi_dev(x["rb"], x["rb1m"], r), FR)
+        else:
+            st["E"] = scan.pair_bind(st["E"], r)
+            st["V"] = scan.pair_bind(st["V"], r)
+        return st
+
+    def scan_transition(self, prev_mode, next_mode, bc, st):
+        return {"E": bc["E0"], "V": scan.to_pair_order(st["U"]),
+                "A": st["A"]}
+
+    def scan_finals(self, st):
+        return {"V": st["V"][:, :1]}
+
 
 class BooleanityVerifier(SumcheckInstance):
     degree = 3
@@ -273,7 +333,7 @@ class BooleanityVerifier(SumcheckInstance):
                 % P * ((m * m - m) % P) % P)
 
 
-class HammingWeight(FusedInstance):
+class HammingWeight(ScanFusedInstance):
     """1 = sum_{k,j} eq(r_h, j) * M(k,j), M from the index stream."""
 
     degree = 2
@@ -370,6 +430,44 @@ class HammingWeight(FusedInstance):
 
     def fused_store(self, finals) -> None:
         self.V = finals["V"]
+
+    # ---- scan-fused protocol --------------------------------------------
+
+    def scan_plan(self):
+        return [("addr", self.log_K), ("cycle", self.log_T)]
+
+    def scan_state0(self):
+        return {"U": self.U, "W": self.W}
+
+    def scan_xs(self, mode, lo, hi):
+        if mode != "addr":
+            return ()
+        return {"mask": jnp.stack(self.masks[lo:hi])}
+
+    def scan_message(self, mode, bc, x, st):
+        if mode == "addr":
+            on2 = _mont_consts([0, 2])
+            off2 = _mont_consts([1, -1])
+            return _sham_addr_kernel(st["W"], st["U"], x["mask"], on2, off2)
+        return scan.pair_prod_message([st["W"], st["V"]], 2)
+
+    def scan_bind(self, mode, bc, x, st, r):
+        st = dict(st)
+        if mode == "addr":
+            one = ops.ones((1,))
+            r_off = ops.sub(one, r, FR)
+            st["U"] = _update_u(st["U"], x["mask"], r, r_off)
+        else:
+            st["W"] = scan.pair_bind(st["W"], r)
+            st["V"] = scan.pair_bind(st["V"], r)
+        return st
+
+    def scan_transition(self, prev_mode, next_mode, bc, st):
+        return {"W": scan.to_pair_order(st["W"]),
+                "V": scan.to_pair_order(st["U"])}
+
+    def scan_finals(self, st):
+        return {"V": st["V"][:, :1]}
 
 
 class HammingWeightVerifier(SumcheckInstance):

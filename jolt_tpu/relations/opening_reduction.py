@@ -35,7 +35,9 @@ from ..field import FR, ops
 from ..poly import dense, eq
 from ..poly.univariate import UniPoly
 from ..sumcheck.engine import OpeningAccumulator, SumcheckInstance
+from ..sumcheck import scan
 from ..sumcheck.fused import FusedInstance
+from ..sumcheck.scan import ScanFusedInstance
 from .booleanity import _chi_dev, _mont_consts, _sham_addr_kernel, \
     _ham_cycle_kernel, _update_u
 
@@ -59,7 +61,7 @@ def cycle_major_to_address_major_point(point: Sequence[int],
     return list(point[log_T:]) + list(point[:log_T])
 
 
-class SparseOneHotOpening(FusedInstance):
+class SparseOneHotOpening(ScanFusedInstance):
     """v = sum_{k,j} eq(q, (k,j)) * M(k,j) for a one-hot M given by its
     per-cycle index stream; q in address-major var order."""
 
@@ -194,8 +196,63 @@ class SparseOneHotOpening(FusedInstance):
     def fused_store(self, finals) -> None:
         self.V = finals["V"]
 
+    # ---- scan-fused protocol --------------------------------------------
 
-class DenseOpening(FusedInstance):
+    def scan_plan(self):
+        return [("addr", self.log_K), ("cycle", self.log_T)]
+
+    def scan_bconsts(self):
+        return {"E0": scan.to_pair_order(self.E)}
+
+    def scan_state0(self):
+        return {"U": self.U, "A": ops.ones((1,))}
+
+    def scan_xs(self, mode, lo, hi):
+        if mode != "addr":
+            return ()
+        qbs = self.q_addr[lo:hi]
+        chi2 = jnp.stack([
+            ops.pack_ints([(1 - qb) % P, (3 * qb - 1) % P])[:, :, None]
+            for qb in qbs])
+        return {"mask": jnp.stack(self.masks[lo:hi]),
+                "WS": jnp.stack(self.WS[lo:hi]),
+                "chi2": chi2,
+                "qb": jnp.stack([ops.pack_ints([qb]) for qb in qbs]),
+                "qb1m": jnp.stack([ops.pack_ints([(1 - qb) % P])
+                                   for qb in qbs])}
+
+    def scan_message(self, mode, bc, x, st):
+        if mode == "addr":
+            on2 = _mont_consts([0, 2])
+            off2 = _mont_consts([1, -1])
+            arr = _sham_addr_kernel(x["WS"], st["U"], x["mask"], on2, off2)
+            arr = ops.mont_mul(arr, x["chi2"], FR)
+        else:
+            arr = scan.pair_prod_message([st["E"], st["V"]], 2)
+        return ops.mont_mul(arr, st["A"][:, None, :], FR)
+
+    def scan_bind(self, mode, bc, x, st, r):
+        st = dict(st)
+        if mode == "addr":
+            one = ops.ones((1,))
+            r_off = ops.sub(one, r, FR)
+            st["U"] = _update_u(st["U"], x["mask"], r, r_off)
+            st["A"] = ops.mont_mul(st["A"],
+                                   _chi_dev(x["qb"], x["qb1m"], r), FR)
+        else:
+            st["E"] = scan.pair_bind(st["E"], r)
+            st["V"] = scan.pair_bind(st["V"], r)
+        return st
+
+    def scan_transition(self, prev_mode, next_mode, bc, st):
+        return {"E": bc["E0"], "V": scan.to_pair_order(st["U"]),
+                "A": st["A"]}
+
+    def scan_finals(self, st):
+        return {"V": st["V"][:, :1]}
+
+
+class DenseOpening(ScanFusedInstance):
     """v = sum_x eq(q, x) * P(x) for a dense coefficient vector."""
 
     degree = 2
@@ -259,6 +316,25 @@ class DenseOpening(FusedInstance):
 
     def fused_store(self, finals) -> None:
         self.Pv = finals["Pv"]
+
+    # ---- scan-fused protocol --------------------------------------------
+
+    def scan_plan(self):
+        return [("main", self.num_rounds)]
+
+    def scan_state0(self):
+        return {"E": scan.to_pair_order(self.E),
+                "Pv": scan.to_pair_order(self.Pv)}
+
+    def scan_message(self, mode, bc, x, st):
+        return scan.pair_prod_message([st["E"], st["Pv"]], 2)
+
+    def scan_bind(self, mode, bc, x, st, r):
+        return {"E": scan.pair_bind(st["E"], r),
+                "Pv": scan.pair_bind(st["Pv"], r)}
+
+    def scan_finals(self, st):
+        return {"Pv": st["Pv"][:, :1]}
 
 
 class OpeningReductionVerifier(SumcheckInstance):

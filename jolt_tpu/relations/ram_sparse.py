@@ -46,8 +46,10 @@ import numpy as np
 from ..field import FR, ops
 from ..poly import dense, eq, lt
 from ..poly.univariate import UniPoly
+from ..sumcheck import scan
 from ..sumcheck.engine import OpeningAccumulator, SumcheckInstance
 from ..sumcheck.fused import FusedInstance
+from ..sumcheck.scan import ScanFusedInstance
 from ..witness.ram import address_of_index
 from .ram import (RamOutputCheckVerifier, RamRafEvaluationVerifier,
                   RamReadWriteCheckingVerifier, RamValEvaluationVerifier,
@@ -255,11 +257,30 @@ def _materialize(vals, cols, base, K: int, fp=FR):
     return base.at[:, cols].set(vals)
 
 
+def _padE(a: jnp.ndarray, Emax: int) -> jnp.ndarray:
+    """Zero/False-pad the last axis to the scan-fixed entry width."""
+    pad = Emax - a.shape[-1]
+    if pad == 0:
+        return a
+    widths = [(0, 0)] * a.ndim
+    widths[-1] = (0, pad)
+    return jnp.pad(a, widths)
+
+
+def _rw_addr_message_pairs(RA_K, VAL_K, one_pg, ginc, fp=FR):
+    """_rw_addr_message twin for pair-order storage (scan path)."""
+    ra3 = scan.pair_eval_points(RA_K, 3, fp)
+    val3 = scan.pair_eval_points(VAL_K, 3, fp)
+    term = ops.add(ops.mont_mul(one_pg[:, None], val3, fp),
+                   jnp.broadcast_to(ginc[:, None, :], val3.shape), fp)
+    return ops.sum_mod(ops.mont_mul(ra3, term, fp), fp)
+
+
 # ---------------------------------------------------------------------------
 # shared prover base
 # ---------------------------------------------------------------------------
 
-class _SparseRamBase(FusedInstance):
+class _SparseRamBase(ScanFusedInstance):
     """Cycle phase on the pair schedule, address phase on dense K arrays."""
 
     degree = 3
@@ -375,6 +396,97 @@ class _SparseRamBase(FusedInstance):
             st["RA_K"] = dense.bind_high(st["RA_K"], r, FR)
             st = self._f_addr_bind(consts, st, r)
         return st
+
+    # ---- scan-fused protocol --------------------------------------------
+    # Same algebra again, re-rolled for lax.scan: entry buffers live at the
+    # fixed width Emax (schedules zero-padded per round, stacked as xs),
+    # dense cycle arrays bind with prefix compaction, and the address
+    # phase runs on pair-order K arrays.  Subclasses fill the _s_* hooks.
+
+    _s_needs_imp = False   # rw variants gather implicit Val fills
+
+    def _emax(self) -> int:
+        return _next_pow2(max(self.sched.n_entries0, 1))
+
+    def scan_plan(self):
+        return [("cycle", self.log_T), ("addr", self.log_K)]
+
+    def scan_bconsts(self):
+        return {"cols": jnp.asarray(self.sched.final_cols, jnp.int32),
+                **self._s_bconsts_extra()}
+
+    def _s_bconsts_extra(self) -> dict:
+        return {}
+
+    def scan_state0(self):
+        Emax = self._emax()
+        st = {"RA": _padE(self.RA, Emax)}
+        st.update(self._s_state0_extra(Emax))
+        return st
+
+    def _s_state0_extra(self, Emax: int) -> dict:
+        return {}
+
+    def scan_xs(self, mode, lo, hi):
+        if mode != "cycle":
+            return ()
+        Emax = self._emax()
+        rounds = self.sched.rounds[lo:hi]
+        xs = {
+            "e": jnp.stack([_padE(r.even_src, Emax) for r in rounds]),
+            "o": jnp.stack([_padE(r.odd_src, Emax) for r in rounds]),
+            "he": jnp.stack([_padE(r.has_e, Emax) for r in rounds]),
+            "ho": jnp.stack([_padE(r.has_o, Emax) for r in rounds]),
+            "rows": jnp.stack([_padE(r.rows, Emax) for r in rounds]),
+        }
+        if self._s_needs_imp:
+            xs["ie"] = jnp.stack([_padE(r.imp_e, Emax) for r in rounds])
+            xs["io"] = jnp.stack([_padE(r.imp_o, Emax) for r in rounds])
+        xs.update(self._s_xs_extra(lo, hi, Emax))
+        return xs
+
+    def _s_xs_extra(self, lo: int, hi: int, Emax: int) -> dict:
+        return {}
+
+    def _s_cycle_message(self, bc, x, st): ...
+    def _s_cycle_bind(self, bc, x, st, r): ...
+
+    def _s_enter_addr(self, bc, st, out):
+        return out
+
+    def _s_addr_message(self, bc, st): ...
+
+    def _s_addr_scale(self, bc, st):
+        return None
+
+    def _s_addr_bind(self, bc, st, r):
+        return st
+
+    def scan_message(self, mode, bc, x, st):
+        if mode == "cycle":
+            return self._s_cycle_message(bc, x, st)
+        msg = self._s_addr_message(bc, st)
+        sc = self._s_addr_scale(bc, st)
+        if sc is not None:
+            msg = ops.mont_mul(msg, sc[:, None, :])
+        return msg
+
+    def scan_bind(self, mode, bc, x, st, r):
+        st = dict(st)
+        if mode == "cycle":
+            zero = ops.zeros((x["e"].shape[-1],))
+            st["RA"] = _bind_pairs(st["RA"], x["e"], x["o"], x["he"],
+                                   x["ho"], zero, zero, r)
+            return self._s_cycle_bind(bc, x, st, r)
+        st["RA_K"] = scan.pair_bind(st["RA_K"], r)
+        return self._s_addr_bind(bc, st, r)
+
+    def scan_transition(self, prev_mode, next_mode, bc, st):
+        n = len(self.sched.final_cols)
+        RA_K = _materialize(st["RA"][:, :n], bc["cols"],
+                            ops.zeros((self.K,)), self.K)
+        out = {"RA_K": scan.to_pair_order(RA_K)}
+        return self._s_enter_addr(bc, st, out)
 
 
 def _norm_split(r: Sequence[int], log_T: int):
@@ -522,6 +634,55 @@ class SparseRamReadWriteChecking(_SparseRamBase):
         self.VAL_K = finals["VAL_K"]
         self.INC = finals["INC"]
 
+    # ---- scan hooks -----------------------------------------------------
+
+    _s_needs_imp = True
+
+    def _s_bconsts_extra(self) -> dict:
+        return self._f_consts_extra()   # val_base, g, one_pg
+
+    def _s_state0_extra(self, Emax):
+        return {"VAL": _padE(self.VAL, Emax), "EQ": self.EQ,
+                "INC": self.INC}
+
+    def _s_cycle_message(self, bc, x, st):
+        return _rw_cycle_message(st["RA"], st["VAL"], st["EQ"], st["INC"],
+                                 x["e"], x["o"], x["he"], x["ho"],
+                                 x["ie"], x["io"], x["rows"],
+                                 bc["one_pg"], bc["g"])
+
+    def _s_cycle_bind(self, bc, x, st, r):
+        st["VAL"] = _bind_pairs(st["VAL"], x["e"], x["o"], x["he"],
+                                x["ho"], x["ie"], x["io"], r)
+        st["EQ"] = scan.lowbind_compact(st["EQ"], r)
+        st["INC"] = scan.lowbind_compact(st["INC"], r)
+        return st
+
+    def _s_enter_addr(self, bc, st, out):
+        n = len(self.sched.final_cols)
+        VAL_K = _materialize(st["VAL"][:, :n], bc["cols"],
+                             bc["val_base"], self.K)
+        out["VAL_K"] = scan.to_pair_order(VAL_K)
+        out["ginc"] = ops.mont_mul(bc["g"], st["INC"][:, :1], FR)
+        out["EQ1"] = st["EQ"][:, :1]
+        out["INC1"] = st["INC"][:, :1]
+        return out
+
+    def _s_addr_message(self, bc, st):
+        return _rw_addr_message_pairs(st["RA_K"], st["VAL_K"],
+                                      bc["one_pg"], st["ginc"])
+
+    def _s_addr_scale(self, bc, st):
+        return st["EQ1"]
+
+    def _s_addr_bind(self, bc, st, r):
+        st["VAL_K"] = scan.pair_bind(st["VAL_K"], r)
+        return st
+
+    def scan_finals(self, st):
+        return {"RA_K": st["RA_K"][:, :1], "VAL_K": st["VAL_K"][:, :1],
+                "INC": st["INC1"]}
+
 
 class SparseRamRafEvaluation(_SparseRamBase):
     """address_claim = sum eq(r_cyc,j) ra(k,j) A(k); A public affine."""
@@ -611,6 +772,42 @@ class SparseRamRafEvaluation(_SparseRamBase):
 
     def fused_store(self, finals) -> None:
         self.RA_K = finals["RA_K"]
+
+    # ---- scan hooks -----------------------------------------------------
+
+    def _s_state0_extra(self, Emax):
+        return {"EQ": self.EQ, "A_K": self.A_K}
+
+    def _s_xs_extra(self, lo, hi, Emax):
+        return {"percol": jnp.stack([_padE(c, Emax)
+                                     for c in self._percol[lo:hi]])}
+
+    def _s_cycle_message(self, bc, x, st):
+        return _prod_cycle_message(st["RA"], st["EQ"][:, None, :],
+                                   x["percol"], x["e"], x["o"], x["he"],
+                                   x["ho"], x["rows"])
+
+    def _s_cycle_bind(self, bc, x, st, r):
+        st["EQ"] = scan.lowbind_compact(st["EQ"], r)
+        return st
+
+    def _s_enter_addr(self, bc, st, out):
+        out["A_K"] = scan.to_pair_order(st["A_K"])
+        out["EQ1"] = st["EQ"][:, :1]
+        return out
+
+    def _s_addr_message(self, bc, st):
+        return scan.pair_prod_message([st["RA_K"], st["A_K"]], 3)
+
+    def _s_addr_scale(self, bc, st):
+        return st["EQ1"]
+
+    def _s_addr_bind(self, bc, st, r):
+        st["A_K"] = scan.pair_bind(st["A_K"], r)
+        return st
+
+    def scan_finals(self, st):
+        return {"RA_K": st["RA_K"][:, :1]}
 
 
 class SparseRamValEvaluation(_SparseRamBase):
@@ -712,6 +909,44 @@ class SparseRamValEvaluation(_SparseRamBase):
     def fused_store(self, finals) -> None:
         self.RA_K = finals["RA_K"]
         self.INC = finals["INC"]
+
+    # ---- scan hooks -----------------------------------------------------
+
+    def _s_state0_extra(self, Emax):
+        return {"LT": self.LT, "INC": self.INC, "EA_K": self.EA_K}
+
+    def _s_xs_extra(self, lo, hi, Emax):
+        return {"percol": jnp.stack([_padE(c, Emax)
+                                     for c in self._percol[lo:hi]])}
+
+    def _s_cycle_message(self, bc, x, st):
+        CYC = jnp.stack([st["LT"], st["INC"]], axis=1)
+        return _prod_cycle_message(st["RA"], CYC, x["percol"], x["e"],
+                                   x["o"], x["he"], x["ho"], x["rows"])
+
+    def _s_cycle_bind(self, bc, x, st, r):
+        st["LT"] = scan.lowbind_compact(st["LT"], r)
+        st["INC"] = scan.lowbind_compact(st["INC"], r)
+        return st
+
+    def _s_enter_addr(self, bc, st, out):
+        out["EA_K"] = scan.to_pair_order(st["EA_K"])
+        out["sc"] = ops.mont_mul(st["LT"][:, :1], st["INC"][:, :1], FR)
+        out["INC1"] = st["INC"][:, :1]
+        return out
+
+    def _s_addr_message(self, bc, st):
+        return scan.pair_prod_message([st["RA_K"], st["EA_K"]], 3)
+
+    def _s_addr_scale(self, bc, st):
+        return st["sc"]
+
+    def _s_addr_bind(self, bc, st, r):
+        st["EA_K"] = scan.pair_bind(st["EA_K"], r)
+        return st
+
+    def scan_finals(self, st):
+        return {"RA_K": st["RA_K"][:, :1], "INC": st["INC1"]}
 
 
 class SparseRamOutputCheck(_SparseRamBase):
@@ -819,6 +1054,42 @@ class SparseRamOutputCheck(_SparseRamBase):
     def fused_store(self, finals) -> None:
         self.RA_K = finals["RA_K"]
         self.INC = finals["INC"]
+
+    # ---- scan hooks -----------------------------------------------------
+
+    def _s_state0_extra(self, Emax):
+        return {"INC": self.INC, "W_K": self.W_K}
+
+    def _s_xs_extra(self, lo, hi, Emax):
+        return {"percol": jnp.stack([_padE(c, Emax)
+                                     for c in self._percol[lo:hi]])}
+
+    def _s_cycle_message(self, bc, x, st):
+        return _prod_cycle_message(st["RA"], st["INC"][:, None, :],
+                                   x["percol"], x["e"], x["o"], x["he"],
+                                   x["ho"], x["rows"])
+
+    def _s_cycle_bind(self, bc, x, st, r):
+        st["INC"] = scan.lowbind_compact(st["INC"], r)
+        return st
+
+    def _s_enter_addr(self, bc, st, out):
+        out["W_K"] = scan.to_pair_order(st["W_K"])
+        out["INC1"] = st["INC"][:, :1]
+        return out
+
+    def _s_addr_message(self, bc, st):
+        return scan.pair_prod_message([st["RA_K"], st["W_K"]], 3)
+
+    def _s_addr_scale(self, bc, st):
+        return st["INC1"]
+
+    def _s_addr_bind(self, bc, st, r):
+        st["W_K"] = scan.pair_bind(st["W_K"], r)
+        return st
+
+    def scan_finals(self, st):
+        return {"RA_K": st["RA_K"][:, :1], "INC": st["INC1"]}
 
 
 # ---------------------------------------------------------------------------
@@ -968,6 +1239,42 @@ class SparseOneHotTableEval(_SparseRamBase):
     def fused_store(self, finals) -> None:
         self.RA_K = finals["RA_K"]
 
+    # ---- scan hooks -----------------------------------------------------
+
+    def _s_state0_extra(self, Emax):
+        return {"EQ": self.EQ, "TAB_K": self.TAB_K}
+
+    def _s_xs_extra(self, lo, hi, Emax):
+        return {"percol": jnp.stack([_padE(c, Emax)
+                                     for c in self._percol[lo:hi]])}
+
+    def _s_cycle_message(self, bc, x, st):
+        return _prod_cycle_message(st["RA"], st["EQ"][:, None, :],
+                                   x["percol"], x["e"], x["o"], x["he"],
+                                   x["ho"], x["rows"])
+
+    def _s_cycle_bind(self, bc, x, st, r):
+        st["EQ"] = scan.lowbind_compact(st["EQ"], r)
+        return st
+
+    def _s_enter_addr(self, bc, st, out):
+        out["TAB_K"] = scan.to_pair_order(st["TAB_K"])
+        out["EQ1"] = st["EQ"][:, :1]
+        return out
+
+    def _s_addr_message(self, bc, st):
+        return scan.pair_prod_message([st["RA_K"], st["TAB_K"]], 3)
+
+    def _s_addr_scale(self, bc, st):
+        return st["EQ1"]
+
+    def _s_addr_bind(self, bc, st, r):
+        st["TAB_K"] = scan.pair_bind(st["TAB_K"], r)
+        return st
+
+    def scan_finals(self, st):
+        return {"RA_K": st["RA_K"][:, :1]}
+
 
 def index_table(K: int) -> jnp.ndarray:
     """TAB(k) = k, device field array (registers raf)."""
@@ -1016,6 +1323,22 @@ def _reg_rw_addr_message(WA_K, RA1_K, RA2_K, VAL_K, incc, g1, g2, fp=FR):
     ra13 = dense.sumcheck_eval_points_high(RA1_K, 3, fp)
     ra23 = dense.sumcheck_eval_points_high(RA2_K, 3, fp)
     val3 = dense.sumcheck_eval_points_high(VAL_K, 3, fp)
+    reads = ops.add(ops.mont_mul(g1[:, None], ra13, fp),
+                    ops.mont_mul(g2[:, None], ra23, fp), fp)
+    inc_b = jnp.broadcast_to(incc[:, None, :], val3.shape)
+    summand = ops.add(ops.mont_mul(wa3, ops.add(inc_b, val3, fp), fp),
+                      ops.mont_mul(reads, val3, fp), fp)
+    return ops.sum_mod(summand, fp)
+
+
+@partial(jax.jit, static_argnames=('fp',))
+def _reg_rw_addr_message_pairs(WA_K, RA1_K, RA2_K, VAL_K, incc, g1, g2,
+                               fp=FR):
+    """_reg_rw_addr_message twin for pair-order storage (scan path)."""
+    wa3 = scan.pair_eval_points(WA_K, 3, fp)
+    ra13 = scan.pair_eval_points(RA1_K, 3, fp)
+    ra23 = scan.pair_eval_points(RA2_K, 3, fp)
+    val3 = scan.pair_eval_points(VAL_K, 3, fp)
     reads = ops.add(ops.mont_mul(g1[:, None], ra13, fp),
                     ops.mont_mul(g2[:, None], ra23, fp), fp)
     inc_b = jnp.broadcast_to(incc[:, None, :], val3.shape)
@@ -1191,6 +1514,64 @@ class SparseRegistersReadWriteChecking(_SparseRamBase):
         self.RA2_K = finals["RA2_K"]
         self.VAL_K = finals["VAL_K"]
         self.INC = finals["INC"]
+
+    # ---- scan hooks (3-port layout; overrides the base RA handling) -----
+
+    _s_needs_imp = True
+
+    def _s_bconsts_extra(self) -> dict:
+        return {"g1": self.g1_dev, "g2": self.g2_dev}
+
+    def scan_state0(self):
+        Emax = self._emax()
+        return {"WA": _padE(self.WA, Emax), "RA1": _padE(self.RA1, Emax),
+                "RA2": _padE(self.RA2, Emax), "VAL": _padE(self.VAL, Emax),
+                "EQ": self.EQ, "INC": self.INC}
+
+    def scan_message(self, mode, bc, x, st):
+        if mode == "cycle":
+            return _reg_rw_cycle_message(
+                st["WA"], st["RA1"], st["RA2"], st["VAL"], st["EQ"],
+                st["INC"], x["e"], x["o"], x["he"], x["ho"], x["ie"],
+                x["io"], x["rows"], bc["g1"], bc["g2"])
+        msg = _reg_rw_addr_message_pairs(
+            st["WA_K"], st["RA1_K"], st["RA2_K"], st["VAL_K"], st["incc"],
+            bc["g1"], bc["g2"])
+        return ops.mont_mul(msg, st["EQ1"][:, None, :])
+
+    def scan_bind(self, mode, bc, x, st, r):
+        st = dict(st)
+        if mode == "cycle":
+            zero = ops.zeros((x["e"].shape[-1],))
+            bind = lambda X, fe, fo: _bind_pairs(X, x["e"], x["o"],
+                                                 x["he"], x["ho"], fe, fo, r)
+            st["WA"] = bind(st["WA"], zero, zero)
+            st["RA1"] = bind(st["RA1"], zero, zero)
+            st["RA2"] = bind(st["RA2"], zero, zero)
+            st["VAL"] = bind(st["VAL"], x["ie"], x["io"])
+            st["EQ"] = scan.lowbind_compact(st["EQ"], r)
+            st["INC"] = scan.lowbind_compact(st["INC"], r)
+        else:
+            for k in ("WA_K", "RA1_K", "RA2_K", "VAL_K"):
+                st[k] = scan.pair_bind(st[k], r)
+        return st
+
+    def scan_transition(self, prev_mode, next_mode, bc, st):
+        n = len(self.sched.final_cols)
+        zK = ops.zeros((self.K,))
+        out = {}
+        for k, src in (("WA_K", "WA"), ("RA1_K", "RA1"),
+                       ("RA2_K", "RA2"), ("VAL_K", "VAL")):
+            out[k] = scan.to_pair_order(
+                _materialize(st[src][:, :n], bc["cols"], zK, self.K))
+        out["incc"] = st["INC"][:, :1]
+        out["EQ1"] = st["EQ"][:, :1]
+        return out
+
+    def scan_finals(self, st):
+        return {"WA_K": st["WA_K"][:, :1], "RA1_K": st["RA1_K"][:, :1],
+                "RA2_K": st["RA2_K"][:, :1], "VAL_K": st["VAL_K"][:, :1],
+                "INC": st["incc"]}
 
 
 class SparseRegistersValEvaluation(SparseRamValEvaluation):

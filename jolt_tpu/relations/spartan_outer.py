@@ -30,8 +30,9 @@ from ..field import FR, ops
 from ..poly import dense, eq
 from ..poly.univariate import UniPoly
 from ..r1cs import constraints as C
+from ..sumcheck import scan
 from ..sumcheck.engine import OpeningAccumulator, SumcheckInstance
-from ..sumcheck.fused import FusedInstance
+from ..sumcheck.scan import ScanFusedInstance
 from ..witness.r1cs_inputs import NUM_VARS, R1CSCycleInputs, VAR_NAMES
 
 P = FR.modulus
@@ -71,7 +72,7 @@ def materialize_az_bz_cz(inputs: R1CSCycleInputs):
     return (ops.pack_ints(rows_a), ops.pack_ints(rows_b), ops.pack_ints(rows_c))
 
 
-class SpartanOuterProver(FusedInstance):
+class SpartanOuterProver(ScanFusedInstance):
     def __init__(self, inputs: R1CSCycleInputs, tau: Sequence[int]):
         self.inputs = inputs
         T = inputs.T
@@ -113,6 +114,30 @@ class SpartanOuterProver(FusedInstance):
 
     def fused_store(self, finals) -> None:
         self.E, self.AZ, self.BZ, self.CZ = finals
+
+    # ---- scan-fused protocol --------------------------------------------
+
+    def scan_plan(self):
+        return [("main", self.num_rounds)]
+
+    def scan_state0(self):
+        return tuple(scan.to_pair_order(X)
+                     for X in (self.E, self.AZ, self.BZ, self.CZ))
+
+    def scan_message(self, mode, bc, x, st):
+        E, AZ, BZ, CZ = st
+        e = scan.pair_eval_points(E, 3)
+        a = scan.pair_eval_points(AZ, 3)
+        b = scan.pair_eval_points(BZ, 3)
+        c = scan.pair_eval_points(CZ, 3)
+        inner = ops.sub(ops.mont_mul(a, b, FR), c, FR)
+        return ops.sum_mod(ops.mont_mul(e, inner, FR), FR)
+
+    def scan_bind(self, mode, bc, x, st, r):
+        return tuple(scan.pair_bind(X, r) for X in st)
+
+    def scan_finals(self, st):
+        return tuple(X[:, :1] for X in st)
 
     def finalize(self) -> None:
         self.final_az = ops.unpack_ints(self.AZ)[0]
