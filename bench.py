@@ -26,7 +26,9 @@ import time
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+# separate cache from the CPU test suite's .jax_cache (conftest wipes that
+# one on CPU-fingerprint mismatch, which would clobber TPU entries)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 

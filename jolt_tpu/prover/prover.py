@@ -32,6 +32,7 @@ from ..pcs.scheme import make_scheme
 from ..r1cs import constraints as C
 from ..relations.booleanity import Booleanity, HammingWeight
 from ..relations.bytecode import CLAIM_COLUMNS
+from ..relations.grouped_onehot import GroupedOneHot
 from ..relations.instruction_read_raf import InstructionReadRaf
 from ..relations.opening_reduction import (DenseOpening, SparseOneHotOpening,
                                            cycle_major_to_address_major_point,
@@ -375,18 +376,33 @@ def prove(trace: Trace, setup=None) -> JoltProof:
     max_log_K = max(K.bit_length() - 1 for _, _, K in matrices)
     r_b = transcript.challenge_vector(max_log_K + log_T)
     r_h = transcript.challenge_vector(log_T)
-    insts7 = []
+    gamma7 = transcript.challenge_scalar()
+    # group same-K matrices into ONE gamma-RLC instance per (kind, K):
+    # 21 matrices -> <=8 instances (relations/grouped_onehot.py)
+    groups7: Dict[int, list] = {}
     for label, indices, Km in matrices:
+        groups7.setdefault(Km, []).append((label, indices))
+    E_bcyc = eq_mod.evals(r_b[max_log_K:])
+    E_h = eq_mod.evals(r_h)
+    insts7 = []
+    for Km, members in groups7.items():
         lk_m = Km.bit_length() - 1
         r_addr = r_b[max_log_K - lk_m:max_log_K]
-        r_bcyc = r_b[max_log_K:]
-        insts7.append(Booleanity(indices, Km, r_addr, r_bcyc, label))
-        insts7.append(HammingWeight(indices, Km, r_h, label))
+        labels7 = [lab for lab, _ in members]
+        streams7 = [idxs for _, idxs in members]
+        m7 = len(members)
+        insts7.append(GroupedOneHot(
+            streams7, Km, [E_bcyc] * m7, [r_addr] * m7, [0] * m7, gamma7,
+            labels7, booleanity=True, opening_kind="booleanity"))
+        insts7.append(GroupedOneHot(
+            streams7, Km, [E_h] * m7, [None] * m7, [1] * m7, gamma7,
+            labels7, booleanity=False, opening_kind="hamming"))
     stage7_polys, _ = prove_scan(insts7, accumulator, transcript)
     stage7_openings = {}
     for inst in insts7:
-        kind7 = "bool" if isinstance(inst, Booleanity) else "ham"
-        stage7_openings[f"{kind7}_{inst.label}"] = inst.final_openings["m"]
+        kind7 = "bool" if inst.booleanity else "ham"
+        for lab, v in zip(inst.labels, inst.final_openings):
+            stage7_openings[f"{kind7}_{lab}"] = v
 
     _mark("stage7-booleanity")
     # ---- Stage 8: joint batched opening ---------------------------------
@@ -403,19 +419,47 @@ def prove(trace: Trace, setup=None) -> JoltProof:
             continue
         seen[key] = cl
         entries.append((cname, list(pt), cl))
-    insts8 = []
-    for n8, (cname, pt, cl) in enumerate(entries):
+    # group one-hot entries by K into gamma-RLC instances (one per K);
+    # dense entries stay singletons.  Entries are REORDERED group-first so
+    # stage8_openings aligns with the flattened instance outputs.
+    gamma8 = transcript.challenge_scalar()
+    groups8: Dict[int, list] = {}
+    dense8 = []
+    for cname, pt, cl in entries:
         if cname in onehot_meta:
-            indices, Km = onehot_meta[cname]
-            lt = len(pt) - (Km.bit_length() - 1)
-            q = cycle_major_to_address_major_point(pt, lt)
-            insts8.append(SparseOneHotOpening(indices, Km, q, cl,
-                                              f"{n8}_{cname}"))
+            groups8.setdefault(onehot_meta[cname][1], []).append(
+                (cname, pt, cl))
         else:
-            insts8.append(DenseOpening(dense_meta[cname], pt, cl,
-                                       f"{n8}_{cname}"))
+            dense8.append((cname, pt, cl))
+    entries = [e for g in groups8.values() for e in g] + dense8
+    insts8 = []
+    n8 = 0
+    for Km, members in groups8.items():
+        log_Km = Km.bit_length() - 1
+        streams8, wt8, qa8, cls8, labs8 = [], [], [], [], []
+        for cname, pt, cl in members:
+            q = cycle_major_to_address_major_point(
+                pt, len(pt) - log_Km)
+            streams8.append(onehot_meta[cname][0])
+            qa8.append(q[:log_Km])
+            wt8.append(eq_mod.evals(q[log_Km:]))
+            cls8.append(cl)
+            labs8.append(f"{n8}_{cname}")
+            n8 += 1
+        insts8.append(GroupedOneHot(streams8, Km, wt8, qa8, cls8, gamma8,
+                                    labs8, booleanity=False,
+                                    opening_kind="joint_opening"))
+    for cname, pt, cl in dense8:
+        insts8.append(DenseOpening(dense_meta[cname], pt, cl,
+                                   f"{n8}_{cname}"))
+        n8 += 1
     stage8_polys, r8 = prove_scan(insts8, accumulator, transcript)
-    stage8_openings = [inst.final_openings["p"] for inst in insts8]
+    stage8_openings = []
+    for inst in insts8:
+        if isinstance(inst, GroupedOneHot):
+            stage8_openings.extend(inst.final_openings)
+        else:
+            stage8_openings.append(inst.final_openings["p"])
 
     _mark("stage8-reduction")
     # single RLC opening of  sum_i mu^i * P~_i  at r*

@@ -297,6 +297,14 @@ class Booleanity(ScanFusedInstance):
         return {"E": bc["E0"], "V": scan.to_pair_order(st["U"]),
                 "A": st["A"]}
 
+    def scan_shrink_plan(self, mode, n_rounds):
+        return scan.default_shrink_plan(n_rounds) if mode == "cycle" else []
+
+    def scan_shrink(self, mode, s, bc, st):
+        n = self.T >> s
+        return {"E": st["E"][..., :n], "V": st["V"][..., :n],
+                "A": st["A"]}
+
     def scan_finals(self, st):
         return {"V": st["V"][:, :1]}
 
@@ -465,6 +473,13 @@ class HammingWeight(ScanFusedInstance):
     def scan_transition(self, prev_mode, next_mode, bc, st):
         return {"W": scan.to_pair_order(st["W"]),
                 "V": scan.to_pair_order(st["U"])}
+
+    def scan_shrink_plan(self, mode, n_rounds):
+        return scan.default_shrink_plan(n_rounds) if mode == "cycle" else []
+
+    def scan_shrink(self, mode, s, bc, st):
+        n = self.T >> s
+        return {"W": st["W"][..., :n], "V": st["V"][..., :n]}
 
     def scan_finals(self, st):
         return {"V": st["V"][:, :1]}

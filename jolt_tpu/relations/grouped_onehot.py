@@ -365,6 +365,15 @@ class GroupedOneHot(ScanFusedInstance):
                 "V": scan.to_pair_order(st["U"]),
                 "A": st["A"]}
 
+    def scan_shrink_plan(self, mode, n_rounds):
+        # address rounds are inherently O(M*T) each (U/S never shrink)
+        return scan.default_shrink_plan(n_rounds) if mode == "cycle" else []
+
+    def scan_shrink(self, mode, s, bc, st):
+        n = self.T >> s
+        return {"E": st["E"][..., :n], "V": st["V"][..., :n],
+                "A": st["A"]}
+
     def scan_finals(self, st):
         return {"V": st["V"][..., :1]}
 

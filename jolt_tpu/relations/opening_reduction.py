@@ -248,6 +248,14 @@ class SparseOneHotOpening(ScanFusedInstance):
         return {"E": bc["E0"], "V": scan.to_pair_order(st["U"]),
                 "A": st["A"]}
 
+    def scan_shrink_plan(self, mode, n_rounds):
+        return scan.default_shrink_plan(n_rounds) if mode == "cycle" else []
+
+    def scan_shrink(self, mode, s, bc, st):
+        n = self.T >> s
+        return {"E": st["E"][..., :n], "V": st["V"][..., :n],
+                "A": st["A"]}
+
     def scan_finals(self, st):
         return {"V": st["V"][:, :1]}
 
@@ -332,6 +340,13 @@ class DenseOpening(ScanFusedInstance):
     def scan_bind(self, mode, bc, x, st, r):
         return {"E": scan.pair_bind(st["E"], r),
                 "Pv": scan.pair_bind(st["Pv"], r)}
+
+    def scan_shrink_plan(self, mode, n_rounds):
+        return scan.default_shrink_plan(n_rounds)
+
+    def scan_shrink(self, mode, s, bc, st):
+        n = (1 << self.n) >> s
+        return {k: v[..., :n] for k, v in st.items()}
 
     def scan_finals(self, st):
         return {"Pv": st["Pv"][:, :1]}

@@ -430,7 +430,7 @@ class _SparseRamBase(ScanFusedInstance):
     def scan_xs(self, mode, lo, hi):
         if mode != "cycle":
             return ()
-        Emax = self._emax()
+        Emax = self._chunk_emax(lo)
         rounds = self.sched.rounds[lo:hi]
         xs = {
             "e": jnp.stack([_padE(r.even_src, Emax) for r in rounds]),
@@ -487,6 +487,45 @@ class _SparseRamBase(ScanFusedInstance):
                             ops.zeros((self.K,)), self.K)
         out = {"RA_K": scan.to_pair_order(RA_K)}
         return self._s_enter_addr(bc, st, out)
+
+    # ---- shrink points (scan segments restart with sliced state) --------
+
+    _S_ENTRY_KEYS = ("RA", "VAL", "WA", "RA1", "RA2")
+    _S_CYC_KEYS = ("EQ", "INC", "LT")
+
+    def _e_need(self, s: int) -> int:
+        """Entry-buffer bound for cycle rounds >= s: the prefix holding
+        round s-1's merged entries plus every later round's output pad."""
+        pads = [int(r.even_src.shape[0]) for r in self.sched.rounds[s:]]
+        prev = (_next_pow2(max(self.sched.rounds[s - 1].n_real, 1))
+                if s > 0 else self._emax())
+        return max([prev] + pads)
+
+    def _chunk_emax(self, lo: int) -> int:
+        s = max([0] + [p for p in
+                       self.scan_shrink_plan("cycle", self.log_T)
+                       if p <= lo])
+        return self._e_need(s) if s > 0 else self._emax()
+
+    def scan_shrink_plan(self, mode, n_rounds):
+        return scan.default_shrink_plan(n_rounds)
+
+    def scan_shrink(self, mode, s, bc, st):
+        st = dict(st)
+        if mode == "cycle":
+            En = self._e_need(s)
+            Tn = self.sched.T >> s
+            for k, v in st.items():
+                if k in self._S_ENTRY_KEYS:
+                    st[k] = v[..., :En]
+                elif k in self._S_CYC_KEYS:
+                    st[k] = v[..., :Tn]
+        else:
+            Kn = self.K >> s
+            for k, v in st.items():
+                if k.endswith("_K"):
+                    st[k] = v[..., :Kn]
+        return st
 
 
 def _norm_split(r: Sequence[int], log_T: int):

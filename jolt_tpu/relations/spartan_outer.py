@@ -136,6 +136,13 @@ class SpartanOuterProver(ScanFusedInstance):
     def scan_bind(self, mode, bc, x, st, r):
         return tuple(scan.pair_bind(X, r) for X in st)
 
+    def scan_shrink_plan(self, mode, n_rounds):
+        return scan.default_shrink_plan(n_rounds)
+
+    def scan_shrink(self, mode, s, bc, st):
+        n = 1 << (self.num_rounds - s)
+        return tuple(X[..., :n] for X in st)
+
     def scan_finals(self, st):
         return tuple(X[:, :1] for X in st)
 

@@ -107,6 +107,13 @@ def lowbind_compact(Pv: jnp.ndarray, r: jnp.ndarray, fp=FR) -> jnp.ndarray:
     return jnp.concatenate([new, jnp.zeros_like(new)], axis=-1)
 
 
+def default_shrink_plan(n_rounds: int) -> List[int]:
+    """One shrink point at local round 4: rounds 0-3 run at full width N,
+    the rest at N/16 -- ~3-4x less per-mode work for +1 compiled segment.
+    Modes shorter than 6 rounds aren't worth the extra segment."""
+    return [4] if n_rounds >= 6 else []
+
+
 def pair_prod_message(ws: Sequence[jnp.ndarray], degree: int,
                       fp=FR) -> jnp.ndarray:
     """Round message sum_pairs prod_i w_i(X) for pair-order arrays: each
@@ -155,6 +162,18 @@ class ScanFusedInstance(FusedInstance):
         """Straight-line state rewrite between modes (inside the jit)."""
         return st
 
+    def scan_shrink_plan(self, mode: str, n_rounds: int):
+        """Mode-local rounds at which the driver should call scan_shrink
+        (a new scan segment starts there with smaller state shapes).
+        Balance: each point cuts the remaining rounds' per-round work but
+        adds one compiled segment."""
+        return []
+
+    def scan_shrink(self, mode: str, local_round: int, bc, st):
+        """Slice the state down to its active prefix at `local_round` of
+        `mode` (inside the jit, between scan segments)."""
+        return st
+
     def scan_finals(self, st):
         """Small sub-pytree fetched once at stage end for fused_store."""
         raise NotImplementedError
@@ -181,18 +200,27 @@ def _supports_scan(instances) -> bool:
 # ---------------------------------------------------------------------------
 
 def _segment_modes(instances, offs, max_rounds):
-    """Global segmentation: returns (bounds, seg_modes) where seg_modes[s][i]
-    is (mode, local_round_of_mode_at_segment_start) or None (dormant)."""
+    """Global segmentation: returns (segments, seg_modes, shrink_sets).
+    seg_modes[s][i] is (mode, local_round_of_mode_at_segment_start) or
+    None (dormant); shrink_sets[i] is the instance's set of global rounds
+    where scan_shrink fires (always segment starts)."""
     edges = {0, max_rounds}
     plans = [inst.scan_plan() for inst in instances]
+    shrink_sets = []
     for off, plan, inst in zip(offs, plans, instances):
         assert sum(n for _, n in plan) == inst.num_rounds, \
             f"{type(inst).__name__} plan != num_rounds"
         acc = off
         edges.add(acc)
-        for _, n in plan:
+        shrinks = set()
+        for mode, n in plan:
+            for s in inst.scan_shrink_plan(mode, n):
+                if 0 < s < n:
+                    shrinks.add(acc + s)
             acc += n
             edges.add(acc)
+        edges |= shrinks
+        shrink_sets.append(shrinks)
     bounds = sorted(edges)
     segments = list(zip(bounds[:-1], bounds[1:]))
 
@@ -212,7 +240,7 @@ def _segment_modes(instances, offs, max_rounds):
                 pos += n
             row.append(hit)
         seg_modes.append(row)
-    return segments, seg_modes
+    return segments, seg_modes, shrink_sets
 
 
 def prove_scan(instances: Sequence[SumcheckInstance],
@@ -240,7 +268,8 @@ def prove_scan(instances: Sequence[SumcheckInstance],
     max_degree = max(degrees)
     n_coeff = max_degree + 1
     offs = [i.round_offset(max_rounds) for i in instances]
-    segments, seg_modes = _segment_modes(instances, offs, max_rounds)
+    segments, seg_modes, shrink_sets = _segment_modes(instances, offs,
+                                                      max_rounds)
 
     label_words = jnp.asarray(_label_payload_words(b"sumcheck_poly",
                                                    n_coeff - 1))
@@ -255,12 +284,14 @@ def prove_scan(instances: Sequence[SumcheckInstance],
         prev_mode: List[Optional[str]] = [None] * n_inst
 
         for s, ((a, b), row) in enumerate(zip(segments, seg_modes)):
-            # transitions into this segment's modes
+            # transitions / shrinks into this segment's modes
             for i, inst in enumerate(instances):
                 m = row[i][0] if row[i] else None
                 pm = prev_mode[i]
                 if m is not None and pm is not None and m != pm:
                     sts[i] = inst.scan_transition(pm, m, bcs[i], sts[i])
+                elif m is not None and a in shrink_sets[i]:
+                    sts[i] = inst.scan_shrink(m, row[i][1], bcs[i], sts[i])
                 prev_mode[i] = m
 
             def body(carry, x, _row=row):

@@ -15,7 +15,7 @@ proof (stage 8 proper)."""
 
 from __future__ import annotations
 
-from typing import List
+from typing import Dict, List
 
 from ..field.params import FR
 from ..lookups import tables as LT
@@ -27,8 +27,10 @@ from ..relations.opening_reduction import (OpeningReductionVerifier,
                                            cycle_major_to_address_major_point,
                                            embedding_factor)
 from ..r1cs import constraints as C
+from ..poly.eq import eq_int as eq_int_pt
 from ..relations.booleanity import BooleanityVerifier, HammingWeightVerifier
 from ..relations.bytecode import CLAIM_COLUMNS
+from ..relations.grouped_onehot import GroupedOneHotVerifier
 from ..relations.instruction_read_raf import InstructionReadRafVerifier
 from ..relations.ram_sparse import (SparseRamOutputCheckVerifier,
                                     SparseRamRafEvaluationVerifier,
@@ -298,32 +300,42 @@ def verify(proof: JoltProof, io: PublicIO, setup=None) -> bool:
     max_log_K = max(lk for _, lk in mat_dims)
     r_b = transcript.challenge_vector(max_log_K + log_T)
     r_h = transcript.challenge_vector(log_T)
+    gamma7 = transcript.challenge_scalar()
     o7 = proof.stage7_openings
-    insts7 = []
+    # mirror the prover's (kind, K) grouping (relations/grouped_onehot.py)
+    groups7: Dict[int, list] = {}
     for label, lk_m in mat_dims:
-        r_addr = r_b[max_log_K - lk_m:max_log_K]
-        r_bcyc = r_b[max_log_K:]
-        insts7.append(BooleanityVerifier(lk_m, log_T, r_addr, r_bcyc,
-                                         o7[f"bool_{label}"]))
-        insts7.append(HammingWeightVerifier(lk_m, log_T, r_h,
-                                            o7[f"ham_{label}"]))
+        groups7.setdefault(1 << lk_m, []).append(label)
+    insts7 = []
+    group_meta7 = []
+    for Km, labels in groups7.items():
+        lk_m = Km.bit_length() - 1
+        r_addr = [x % P for x in r_b[max_log_K - lk_m:max_log_K]]
+        r_bcyc = [x % P for x in r_b[max_log_K:]]
+        m7 = len(labels)
+        w_bool = [(lambda rc, p=r_bcyc: eq_int_pt(p, rc))] * m7
+        w_ham = [(lambda rc, p=[x % P for x in r_h]: eq_int_pt(p, rc))] * m7
+        insts7.append(GroupedOneHotVerifier(
+            m7, lk_m, log_T, w_bool, [r_addr] * m7, [0] * m7, gamma7,
+            [o7[f"bool_{lab}"] for lab in labels], booleanity=True))
+        group_meta7.append(("bool", lk_m, labels))
+        insts7.append(GroupedOneHotVerifier(
+            m7, lk_m, log_T, w_ham, [None] * m7, [1] * m7, gamma7,
+            [o7[f"ham_{lab}"] for lab in labels], booleanity=False))
+        group_meta7.append(("ham", lk_m, labels))
     try:
         r7 = BatchedSumcheck.verify(proof.stage7_polys, insts7, accumulator,
                                     transcript)
     except SumcheckError as e:
         raise VerificationError(f"stage7: {e}") from e
     max7 = max(i.num_rounds for i in insts7)
-    idx = 0
-    for label, lk_m in mat_dims:
-        for kind7 in ("bool", "ham"):
-            inst = insts7[idx]
-            off = max7 - inst.num_rounds
-            r_sl = r7[off:]
-            pt = list(r_sl[lk_m:]) + list(r_sl[:lk_m])  # cycle-major order
-            accumulator.insert((("booleanity" if kind7 == "bool" else
-                                 "hamming"), label), pt,
-                               o7[f"{kind7}_{label}"])
-            idx += 1
+    for inst, (kind7, lk_m, labels) in zip(insts7, group_meta7):
+        off = max7 - inst.num_rounds
+        r_sl = r7[off:]
+        pt = list(r_sl[lk_m:]) + list(r_sl[:lk_m])      # cycle-major order
+        oid = "booleanity" if kind7 == "bool" else "hamming"
+        for lab in labels:
+            accumulator.insert((oid, lab), pt, o7[f"{kind7}_{lab}"])
     accumulator.flush_to_transcript(transcript)
 
     # ---- Stage 8: joint batched opening ---------------------------------
@@ -350,14 +362,43 @@ def verify(proof: JoltProof, io: PublicIO, setup=None) -> bool:
         entries.append((cname, list(pt), cl))
     if len(proof.stage8_openings) != len(entries):
         raise VerificationError("wrong number of stage-8 openings")
-    insts8 = []
-    for (cname, pt, cl), o in zip(entries, proof.stage8_openings):
+    # mirror the prover's K-grouping (gamma-RLC per group); dense entries
+    # stay singletons.  Entries reorder group-first, aligned with openings.
+    gamma8 = transcript.challenge_scalar()
+    groups8: Dict[int, list] = {}
+    dense8 = []
+    for cname, pt, cl in entries:
         if cname in onehot_logK:
-            lt = len(pt) - onehot_logK[cname]
-            q = cycle_major_to_address_major_point(pt, lt)
+            groups8.setdefault(1 << onehot_logK[cname], []).append(
+                (cname, pt, cl))
         else:
-            q = pt
-        insts8.append(OpeningReductionVerifier(len(pt), q, cl, o))
+            dense8.append((cname, pt, cl))
+    entries = [e for g in groups8.values() for e in g] + dense8
+    insts8 = []
+    pos = 0
+    group_slices8 = []
+    for Km, members in groups8.items():
+        log_Km = Km.bit_length() - 1
+        qa8, wf8, cls8 = [], [], []
+        for cname, pt, cl in members:
+            q = cycle_major_to_address_major_point(
+                pt, len(pt) - log_Km)
+            qa8.append([x % P for x in q[:log_Km]])
+            wf8.append(lambda rc, p=[x % P for x in q[log_Km:]]:
+                       eq_int_pt(p, rc))
+            cls8.append(cl)
+        m8 = len(members)
+        ops8 = proof.stage8_openings[pos:pos + m8]
+        insts8.append(GroupedOneHotVerifier(
+            m8, log_Km, len(members[0][1]) - log_Km, wf8, qa8, cls8,
+            gamma8, ops8))
+        group_slices8.append((pos, m8, log_Km))
+        pos += m8
+    for cname, pt, cl in dense8:
+        insts8.append(OpeningReductionVerifier(
+            len(pt), pt, cl, proof.stage8_openings[pos]))
+        group_slices8.append((pos, 1, None))
+        pos += 1
     try:
         r8 = BatchedSumcheck.verify(proof.stage8_polys, insts8, accumulator,
                                     transcript)
