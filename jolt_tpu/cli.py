@@ -62,12 +62,21 @@ def cmd_trace(args):
 
 def cmd_prove(args):
     from .prover import prove
+    prof = None
+    if getattr(args, "profile", False):
+        from .utils.profiling import enable
+        prof = enable()
     tr, _ = _trace(args)
     t0 = time.time()
     proof = prove(tr)
     dt = time.time() - t0
     khz = tr.length / dt / 1e3
     print(f"proved {tr.length} cycles in {dt:.1f}s ({khz:.2f} kHz)")
+    if prof is not None:
+        print(prof.report())
+        ppath = args.output + ".profile.json"
+        prof.dump(ppath)
+        print(f"profile -> {ppath}")
     # the claimed public statement travels WITH the proof so verification
     # never re-executes the guest (succinct verify); canonical bytes, no
     # pickle on the wire (proof_io.py)
@@ -141,6 +150,9 @@ def main(argv=None):
                         "TPU tunnel)")
         if name == "prove":
             sp.add_argument("-o", "--output", default="proof.pkl")
+            sp.add_argument("--profile", action="store_true",
+                            help="record per-stage spans + HBM watermarks; "
+                            "writes <output>.profile.json")
         if name == "verify":
             sp.add_argument("proof", help="proof pickle from `prove`")
         sp.set_defaults(fn=fn)

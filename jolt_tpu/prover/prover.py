@@ -169,14 +169,24 @@ def prove(trace: Trace, setup=None) -> JoltProof:
     (sumcheck-only mode for tests)."""
     import os as _os
     import time as _time
+
+    from ..utils.profiling import active as _prof_active
+    _prof = _prof_active()
     _t0 = [_time.time()]
     _dbg = _os.environ.get("JOLT_TPU_STAGE_TIMING")
+    _span = [None]
 
     def _mark(label):
+        now = _time.time()
         if _dbg:
-            now = _time.time()
             print(f"[prove] {label}: {now - _t0[0]:.1f}s", flush=True)
-            _t0[0] = now
+        if _prof.enabled:
+            # retroactive span per stage (prove is a linear pipeline)
+            from ..utils.profiling import Span, _device_mem_bytes
+            s = Span(label, _t0[0], now - _t0[0])
+            s.hbm_exit = _device_mem_bytes()
+            (_span[0].children if _span[0] else _prof.roots).append(s)
+        _t0[0] = now
 
     # ---- witness extraction (host) --------------------------------------
     import numpy as _np

@@ -108,10 +108,12 @@ def lowbind_compact(Pv: jnp.ndarray, r: jnp.ndarray, fp=FR) -> jnp.ndarray:
 
 
 def default_shrink_plan(n_rounds: int) -> List[int]:
-    """One shrink point at local round 4: rounds 0-3 run at full width N,
-    the rest at N/16 -- ~3-4x less per-mode work for +1 compiled segment.
-    Modes shorter than 6 rounds aren't worth the extra segment."""
-    return [4] if n_rounds >= 6 else []
+    """Shrink points at local rounds 2 and 6: rounds 0-1 run at full width
+    N, 2-5 at N/4, the rest at N/64 -- ~6x less per-mode work for +2
+    compiled segments (measured on the axon TPU: compile cost tracks array
+    width, so narrower late segments also compile faster).  Modes shorter
+    than 4 rounds aren't worth an extra segment."""
+    return [s for s in (2, 6) if s + 2 <= n_rounds]
 
 
 def pair_prod_message(ws: Sequence[jnp.ndarray], degree: int,
