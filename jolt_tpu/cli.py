@@ -53,6 +53,10 @@ def cmd_run(args):
 def cmd_trace(args):
     from .riscv import isa
     tr, dt = _trace(args)
+    if getattr(args, "output", None):
+        from .tracer.trace_io import save_trace
+        save_trace(tr, args.output)
+        print(f"trace -> {args.output}")
     counts = collections.Counter(isa.KINDS[k] for k in tr.col("kind")[:tr.length])
     print(f"{tr.length} cycles (padded {tr.padded_length}); per-instruction:")
     for kind, n in counts.most_common():
@@ -66,7 +70,11 @@ def cmd_prove(args):
     if getattr(args, "profile", False):
         from .utils.profiling import enable
         prof = enable()
-    tr, _ = _trace(args)
+    if getattr(args, "trace_file", None):
+        from .tracer.trace_io import load_trace
+        tr = load_trace(args.trace_file)
+    else:
+        tr, _ = _trace(args)
     t0 = time.time()
     proof = prove(tr)
     dt = time.time() - t0
@@ -153,6 +161,13 @@ def main(argv=None):
             sp.add_argument("--profile", action="store_true",
                             help="record per-stage spans + HBM watermarks; "
                             "writes <output>.profile.json")
+            sp.add_argument("--trace-file", dest="trace_file",
+                            help="prove a checkpointed trace (.npz from "
+                            "`trace -o`) instead of re-executing the guest")
+        if name == "trace":
+            sp.add_argument("-o", "--output", default=None,
+                            help="checkpoint the trace to a .npz for "
+                            "later `prove --trace-file`")
         if name == "verify":
             sp.add_argument("proof", help="proof pickle from `prove`")
         sp.set_defaults(fn=fn)
