@@ -298,7 +298,9 @@ class Booleanity(ScanFusedInstance):
                 "A": st["A"]}
 
     def scan_shrink_plan(self, mode, n_rounds):
-        return scan.default_shrink_plan(n_rounds) if mode == "cycle" else []
+        if mode != "cycle":
+            return []
+        return scan.default_shrink_plan(n_rounds, self.T)
 
     def scan_shrink(self, mode, s, bc, st):
         n = self.T >> s
@@ -475,7 +477,9 @@ class HammingWeight(ScanFusedInstance):
                 "V": scan.to_pair_order(st["U"])}
 
     def scan_shrink_plan(self, mode, n_rounds):
-        return scan.default_shrink_plan(n_rounds) if mode == "cycle" else []
+        if mode != "cycle":
+            return []
+        return scan.default_shrink_plan(n_rounds, self.T)
 
     def scan_shrink(self, mode, s, bc, st):
         n = self.T >> s

@@ -367,7 +367,9 @@ class GroupedOneHot(ScanFusedInstance):
 
     def scan_shrink_plan(self, mode, n_rounds):
         # address rounds are inherently O(M*T) each (U/S never shrink)
-        return scan.default_shrink_plan(n_rounds) if mode == "cycle" else []
+        if mode != "cycle":
+            return []
+        return scan.default_shrink_plan(n_rounds, self.M * self.T)
 
     def scan_shrink(self, mode, s, bc, st):
         n = self.T >> s

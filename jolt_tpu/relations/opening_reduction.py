@@ -249,7 +249,9 @@ class SparseOneHotOpening(ScanFusedInstance):
                 "A": st["A"]}
 
     def scan_shrink_plan(self, mode, n_rounds):
-        return scan.default_shrink_plan(n_rounds) if mode == "cycle" else []
+        if mode != "cycle":
+            return []
+        return scan.default_shrink_plan(n_rounds, self.T)
 
     def scan_shrink(self, mode, s, bc, st):
         n = self.T >> s
@@ -342,7 +344,7 @@ class DenseOpening(ScanFusedInstance):
                 "Pv": scan.pair_bind(st["Pv"], r)}
 
     def scan_shrink_plan(self, mode, n_rounds):
-        return scan.default_shrink_plan(n_rounds)
+        return scan.default_shrink_plan(n_rounds, 1 << self.n)
 
     def scan_shrink(self, mode, s, bc, st):
         n = (1 << self.n) >> s

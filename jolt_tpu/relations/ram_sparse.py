@@ -508,7 +508,9 @@ class _SparseRamBase(ScanFusedInstance):
         return self._e_need(s) if s > 0 else self._emax()
 
     def scan_shrink_plan(self, mode, n_rounds):
-        return scan.default_shrink_plan(n_rounds)
+        if mode == "cycle":
+            return scan.sparse_shrink_plan(n_rounds, self.sched.T)
+        return scan.default_shrink_plan(n_rounds, self.K)
 
     def scan_shrink(self, mode, s, bc, st):
         st = dict(st)

@@ -137,7 +137,7 @@ class SpartanOuterProver(ScanFusedInstance):
         return tuple(scan.pair_bind(X, r) for X in st)
 
     def scan_shrink_plan(self, mode, n_rounds):
-        return scan.default_shrink_plan(n_rounds)
+        return scan.default_shrink_plan(n_rounds, 1 << self.num_rounds)
 
     def scan_shrink(self, mode, s, bc, st):
         n = 1 << (self.num_rounds - s)

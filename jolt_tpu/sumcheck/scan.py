@@ -107,13 +107,25 @@ def lowbind_compact(Pv: jnp.ndarray, r: jnp.ndarray, fp=FR) -> jnp.ndarray:
     return jnp.concatenate([new, jnp.zeros_like(new)], axis=-1)
 
 
-def default_shrink_plan(n_rounds: int) -> List[int]:
+def default_shrink_plan(n_rounds: int, width: int = 1 << 30) -> List[int]:
     """Shrink points at local rounds 2 and 6: rounds 0-1 run at full width
     N, 2-5 at N/4, the rest at N/64 -- ~6x less per-mode work for +2
     compiled segments (measured on the axon TPU: compile cost tracks array
     width, so narrower late segments also compile faster).  Modes shorter
-    than 4 rounds aren't worth an extra segment."""
+    than 4 rounds or narrower than 4096 lanes aren't worth the extra
+    segments (each costs one more compiled scan body)."""
+    if width < 4096:
+        return []
     return [s for s in (2, 6) if s + 2 <= n_rounds]
+
+
+def sparse_shrink_plan(n_rounds: int, width: int = 1 << 30) -> List[int]:
+    """Pair-schedule modes get ONE shrink point only: every extra segment
+    re-pads and re-compiles the gather schedules, which dominated stage-6
+    compile when given the dense plan."""
+    if width < 4096 or n_rounds < 6:
+        return []
+    return [4]
 
 
 def pair_prod_message(ws: Sequence[jnp.ndarray], degree: int,
