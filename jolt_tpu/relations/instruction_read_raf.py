@@ -127,7 +127,7 @@ class InstructionReadRaf(SumcheckInstance):
 
         self.v_done: List[List[int]] = []   # finished phase tables
         self.cur_v: List[int] = [1]
-        self.Q: Dict[Tuple[str, str], List[int]] = {}
+        self.QP: Dict[str, List[int]] = {}
         self._init_phase(0)
 
         # cycle-round state
@@ -161,7 +161,12 @@ class InstructionReadRaf(SumcheckInstance):
         mask_s = (1 << L) - 1
         mask_h = (1 << half) - 1
         chunk_col = self.wit.chunks[phase]
-        self.Q = {}
+        # Build per-(group, suffix) tables, then AGGREGATE by prefix family:
+        # the round message only ever consumes sum_{key,suf->pre} coef * Q,
+        # and suffix binding commutes with that linear combination, so the
+        # per-round b-loop runs over ~13 prefix tables instead of ~45
+        # (group, term) pairs.
+        self.QP: Dict[str, List[int]] = {}
         for key, terms, bucket in self._groups():
             sufs = sorted({s for _, _, s in terms})
             local = {s: [0] * M for s in sufs}
@@ -178,8 +183,15 @@ class InstructionReadRaf(SumcheckInstance):
                     sv = fns[s](xs, ys, s_tail, L)
                     if sv:
                         local[s][c] = (local[s][c] + u * sv) % P
-            for s in sufs:
-                self.Q[(key, s)] = local[s]
+            for coef, pre, suf in terms:
+                q = local[suf]
+                agg = self.QP.get(pre)
+                if agg is None:
+                    agg = [0] * M
+                    self.QP[pre] = agg
+                for c in range(M):
+                    if q[c]:
+                        agg[c] = (agg[c] + coef * q[c]) % P
         self.cur_v = [1]
 
     # ---- engine interface -----------------------------------------------
@@ -219,20 +231,23 @@ class InstructionReadRaf(SumcheckInstance):
         length = M >> rip
         half = length // 2
         nb = (LOG_M - 1 - rip)  # in-phase bits below the current var
-        groups = self._groups()
         s0 = 0
         s2l = 0
         s2r = 0
+        items = list(self.QP.items())
         for b in range(half):
-            p0 = self._prefix_eval(0, b, nb, round)
-            p2 = self._prefix_eval(2, b, nb, round)
-            for key, terms, _ in groups:
-                for coef, pre, suf in terms:
-                    q = self.Q[(key, suf)]
-                    s0 += coef * p0[pre] % P * q[b]
-                    pv2 = coef * p2[pre] % P
-                    s2l += pv2 * q[b]
-                    s2r += pv2 * q[b + half]
+            p0 = None
+            for pre, q in items:
+                qb, qh = q[b], q[b + half]
+                if qb == 0 and qh == 0:
+                    continue
+                if p0 is None:
+                    p0 = self._prefix_eval(0, b, nb, round)
+                    p2 = self._prefix_eval(2, b, nb, round)
+                s0 += p0[pre] * qb
+                p2v = p2[pre]
+                s2l += p2v * qb
+                s2r += p2v * qh
         s0 %= P
         s2 = (2 * s2r - s2l) % P
         return UniPoly.from_evals_and_hint(previous_claim, [s0, s2], P)
@@ -248,11 +263,11 @@ class InstructionReadRaf(SumcheckInstance):
         rip = round % LOG_M
         length = M >> rip
         half = length // 2
-        # bind suffix polys (host, tiny)
-        for k in self.Q:
-            q = self.Q[k]
-            self.Q[k] = [(q[i] + r * (q[i + half] - q[i])) % P
-                         for i in range(half)]
+        # bind the aggregated suffix polys (host, tiny)
+        for k in self.QP:
+            q = self.QP[k]
+            self.QP[k] = [(q[i] + r * (q[i + half] - q[i])) % P
+                          for i in range(half)]
         # expanding table: append the new bound bit at the LSB end
         rm = (1 - r) % P
         self.cur_v = [w * m % P
