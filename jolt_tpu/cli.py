@@ -157,7 +157,7 @@ def main(argv=None):
                         "'default' keeps the ambient platform, e.g. the "
                         "TPU tunnel)")
         if name == "prove":
-            sp.add_argument("-o", "--output", default="proof.pkl")
+            sp.add_argument("-o", "--output", default="proof.bin")
             sp.add_argument("--profile", action="store_true",
                             help="record per-stage spans + HBM watermarks; "
                             "writes <output>.profile.json")
@@ -169,7 +169,7 @@ def main(argv=None):
                             help="checkpoint the trace to a .npz for "
                             "later `prove --trace-file`")
         if name == "verify":
-            sp.add_argument("proof", help="proof pickle from `prove`")
+            sp.add_argument("proof", help="canonical proof bytes from `prove`")
         sp.set_defaults(fn=fn)
     args = p.parse_args(argv)
     from .utils.env import ensure_map_count

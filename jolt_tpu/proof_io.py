@@ -7,8 +7,8 @@ elements).  Layout rules:
   * field scalars: 32-byte little-endian (arkworks `Fr` convention);
   * G1 points: 32-byte arkworks-compressed (x LE; top byte carries the
     infinity flag 0x40 and the y-lexicographic-sign flag 0x80);
-  * G2 points: uncompressed x,y over Fq2 (4 x 32 bytes) + 1 flag byte
-    (0x40 = infinity) -- TODO(parity): arkworks compresses G2 too;
+  * G2 points: 64-byte arkworks-compressed (x = c0||c1 LE; flags in the
+    top byte of c1: 0x40 infinity, 0x80 y-lexicographically-largest);
   * GT (Fq12): 12 x 32 bytes LE, tower order c0.c0.a .. c1.c2.b;
   * lists: u32 LE count, then items; dicts: count + (u16 key-len, key,
     value) with keys in insertion order (the proof's canonical order).
@@ -33,7 +33,7 @@ from .prover.prover import JoltProof
 
 P = FR.modulus
 Q = host.Q if hasattr(host, "Q") else None
-VERSION = 2
+VERSION = 3
 
 
 class ProofDecodeError(ValueError):
@@ -100,27 +100,69 @@ def dec_g1(b: memoryview, off: int):
     return pt, off
 
 
+def _fq2_sqrt(a: Fq2) -> Fq2:
+    """Square root in Fq2 = Fq[u]/(u^2+1) for q = 3 mod 4
+    (Adj--Rodriguez-Henriquez; arkworks `sqrt` for quadratic extensions)."""
+    q = _fq_modulus()
+    if a.is_zero():
+        return Fq2(0, 0)
+    a1 = a.pow((q - 3) // 4)
+    x0 = a1 * a
+    alpha = a1 * x0
+    if alpha == Fq2(q - 1, 0):          # alpha == -1: x = u * x0 (u^2 = -1)
+        x = Fq2(0, 1) * x0
+    else:
+        x = (Fq2(1, 0) + alpha).pow((q - 1) // 2) * x0
+    if x.sqr() != a:
+        raise ProofDecodeError("Fq2 non-residue: G2 point not on curve")
+    return x
+
+
+def _fq2_is_largest(y: Fq2) -> bool:
+    """arkworks QuadExtField ordering: compare the u-coefficient (c1)
+    first, then c0; the compression flag marks the larger of (y, -y)."""
+    ny = -y
+    return (y.b, y.a) > (ny.b, ny.a)
+
+
+# G2 twist coefficient b' = 3/(9+u)
+def _g2_b() -> Fq2:
+    from .curve.fq_tower import XI
+    return Fq2(3, 0) * XI.inv()
+
+
 def enc_g2(pt) -> bytes:
+    """arkworks-compressed G2 (64 bytes): x = c0||c1 (32 LE bytes each),
+    flags in the top byte of c1 (0x40 infinity, 0x80 y-is-largest)."""
     if pt is None:
-        return b"\x40" + b"\x00" * 128
+        out = bytearray(64)
+        out[63] = 0x40
+        return bytes(out)
     (x, y) = pt
     q = _fq_modulus()
-    return (b"\x00" + (x.a % q).to_bytes(32, "little")
-            + (x.b % q).to_bytes(32, "little")
-            + (y.a % q).to_bytes(32, "little")
-            + (y.b % q).to_bytes(32, "little"))
+    out = bytearray((x.a % q).to_bytes(32, "little")
+                    + (x.b % q).to_bytes(32, "little"))
+    if _fq2_is_largest(y):
+        out[63] |= 0x80
+    return bytes(out)
 
 
 def dec_g2(b: memoryview, off: int):
-    flag = b[off]
-    off += 1
-    coords = []
-    for _ in range(4):
-        coords.append(int.from_bytes(b[off:off + 32], "little"))
-        off += 32
-    if flag == 0x40:
+    c0 = int.from_bytes(b[off:off + 32], "little")
+    c1b = bytearray(b[off + 32:off + 64])
+    off += 64
+    flags = c1b[31] & 0xC0
+    c1b[31] &= 0x3F
+    c1 = int.from_bytes(bytes(c1b), "little")
+    if flags & 0x40:
+        if c0 or c1:
+            raise ProofDecodeError("nonzero x with G2 infinity flag")
         return None, off
-    return (Fq2(coords[0], coords[1]), Fq2(coords[2], coords[3])), off
+    x = Fq2(c0, c1)
+    y = _fq2_sqrt(x.sqr() * x + _g2_b())
+    if _fq2_is_largest(y) != bool(flags & 0x80):
+        y = -y
+    return (x, y), off
 
 
 def _fq12_flat(e: Fq12) -> List[int]:

@@ -135,31 +135,76 @@ def stage8_entry_ids():
     return ids
 
 
+def preprocessing_digest(code: bytes, entry: int, start: int, memory_layout,
+                         bytecode_log_K: int, padded_length: int) -> bytes:
+    """32-byte digest of the preprocessing artifact, the analog of the
+    reference's `preprocessing.digest()` absorbed first in the preamble.
+
+    Covers everything the verifier derives from the program image rather
+    than the per-run statement: the code bytes, entry/start addresses, the
+    full memory-layout geometry, the (derived) bytecode table size, and the
+    padded trace length (our padding rule admits a per-run `min_padded`, so
+    it is bound here; the reference's padding is a fixed function of T).
+    Both sides compute this from public data -- the verifier never trusts a
+    prover-supplied digest."""
+    h = hashlib.blake2b(digest_size=32)
+    for tag, val in (
+        (b"code", code),
+        (b"entry", entry), (b"start", start),
+        (b"max_input", memory_layout.max_input_size),
+        (b"max_output", memory_layout.max_output_size),
+        (b"stack", memory_layout.stack_size),
+        (b"heap", memory_layout.heap_size),
+        (b"bytecode_log_K", bytecode_log_K),
+        (b"padded_T", padded_length),
+    ):
+        h.update(tag)
+        h.update(val if isinstance(val, bytes) else int(val).to_bytes(8, "big"))
+    return h.digest()
+
+
+# our RW-checking sumchecks bind all log T cycle rounds, then all log K
+# address rounds (no two-phase streaming split yet) -- the phase-round
+# counts absorbed below reflect that schedule
+REGISTERS_LOG_K = 7     # 128 registers (64 arch + virtual)
+LOG_K_CHUNK = 8         # OneHotParams: d = 128/8 = 16 committed ra chunks
+DORY_LAYOUT = 0         # DoryLayout::default() discriminant
+
+
 def fiat_shamir_preamble(transcript: Blake2bTranscript, trace_length: int,
                          padded_length: int, inputs: bytes, outputs: bytes,
                          panic: bool, code: bytes, entry: int, start: int,
                          memory_layout, ram_log_K: int,
                          bytecode_log_K: int) -> None:
-    """Preamble binding the full public statement
-    (`zkvm/mod.rs:257` fiat_shamir_preamble: io device, T, ram_K, entry,
-    memory layout, program digest).
+    """Preamble binding the full public statement.
 
-    TODO(parity): byte-match the reference's exact absorb sequence.
-    """
-    transcript.append_u64(b"T", trace_length)
-    transcript.append_u64(b"padded_T", padded_length)
+    Byte-parity absorb sequence with the reference's `fiat_shamir_preamble`
+    (`zkvm/mod.rs:257-301`): identical labels, types, and order.  Values
+    that the reference sources from its preprocessing/config structs map to
+    our analogs (documented inline); the opaque `preprocessing_digest`
+    contents differ (see `preprocessing_digest`) -- aligning those is a
+    one-function job once Rust fixtures are available."""
+    transcript.append_bytes(
+        b"preprocessing_digest",
+        preprocessing_digest(code, entry, start, memory_layout,
+                             bytecode_log_K, padded_length))
+    transcript.append_u64(b"max_input_size", memory_layout.max_input_size)
+    transcript.append_u64(b"max_output_size", memory_layout.max_output_size)
+    transcript.append_u64(b"heap_size", memory_layout.heap_size)
     transcript.append_bytes(b"inputs", inputs)
     transcript.append_bytes(b"outputs", outputs)
     transcript.append_u64(b"panic", 1 if panic else 0)
-    transcript.append_bytes(b"program", hashlib.blake2b(code).digest())
-    transcript.append_u64(b"entry", entry)
-    transcript.append_u64(b"start", start)
-    transcript.append_u64(b"input_start", memory_layout.input_start)
-    transcript.append_u64(b"output_start", memory_layout.output_start)
-    transcript.append_u64(b"max_input", memory_layout.max_input_size)
-    transcript.append_u64(b"max_output", memory_layout.max_output_size)
-    transcript.append_u64(b"ram_log_K", ram_log_K)
-    transcript.append_u64(b"bytecode_log_K", bytecode_log_K)
+    transcript.append_u64(b"ram_K", 1 << ram_log_K)
+    transcript.append_u64(b"trace_length", trace_length)
+    transcript.append_u64(b"entry_address", entry)
+    log_T = padded_length.bit_length() - 1
+    transcript.append_u64(b"ram_rw_phase1_num_rounds", log_T)
+    transcript.append_u64(b"ram_rw_phase2_num_rounds", ram_log_K)
+    transcript.append_u64(b"registers_rw_phase1_num_rounds", log_T)
+    transcript.append_u64(b"registers_rw_phase2_num_rounds", REGISTERS_LOG_K)
+    transcript.append_u64(b"log_k_chunk", LOG_K_CHUNK)
+    transcript.append_u64(b"lookups_ra_virtual_log_k_chunk", LOG_K_CHUNK)
+    transcript.append_u64(b"dory_layout", DORY_LAYOUT)
 
 
 def prove(trace: Trace, setup=None) -> JoltProof:
@@ -174,10 +219,22 @@ def prove(trace: Trace, setup=None) -> JoltProof:
     _prof = _prof_active()
     _t0 = [_time.time()]
     _dbg = _os.environ.get("JOLT_TPU_STAGE_TIMING")
+    # Fiat-Shamir fixture tape: per-stage transcript checkpoints
+    # (state digest + round counter) for diffing against a Rust run
+    _fs_trace = _os.environ.get("JOLT_TPU_FS_TRACE")
+    _fs_tape: List[dict] = []
     _span = [None]
 
     def _mark(label):
         now = _time.time()
+        if _fs_trace:
+            entry = {"stage": label}
+            try:
+                entry["n_rounds"] = transcript.n_rounds
+                entry["state"] = transcript.state.hex()
+            except NameError:   # before the transcript exists
+                pass
+            _fs_tape.append(entry)
         if _dbg:
             print(f"[prove] {label}: {now - _t0[0]:.1f}s", flush=True)
         if _prof.enabled:
@@ -496,6 +553,10 @@ def prove(trace: Trace, setup=None) -> JoltProof:
                                                transcript)
 
     _mark("stage8-openings")
+    if _fs_trace:
+        import json as _json
+        with open(_fs_trace, "w") as _f:
+            _json.dump(_fs_tape, _f, indent=1)
     return JoltProof(
         trace_length=trace.length,
         padded_length=trace.padded_length,
