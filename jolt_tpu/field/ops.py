@@ -121,9 +121,45 @@ def _col_index(n: int) -> np.ndarray:
     return (i[:, None] + i[None, :]).reshape(-1)  # (n*n,) anti-diagonal ids
 
 
+_PALLAS_MIN_N = 2048
+
+
+def _try_pallas_mul(a: jnp.ndarray, b: jnp.ndarray, fp: FieldParams):
+    """Trace-time dispatch to the unrolled Pallas kernel (53x the rolled
+    tier on TPU).  Returns None when ineligible: non-TPU backend, an active
+    device mesh (pallas_call does not shard), odd tile shapes, or small
+    batches where dispatch overhead dominates.  Disable with
+    JOLT_TPU_NO_PALLAS=1 (equivalence tests compare the tiers)."""
+    import os
+    if fp is not FR or os.environ.get("JOLT_TPU_NO_PALLAS"):
+        return None
+    if jax.default_backend() != "tpu":
+        return None
+    from ..parallel.mesh import active_mesh
+    if active_mesh() is not None:
+        return None
+    shape = jnp.broadcast_shapes(a.shape, b.shape)
+    if len(shape) < 2:
+        return None
+    n = int(np.prod(shape[1:]))
+    if n < _PALLAS_MIN_N or n % 128:
+        return None
+    S = n // 128
+    bs = min(32, S)
+    if S % bs:
+        return None
+    from . import pallas_ops
+    A = jnp.broadcast_to(a, shape).reshape(shape[0], n)
+    B = jnp.broadcast_to(b, shape).reshape(shape[0], n)
+    return pallas_ops.mont_mul(A, B).reshape(shape)
+
+
 @_fieldop('fp')
 def mont_mul(a: jnp.ndarray, b: jnp.ndarray, fp: FieldParams = FR) -> jnp.ndarray:
     """Montgomery product (a * b * R^-1 mod p) on limb arrays.
+
+    On the TPU backend, large batches route to the unrolled Pallas kernel
+    (`pallas_ops.mont_mul`); the rolled path below is the portable tier.
 
     Column bound (see params.py): every uint32 column stays < 2^32 with no
     carry handling inside the loop.  Schoolbook columns as n static
@@ -131,6 +167,9 @@ def mont_mul(a: jnp.ndarray, b: jnp.ndarray, fp: FieldParams = FR) -> jnp.ndarra
     >100x slower at wide batches); the 20-step base-2^13 reduction as a
     fori_loop with concatenate-based updates for the same reason.
     """
+    fast = _try_pallas_mul(a, b, fp)
+    if fast is not None:
+        return fast
     n = fp.num_limbs
     a, b = jnp.broadcast_arrays(a, b)
     batch = a.shape[1:]

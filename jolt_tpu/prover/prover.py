@@ -46,7 +46,8 @@ from ..relations.ram_sparse import (RamPairSchedule, SparseOneHotTableEval,
                                     SparseRegistersReadWriteChecking,
                                     SparseRegistersValEvaluation,
                                     combined_table_dev, index_table)
-from ..relations.spartan_outer import SpartanOuterProver
+from ..relations.spartan_outer import (SpartanOuterProver, num_stage1_rounds,
+                                       prove_uniskip)
 from ..sumcheck.engine import BatchedSumcheck, OpeningAccumulator
 from ..sumcheck.scan import prove_scan
 from ..tracer.trace import Trace
@@ -70,6 +71,7 @@ class JoltProof:
 
     trace_length: int          # unpadded
     padded_length: int
+    stage1_uniskip: List[int]          # uni-skip first-round poly (31 coeffs)
     stage1_polys: List[List[int]]      # compressed round polys
     r1cs_input_openings: List[int]     # 38 openings at r_cycle
     stage2_polys: List[List[int]]      # registers read/write checking
@@ -301,10 +303,13 @@ def prove(trace: Trace, setup=None) -> JoltProof:
             pcs.absorb(transcript, commitments[name])
 
     _mark("stage0-commit")
-    # ---- Stage 1: Spartan outer ----------------------------------------
-    num_rounds = C.LOG_PADDED_CONSTRAINTS + log_T
-    tau = transcript.challenge_vector(num_rounds)
-    outer = SpartanOuterProver(inputs, tau)
+    # ---- Stage 1: Spartan outer (uni-skip + remaining sumcheck) ---------
+    # tau = [tau_high (Lagrange kernel), tau_g (group bit), *tau_cyc]
+    tau = transcript.challenge_vector(1 + num_stage1_rounds(log_T))
+    cols_dev, s1_coeffs, r0_skip, claim1, l_scale = prove_uniskip(
+        inputs, tau, transcript)
+    outer = SpartanOuterProver(inputs, tau[1:], r0_skip, claim1, l_scale,
+                               cols_dev)
     # fused device-transcript stage (one dispatch for all rounds); falls
     # back to the host engine under a device mesh
     stage1_polys, _ = prove_scan([outer], accumulator, transcript)
@@ -560,6 +565,7 @@ def prove(trace: Trace, setup=None) -> JoltProof:
     return JoltProof(
         trace_length=trace.length,
         padded_length=trace.padded_length,
+        stage1_uniskip=list(s1_coeffs),
         stage1_polys=stage1_polys,
         r1cs_input_openings=list(outer.input_openings),
         stage2_polys=stage2_polys,

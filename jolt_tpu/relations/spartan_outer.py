@@ -1,42 +1,209 @@
-"""Spartan outer sumcheck over the uniform RV64 R1CS.
+"""Spartan outer sumcheck over the uniform RV64 R1CS, with univariate skip.
 
-Proves  0 = sum_{k,j} eq(tau, (k,j)) * (Az(k,j)*Bz(k,j) - Cz(k,j))
-over the padded constraint axis (k in [32]) and cycle axis (j in [T]).
+Proves  0 = sum_{k,j} weight(k) * eq(tau, j) * (Az(k,j)*Bz(k,j) - Cz(k,j))
+over the constraint axis (k in [22]) and cycle axis (j in [T]).
 
-Reference: `crates/jolt-prover-legacy/src/zkvm/spartan/outer.rs` (stage 1).
-Round-1 simplification: a plain dense degree-3 sumcheck over all
-log(32) + log(T) variables (HighToLow: constraint bits first).  The
-reference's univariate-skip first round (`r1cs/constraints.rs:413-422`) is a
-later optimization; the protocol is sound either way, and our verifier
-performs the same final check as the reference's stage-1 verifier:
-it reconstructs Az/Bz/Cz(r) from the 38 R1CS input openings via the sparse
-constraint rows (the verifier-side matrix evaluation,
-`jolt-verifier/src/stages/stage1`), so the prover cannot lie about the
-matrices -- only the input openings remain to be proven in later stages.
+Round-2 redesign to the reference's stage-1 shape
+(`zkvm/spartan/outer.rs`, `subprotocols/univariate_skip.rs:29-131`):
+the constraint axis is NOT walked as 5 boolean sumcheck rounds over a
+padded 32-row grid.  Instead the 22 rows split into 2 groups of 11; the
+slot-in-group index maps to the symmetric integer window {-5..5} and the
+first round sends ONE univariate
 
-Device work: Az/Bz/Cz/eq table construction and every round's
-message+bind.  Host work: transcript, round polys, verifier algebra.
+    s1(Y) = L(tau_high, Y) * t1(Y),        deg(s1) <= 30 (31 coeffs)
+    t1(y) = sum_{g,x} eq(tau_g,g) eq(tau_cyc,x) (Az*Bz - Cz)(y,g,x)
+
+where Az(y,g,x) interpolates the group's 11 rows along y.  t1 vanishes on
+the base window (satisfied constraints), so the prover only evaluates the
+10 extrapolated targets {-6,6,...,-10,10} (`uniskip_targets`).  After the
+skip challenge r0, the remaining sumcheck runs 1 + log T rounds (group bit
+then cycle bits) over arrays of length 2T -- 16x less device data than the
+round-1 padded 32T layout, and the constraint rounds collapse from 5 to
+the single group round.
+
+The reference's analogous constants are degree 9 / domain 10 / 28 coeffs
+for its 19 eq-only constraints (`r1cs/constraints.rs:413-422`); ours are
+degree 10 / domain 11 / 31 coeffs because the 3 product-virtual rows stay
+in stage 1 (Cz rides the same univariate -- sound for any t1 that vanishes
+on the base window).
+
+Device work: Az/Bz/Cz row combos are evaluated ON DEVICE as sparse linear
+combinations of the 38 packed input columns (one lax.scan over terms with
+raw-uint32 lazy accumulation) -- the round-1 host bigint materialization
+loop is gone.  Host work: transcript, Lagrange algebra (<=31-point,
+`poly/lagrange.py`), verifier algebra.
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..field import FR, ops
 from ..poly import dense, eq
-from ..poly.univariate import UniPoly
+from ..poly import lagrange as lag
 from ..r1cs import constraints as C
 from ..sumcheck import scan
 from ..sumcheck.engine import OpeningAccumulator, SumcheckInstance
-from ..sumcheck.scan import ScanFusedInstance
 from ..witness.r1cs_inputs import NUM_VARS, R1CSCycleInputs, VAR_NAMES
 
 P = FR.modulus
 
+# constraint-axis geometry: 22 rows = 2 groups x 11 slots
+UNISKIP_DOMAIN = 11
+UNISKIP_DEGREE = 10                      # extended targets outside the window
+UNISKIP_NUM_COEFFS = 3 * UNISKIP_DEGREE + 1   # deg(L * t1) <= 30
+NUM_GROUPS = 2
+assert C.NUM_CONSTRAINTS == NUM_GROUPS * UNISKIP_DOMAIN
+
+
+def num_stage1_rounds(log_T: int) -> int:
+    """Remaining-sumcheck rounds after the uni-skip first round."""
+    return 1 + log_T
+
+
+# ---------------------------------------------------------------------------
+# device evaluation of sparse row combos
+# ---------------------------------------------------------------------------
+
+def pack_input_columns(inputs: R1CSCycleInputs) -> jnp.ndarray:
+    """All 38 columns as one Montgomery limb array (L, 38, T) -- a single
+    vectorized host->device conversion."""
+    T = inputs.T
+    flat: List[int] = []
+    for col in inputs.columns:
+        flat.extend(col)
+    packed = ops.pack_ints([v % P for v in flat])       # (L, 38*T)
+    return packed.reshape(packed.shape[0], NUM_VARS, T)
+
+
+def _combo_terms(w_rows: Sequence[Tuple[int, Dict[int, int]]]):
+    """Flatten [(out_idx, {var: coeff})] into device term arrays."""
+    Wv, vi, oi = [], [], []
+    for out_idx, lc in w_rows:
+        for v, coeff in sorted(lc.items()):
+            if coeff % P == 0:
+                continue
+            Wv.append(coeff % P)
+            vi.append(v)
+            oi.append(out_idx)
+    Wvals = ops.pack_ints(Wv) if Wv else ops.pack_ints([0])
+    return (jnp.moveaxis(Wvals, -1, 0),                 # (n_terms, L)
+            jnp.asarray(vi or [0], dtype=jnp.int32),
+            jnp.asarray(oi or [0], dtype=jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("n_out", "fp"))
+def _combo_kernel(cols, Wvals, v_idx, out_idx, n_out, fp=FR):
+    """out[:, o, :] = sum_{t: out_idx[t]=o} Wvals[t] * cols[:, v_idx[t], :]
+
+    One lax.scan over terms; Montgomery products accumulate as raw uint32
+    limb sums (<= 38 terms per output << the 2^18 lazy budget), then one
+    wide reduction."""
+    L_, _, T = cols.shape
+    acc0 = jnp.zeros((n_out, L_, T), dtype=jnp.uint32)
+
+    def body(acc, t):
+        w, vi, oi = t
+        col = jax.lax.dynamic_index_in_dim(cols, vi, axis=1, keepdims=False)
+        prod = ops.mont_mul(w[:, None], col, fp)        # (L, T)
+        cur = jax.lax.dynamic_index_in_dim(acc, oi, axis=0, keepdims=False)
+        return jax.lax.dynamic_update_index_in_dim(
+            acc, cur + prod, oi, axis=0), None
+
+    acc, _ = jax.lax.scan(body, acc0, (Wvals, v_idx, out_idx))
+    return ops.reduce_lazy_cols(jnp.moveaxis(acc, 0, 1), fp)   # (L, n_out, T)
+
+
+def _group_w_rows(y_basis: Sequence[int]):
+    """For Lagrange weights [l_i(y)] over the 11-slot window, build the
+    per-(group, matrix) combined LCs  W[g][m] : var -> sum_i l_i * coeff."""
+    rows = C.all_rows()
+    W: List[List[Dict[int, int]]] = [[{}, {}, {}] for _ in range(NUM_GROUPS)]
+    for k, (a, b, c) in enumerate(rows):
+        g, slot = divmod(k, UNISKIP_DOMAIN)
+        w = y_basis[slot]
+        for m, lc in ((0, a), (1, b), (2, c)):
+            d = W[g][m]
+            for v, coeff in lc:
+                d[v] = (d.get(v, 0) + w * coeff) % P
+    return W
+
+
+# ---------------------------------------------------------------------------
+# uni-skip first round (prover)
+# ---------------------------------------------------------------------------
+
+def prove_uniskip(inputs: R1CSCycleInputs, tau: Sequence[int], transcript):
+    """Compute + absorb the uni-skip first-round polynomial; returns
+    (cols_dev, s1_coeffs, r0, claim1, l_scale).
+
+    tau = [tau_high, tau_g, *tau_cyc]  (1 + 1 + log_T challenges)."""
+    tau_high, tau_g, tau_cyc = tau[0], tau[1], list(tau[2:])
+    cols_dev = pack_input_columns(inputs)
+    E_cyc = eq.evals(tau_cyc)                            # (L, T)
+
+    base = lag.symmetric_domain(UNISKIP_DOMAIN)
+    targets = lag.uniskip_targets(UNISKIP_DOMAIN, UNISKIP_DEGREE)
+    ext_tab = lag.extension_table(base, targets)         # [z][slot]
+
+    # one flat term list over out = (z, g) for each matrix
+    w_rows = {0: [], 1: [], 2: []}
+    for zi in range(UNISKIP_DEGREE):
+        Wz = _group_w_rows(ext_tab[zi])
+        for g in range(NUM_GROUPS):
+            for m in range(3):
+                w_rows[m].append((zi * NUM_GROUPS + g, Wz[g][m]))
+    n_out = UNISKIP_DEGREE * NUM_GROUPS
+    AZ = _combo_kernel(cols_dev, *_combo_terms(w_rows[0]), n_out)
+    BZ = _combo_kernel(cols_dev, *_combo_terms(w_rows[1]), n_out)
+    CZ = _combo_kernel(cols_dev, *_combo_terms(w_rows[2]), n_out)
+    inner = ops.sub(ops.mont_mul(AZ, BZ), CZ)            # (L, n_out, T)
+    sums = ops.dot(inner, E_cyc[:, None, :])             # (L, n_out, 1)
+    zg = ops.unpack_ints(sums.reshape(sums.shape[0], n_out))
+
+    eq_g = [(1 - tau_g) % P, tau_g % P]
+    t1_ext = [(eq_g[0] * zg[zi * NUM_GROUPS] +
+               eq_g[1] * zg[zi * NUM_GROUPS + 1]) % P
+              for zi in range(UNISKIP_DEGREE)]
+
+    # t1 through 11 base zeros + 10 extended values; s1 = L(tau_high,.)*t1
+    xs = [z % P for z in base + targets]
+    ys = [0] * UNISKIP_DOMAIN + t1_ext
+    t1_coeffs = lag.interpolate_coeffs(xs, ys)
+    s1_coeffs = lag.poly_mul(
+        lag.lagrange_kernel_coeffs(tau_high, UNISKIP_DOMAIN), t1_coeffs)
+    assert len(s1_coeffs) == UNISKIP_NUM_COEFFS
+
+    transcript.append_scalars(b"uniskip_poly", s1_coeffs)
+    r0 = transcript.challenge_scalar_optimized()
+    claim1 = lag.eval_poly(s1_coeffs, r0)
+    l_scale = lag.eval_poly(
+        lag.lagrange_kernel_coeffs(tau_high, UNISKIP_DOMAIN), r0)
+    return cols_dev, s1_coeffs, r0, claim1, l_scale
+
+
+def verify_uniskip(coeffs: Sequence[int], transcript):
+    """Verifier half of the skip round: degree bound, base-window sum = 0
+    (`UniSkipFirstRoundProof::verify`), challenge + next claim."""
+    from ..sumcheck.engine import SumcheckError
+    if not 0 < len(coeffs) <= UNISKIP_NUM_COEFFS:
+        raise SumcheckError(
+            f"uniskip poly has {len(coeffs)} coeffs (max {UNISKIP_NUM_COEFFS})")
+    transcript.append_scalars(b"uniskip_poly", coeffs)
+    r0 = transcript.challenge_scalar_optimized()
+    if lag.domain_sum(coeffs, UNISKIP_DOMAIN) != 0:
+        raise SumcheckError("uniskip base-window sum is nonzero")
+    return r0, lag.eval_poly(coeffs, r0)
+
+
+# ---------------------------------------------------------------------------
+# remaining sumcheck: 1 group round + log T cycle rounds over 2T arrays
+# ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=('fp',))
 def _outer_message_kernel(E, AZ, BZ, CZ, fp=FR):
@@ -55,32 +222,41 @@ def _bind4(E, AZ, BZ, CZ, r, fp=FR):
             dense.bind_high(BZ, r, fp), dense.bind_high(CZ, r, fp))
 
 
-def materialize_az_bz_cz(inputs: R1CSCycleInputs):
-    """Host-int materialization of the three (32*T)-long MLEs, index =
-    k*T + j (constraint-major => constraint bits are the index MSBs).
+class SpartanOuterProver(scan.ScanFusedInstance):
+    """The post-skip sumcheck: index = g*T + j (group bit is the MSB,
+    bound first, HighToLow).  E carries eq(tau_g,g)*eq(tau_cyc,j) scaled
+    by L(tau_high, r0), so the input claim is exactly s1(r0)."""
 
-    TODO(perf): move to device (linear combos of the 38 var MLEs).
-    """
-    Az, Bz, Cz = C.eval_az_bz_cz_int(inputs)
-    T = inputs.T
-    zeros = [0] * T
-    rows_a, rows_b, rows_c = [], [], []
-    for k in range(C.PADDED_CONSTRAINTS):
-        rows_a += Az[k] if k < C.NUM_CONSTRAINTS else zeros
-        rows_b += Bz[k] if k < C.NUM_CONSTRAINTS else zeros
-        rows_c += Cz[k] if k < C.NUM_CONSTRAINTS else zeros
-    return (ops.pack_ints(rows_a), ops.pack_ints(rows_b), ops.pack_ints(rows_c))
-
-
-class SpartanOuterProver(ScanFusedInstance):
-    def __init__(self, inputs: R1CSCycleInputs, tau: Sequence[int]):
+    def __init__(self, inputs: R1CSCycleInputs, tau: Sequence[int],
+                 r0: int, claim: int, l_scale: int,
+                 cols_dev: Optional[jnp.ndarray] = None):
         self.inputs = inputs
         T = inputs.T
         self.log_T = T.bit_length() - 1
-        self._num_rounds = C.LOG_PADDED_CONSTRAINTS + self.log_T
+        self._num_rounds = 1 + self.log_T
         assert len(tau) == self._num_rounds
-        self.AZ, self.BZ, self.CZ = materialize_az_bz_cz(inputs)
-        self.E = eq.evals(list(tau))
+        tau_g, tau_cyc = tau[0], list(tau[1:])
+        self.cols_dev = (cols_dev if cols_dev is not None
+                         else pack_input_columns(inputs))
+        self._claim = claim % P
+
+        # Az/Bz/Cz bound to Y=r0: (L, 2, T) -> (L, 2T)
+        y_basis = lag.lagrange_basis_at(
+            lag.symmetric_domain(UNISKIP_DOMAIN), r0)
+        Wr = _group_w_rows(y_basis)
+        mats = []
+        for m in range(3):
+            rows = [(g, Wr[g][m]) for g in range(NUM_GROUPS)]
+            out = _combo_kernel(self.cols_dev, *_combo_terms(rows),
+                                NUM_GROUPS)
+            mats.append(out.reshape(out.shape[0], NUM_GROUPS * T))
+        self.AZ, self.BZ, self.CZ = mats
+
+        E_cyc = eq.evals(tau_cyc)
+        e0 = ops.mont_mul(E_cyc, ops.pack_ints(
+            [(1 - tau_g) % P * l_scale % P]))
+        e1 = ops.mont_mul(E_cyc, ops.pack_ints([tau_g * l_scale % P]))
+        self.E = jnp.concatenate([e0, e1], axis=-1)
         self.final_az = self.final_bz = self.final_cz = None
         self.input_openings: Optional[List[int]] = None
 
@@ -89,7 +265,7 @@ class SpartanOuterProver(ScanFusedInstance):
         return self._num_rounds
 
     def input_claim(self, accumulator: OpeningAccumulator) -> int:
-        return 0
+        return self._claim
 
     def message_evals_dev(self, round: int):
         return _outer_message_kernel(self.E, self.AZ, self.BZ, self.CZ), None
@@ -155,12 +331,13 @@ class SpartanOuterProver(ScanFusedInstance):
                        r_slice: Sequence[int]) -> None:
         """Evaluate all 38 R1CS input MLEs at r_cycle and cache the claims
         (these feed later stages / the PCS opening)."""
-        r_cycle = list(r_slice[C.LOG_PADDED_CONSTRAINTS:])
+        r_cycle = list(r_slice[1:])
         Ecyc = eq.evals(r_cycle)
+        sums = ops.dot(self.cols_dev, Ecyc[:, None, :])   # (L, 38, 1)
+        vals = ops.unpack_ints(sums.reshape(sums.shape[0], NUM_VARS))
         openings = []
         for v in range(NUM_VARS):
-            col = ops.pack_ints([x % P for x in self.inputs.col(v)])
-            val = ops.unpack_ints(ops.dot(Ecyc, col))[0]
+            val = vals[v]
             openings.append(val)
             accumulator.insert(("r1cs_input", VAR_NAMES[v]), r_cycle, val)
         self.input_openings = openings
@@ -170,13 +347,16 @@ class SpartanOuterProver(ScanFusedInstance):
 
 
 class SpartanOuterVerifier(SumcheckInstance):
-    """Verifier half: recomputes Az/Bz/Cz(r) from the 38 input openings."""
+    """Verifier half: recomputes Az/Bz/Cz(r0, r_g, r_cycle) from the 38
+    input openings via chi_k = l_{slot_k}(r0) * eq(r_g, g_k)."""
 
-    def __init__(self, num_rounds: int, tau: Sequence[int],
-                 input_openings: Sequence[int]):
+    def __init__(self, num_rounds: int, tau: Sequence[int], r0: int,
+                 input_openings: Sequence[int], claim: int):
         self._num_rounds = num_rounds
-        self.tau = list(tau)
+        self.tau = list(tau)           # [tau_high, tau_g, *tau_cyc]
+        self.r0 = r0 % P
         self.z = list(input_openings)
+        self._claim = claim % P
         assert len(self.z) == NUM_VARS
 
     @property
@@ -184,7 +364,7 @@ class SpartanOuterVerifier(SumcheckInstance):
         return self._num_rounds
 
     def input_claim(self, accumulator: OpeningAccumulator) -> int:
-        return 0
+        return self._claim
 
     def compute_message(self, round, prev):  # pragma: no cover
         raise NotImplementedError("verifier instance")
@@ -195,24 +375,22 @@ class SpartanOuterVerifier(SumcheckInstance):
     def expected_output_claim(self, accumulator: OpeningAccumulator,
                               r: Sequence[int]) -> int:
         r = list(r)
-        r_con = r[:C.LOG_PADDED_CONSTRAINTS]
-        # chi_k(r_con) for k in [32]: small host loop
-        chi = [1] * C.PADDED_CONSTRAINTS
-        for bit_idx, rb in enumerate(r_con):
-            for k in range(C.PADDED_CONSTRAINTS):
-                bit = (k >> (C.LOG_PADDED_CONSTRAINTS - 1 - bit_idx)) & 1
-                chi[k] = chi[k] * (rb if bit else (1 - rb)) % P
+        r_g = r[0]
+        y_basis = lag.lagrange_basis_at(
+            lag.symmetric_domain(UNISKIP_DOMAIN), self.r0)
         rows = C.all_rows()
         az = bz = cz = 0
         for k, (a, b, c) in enumerate(rows):
-            az = (az + chi[k] * self._eval_lc(a)) % P
-            bz = (bz + chi[k] * self._eval_lc(b)) % P
-            cz = (cz + chi[k] * self._eval_lc(c)) % P
-        # Note: z[0] (the const column) opens to eq-sum = 1 only over the
-        # cycle axis; its MLE at r_cycle is exactly 1, and the prover's
-        # opening must match -- checked by the caller against proof data.
-        eq_tau_r = eq.eq_int(self.tau, r)
-        return eq_tau_r * ((az * bz - cz) % P) % P
+            g, slot = divmod(k, UNISKIP_DOMAIN)
+            chi = y_basis[slot] * (r_g if g else (1 - r_g)) % P
+            az = (az + chi * self._eval_lc(a)) % P
+            bz = (bz + chi * self._eval_lc(b)) % P
+            cz = (cz + chi * self._eval_lc(c)) % P
+        # eq over (tau_g, tau_cyc) vs r, times the Lagrange kernel factor
+        l_scale = lag.eval_poly(
+            lag.lagrange_kernel_coeffs(self.tau[0], UNISKIP_DOMAIN), self.r0)
+        eq_tau_r = eq.eq_int(self.tau[1:], r)
+        return l_scale * eq_tau_r % P * ((az * bz - cz) % P) % P
 
     def _eval_lc(self, lc) -> int:
         return sum(coeff * self.z[v] for v, coeff in lc) % P

@@ -40,7 +40,8 @@ from ..relations.ram_sparse import (SparseBytecodeReadRafVerifier,
                                     SparseRegistersRafVerifier,
                                     SparseRegistersReadWriteCheckingVerifier,
                                     SparseRegistersValEvaluationVerifier)
-from ..relations.spartan_outer import SpartanOuterVerifier
+from ..relations.spartan_outer import (SpartanOuterVerifier,
+                                       num_stage1_rounds, verify_uniskip)
 from ..sumcheck.engine import BatchedSumcheck, OpeningAccumulator, SumcheckError
 from ..tracer.trace import Trace
 from ..transcript import Blake2bTranscript
@@ -116,23 +117,29 @@ def verify(proof: JoltProof, io: PublicIO, setup=None) -> bool:
     log_T = io.padded_length.bit_length() - 1
     accumulator = OpeningAccumulator()
 
-    # ---- Stage 1: Spartan outer ----------------------------------------
-    num_rounds = C.LOG_PADDED_CONSTRAINTS + log_T
-    tau = transcript.challenge_vector(num_rounds)
+    # ---- Stage 1: Spartan outer (uni-skip + remaining sumcheck) ---------
+    num_rounds = num_stage1_rounds(log_T)
+    tau = transcript.challenge_vector(1 + num_rounds)
 
     if len(proof.r1cs_input_openings) != NUM_VARS:
         raise VerificationError("wrong number of R1CS input openings")
     if proof.r1cs_input_openings[0] != 1:
         raise VerificationError("const-column opening must be 1")
 
-    inst1 = SpartanOuterVerifier(num_rounds, tau, proof.r1cs_input_openings)
+    try:
+        r0_skip, claim1 = verify_uniskip(proof.stage1_uniskip, transcript)
+    except SumcheckError as e:
+        raise VerificationError(f"stage1 uniskip: {e}") from e
+
+    inst1 = SpartanOuterVerifier(num_rounds, tau, r0_skip,
+                                 proof.r1cs_input_openings, claim1)
     try:
         r1 = BatchedSumcheck.verify(proof.stage1_polys, [inst1], accumulator,
                                     transcript)
     except SumcheckError as e:
         raise VerificationError(f"stage1: {e}") from e
 
-    r_cycle = r1[C.LOG_PADDED_CONSTRAINTS:]
+    r_cycle = r1[1:]
     for v in range(NUM_VARS):
         accumulator.insert(("r1cs_input", VAR_NAMES[v]), r_cycle,
                            proof.r1cs_input_openings[v])

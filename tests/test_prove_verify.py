@@ -48,6 +48,28 @@ def test_prove_verify_roundtrip(fib_proof):
     assert verify(proof, PublicIO.from_trace(tr))
 
 
+def test_reject_tampered_uniskip_poly(fib_proof):
+    """Tampering any uni-skip first-round coefficient must trip either the
+    base-window-sum check or the remaining sumcheck's claim chain."""
+    tr, proof = fib_proof
+    import copy
+    for idx in (0, 7, 30):
+        bad = copy.deepcopy(proof)
+        bad.stage1_uniskip[idx] = (bad.stage1_uniskip[idx] + 1) % P
+        with pytest.raises(VerificationError):
+            verify(bad, PublicIO.from_trace(tr))
+
+
+def test_reject_overlong_uniskip_poly(fib_proof):
+    """Degree bound: more than 31 coefficients is rejected outright."""
+    tr, proof = fib_proof
+    import copy
+    bad = copy.deepcopy(proof)
+    bad.stage1_uniskip = bad.stage1_uniskip + [1]
+    with pytest.raises(VerificationError):
+        verify(bad, PublicIO.from_trace(tr))
+
+
 def test_reject_tampered_round_poly(fib_proof):
     tr, proof = fib_proof
     import copy

@@ -53,9 +53,12 @@ def _spartan_instance():
     tr = trace_program(guest, layout=L, min_padded=16)
     inputs = extract_r1cs_inputs(tr)
     rng = random.Random(3)
-    num_rounds = C.LOG_PADDED_CONSTRAINTS + (inputs.T.bit_length() - 1)
-    tau = [rng.randrange(P) for _ in range(num_rounds)]
-    return SpartanOuterProver(inputs, tau)
+    log_T = inputs.T.bit_length() - 1
+    tau = [rng.randrange(P) for _ in range(2 + log_T)]
+    from jolt_tpu.relations.spartan_outer import prove_uniskip
+    t = Blake2bTranscript(b"uniskip-fixture")
+    cols, _coeffs, r0, claim1, l_scale = prove_uniskip(inputs, tau, t)
+    return SpartanOuterProver(inputs, tau[1:], r0, claim1, l_scale, cols)
 
 
 def _run_both(make):
