@@ -2,13 +2,15 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Headline metric: e2e proving throughput in RISC-V cycles/second on a real
-guest (ALU + memory + mul/div mix exercising the full expanded RV64IM
-surface), measured on the SECOND prove in-process -- the first warms the
-jit caches, mirroring the reference's steady-state "Proved in Xs (Y kHz)"
-log metric (`zkvm/prover.rs:588-592`).  All eight sumcheck stages run
-(Spartan, registers/RAM Twist, instruction + bytecode Shout, booleanity,
-joint opening reduction); the PCS commit/open phase is excluded until the
+Headline metric: e2e proving throughput in RISC-V cycles/second on the
+reference's own bench workload class -- sha2-chain (chained SHA-256
+compressions, `benches/e2e_profiling.rs:78-85`), here the generated RV64IM
+guest examples/gen_sha256.py at chain=4 (~51k cycles, padded 2^16).
+Measured on the SECOND prove in-process -- the first warms the jit caches,
+mirroring the reference's steady-state "Proved in Xs (Y kHz)" log metric
+(`zkvm/prover.rs:588-592`).  All sumcheck stages run (Spartan uni-skip,
+registers/RAM Twist, instruction + bytecode Shout, booleanity, joint
+opening reduction); the PCS commit/open phase is excluded until the
 streaming one-hot commitment lands (building dense K*T commitment vectors
 host-side does not scale past toy traces -- tracked gap).
 
@@ -21,7 +23,9 @@ force execution; prove() is self-forcing (every sumcheck round fetches the
 message evaluations to the host transcript).
 """
 
+import importlib.util
 import json
+import pathlib
 import time
 
 import jax
@@ -31,40 +35,36 @@ import jax
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+CHAIN = 4  # sha2-chain links: ~51k cycles -> padded 2^16
 
-def _guest(layout, iters: int) -> str:
-    """ALU/memory/shift/mul mix, ~11 cycles/iteration (expanded)."""
-    return f"""
-    li   s0, 0x80004000
-    li   t0, 0x9e3779b97f4a7c15
-    li   t1, {iters}
-loop:
-    sd   t0, 0(s0)
-    mul  t0, t0, t1
-    srl  t2, t0, t1
-    xor  t0, t0, t2
-    addi s0, s0, 8
-    andi s0, s0, -8
-    addi t1, t1, -1
-    bne  t1, zero, loop
-    li   t3, {layout.output_start}
-    sd   t0, 0(t3)
-    li   t4, {layout.termination}
-    li   t5, 1
-    sd   t5, 0(t4)
-"""
+
+def _guest(layout, chain: int = CHAIN) -> str:
+    spec = importlib.util.spec_from_file_location(
+        "gen_sha256", pathlib.Path(__file__).parent / "examples"
+        / "gen_sha256.py")
+    gen = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gen)
+    return gen.emit(input_start=layout.input_start,
+                    output_start=layout.output_start,
+                    termination=layout.termination, chain=chain)
 
 
 def main():
+    import hashlib
+
     from jolt_tpu.prover.prover import prove
     from jolt_tpu.riscv.emulator import MemoryLayout
     from jolt_tpu.tracer.trace import trace_program
     from jolt_tpu.utils.env import ensure_map_count
 
     ensure_map_count()
-    layout = MemoryLayout()
-    iters = 1100  # ~2^14 padded cycles
-    tr = trace_program(_guest(layout, iters), layout=layout)
+    layout = MemoryLayout(max_input_size=64, max_output_size=64)
+    msg = bytes(range(32))
+    tr = trace_program(_guest(layout), layout=layout, inputs=msg)
+    want = msg
+    for _ in range(CHAIN):
+        want = hashlib.sha256(want).digest()
+    assert bytes(tr.device.outputs[:32]) == want, "sha2-chain output wrong"
 
     prove(tr)  # warm the jit/compile caches (steady-state measurement)
 

@@ -42,21 +42,20 @@ def rotr(out, dst, src, n, t1="t4", t2="t5"):
 
 
 def emit(input_start=0x7fffff00, output_start=0x7fffff40,
-         termination=0x7fffff88):
+         termination=0x7fffff88, chain=1):
+    """chain=N: sha2-chain -- digest(i) is the 32-byte message of block
+    i+1 (the reference's main bench workload, e2e_profiling.rs)."""
     out = []
     E = out.append
-    E("# SHA-256 of the 32-byte input region -> 32-byte digest (generated;")
+    E(f"# SHA-256 chain (x{chain}) of the 32-byte input region (generated;")
     E("# python examples/gen_sha256.py > examples/sha256.s).")
-    E("# One padded FIPS 180-4 block; K/W/H tables in guest heap.")
+    E("# One padded FIPS 180-4 block per link; K/W/H tables in guest heap.")
     E(f"    li   s10, 0x{KT:x}          # K table")
     for i, k in enumerate(K):
         E(f"    li   t0, 0x{k:x}")
         E(f"    sw   t0, {4 * i}(s10)")
-    E(f"    li   s9, 0x{HS:x}           # H state")
-    for i, h in enumerate(H0):
-        E(f"    li   t0, 0x{h:x}")
-        E(f"    sw   t0, {4 * i}(s9)")
-    # padded block: 32 input bytes || 0x80 || zeros || bitlen(=256) BE
+    # padded block: 32 message bytes || 0x80 || zeros || bitlen(=256) BE;
+    # bytes 32..63 are loop-invariant
     E(f"    li   s11, 0x{BLK:x}         # block buffer")
     E(f"    li   t1, 0x{input_start:x}          # input region")
     for i in range(4):
@@ -68,6 +67,12 @@ def emit(input_start=0x7fffff00, output_start=0x7fffff40,
     E("    sd   zero, 48(s11)")
     E("    li   t0, 0x0001000000000000      # 256-bit length, big-endian")
     E("    sd   t0, 56(s11)")
+    E(f"    li   a6, {chain}                 # chain counter")
+    E("chain_head:")
+    E(f"    li   s9, 0x{HS:x}           # H state = H0")
+    for i, h in enumerate(H0):
+        E(f"    li   t0, 0x{h:x}")
+        E(f"    sw   t0, {4 * i}(s9)")
     # ---- W[0..15]: big-endian word loads ----
     E(f"    li   s0, 0x{WS:x}           # W")
     E("    li   a4, 0")
@@ -158,8 +163,9 @@ def emit(input_start=0x7fffff00, output_start=0x7fffff40,
     E("    addi a4, a4, 4")
     E("    li   t0, 256")
     E("    bne  a4, t0, round")
-    # ---- digest = H + working vars, stored big-endian ----
-    E(f"    li   t3, 0x{output_start:x}          # output region")
+    # ---- digest = H + working vars, stored big-endian into the block
+    # buffer (the next link's message; bytes 32..63 stay padded) ----
+    E("    addi t3, s11, 0                  # digest -> block buffer")
     for i, r in enumerate(A2H):
         E(f"    lw   t0, {4 * i}(s9)")
         E(f"    addw t0, t0, {r}")
@@ -170,6 +176,13 @@ def emit(input_start=0x7fffff00, output_start=0x7fffff40,
         E("    srliw t1, t0, 8")
         E(f"    sb   t1, {4 * i + 2}(t3)")
         E(f"    sb   t0, {4 * i + 3}(t3)")
+    E("    addi a6, a6, -1")
+    E("    bne  a6, zero, chain_head")
+    # ---- final digest: copy block[0..32] to the output region ----
+    E(f"    li   t3, 0x{output_start:x}          # output region")
+    for i in range(4):
+        E(f"    ld   t0, {8 * i}(s11)")
+        E(f"    sd   t0, {8 * i}(t3)")
     E(f"    li   t0, 0x{termination:x}          # termination bit")
     E("    li   t1, 1")
     E("    sd   t1, 0(t0)")

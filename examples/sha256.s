@@ -1,6 +1,6 @@
-# SHA-256 of the 32-byte input region -> 32-byte digest (generated;
+# SHA-256 chain (x1) of the 32-byte input region (generated;
 # python examples/gen_sha256.py > examples/sha256.s).
-# One padded FIPS 180-4 block; K/W/H tables in guest heap.
+# One padded FIPS 180-4 block per link; K/W/H tables in guest heap.
     li   s10, 0x80008400          # K table
     li   t0, 0x428a2f98
     sw   t0, 0(s10)
@@ -130,23 +130,6 @@
     sw   t0, 248(s10)
     li   t0, 0xc67178f2
     sw   t0, 252(s10)
-    li   s9, 0x80008300           # H state
-    li   t0, 0x6a09e667
-    sw   t0, 0(s9)
-    li   t0, 0xbb67ae85
-    sw   t0, 4(s9)
-    li   t0, 0x3c6ef372
-    sw   t0, 8(s9)
-    li   t0, 0xa54ff53a
-    sw   t0, 12(s9)
-    li   t0, 0x510e527f
-    sw   t0, 16(s9)
-    li   t0, 0x9b05688c
-    sw   t0, 20(s9)
-    li   t0, 0x1f83d9ab
-    sw   t0, 24(s9)
-    li   t0, 0x5be0cd19
-    sw   t0, 28(s9)
     li   s11, 0x80008000         # block buffer
     li   t1, 0x7fffff00          # input region
     ld   t0, 0(t1)
@@ -163,6 +146,25 @@
     sd   zero, 48(s11)
     li   t0, 0x0001000000000000      # 256-bit length, big-endian
     sd   t0, 56(s11)
+    li   a6, 1                 # chain counter
+chain_head:
+    li   s9, 0x80008300           # H state = H0
+    li   t0, 0x6a09e667
+    sw   t0, 0(s9)
+    li   t0, 0xbb67ae85
+    sw   t0, 4(s9)
+    li   t0, 0x3c6ef372
+    sw   t0, 8(s9)
+    li   t0, 0xa54ff53a
+    sw   t0, 12(s9)
+    li   t0, 0x510e527f
+    sw   t0, 16(s9)
+    li   t0, 0x9b05688c
+    sw   t0, 20(s9)
+    li   t0, 0x1f83d9ab
+    sw   t0, 24(s9)
+    li   t0, 0x5be0cd19
+    sw   t0, 28(s9)
     li   s0, 0x80008100           # W
     li   a4, 0
 ws_head:
@@ -275,7 +277,7 @@ round:
     addi a4, a4, 4
     li   t0, 256
     bne  a4, t0, round
-    li   t3, 0x7fffff40          # output region
+    addi t3, s11, 0                  # digest -> block buffer
     lw   t0, 0(s9)
     addw t0, t0, s1
     srliw t1, t0, 24
@@ -348,6 +350,17 @@ round:
     srliw t1, t0, 8
     sb   t1, 30(t3)
     sb   t0, 31(t3)
+    addi a6, a6, -1
+    bne  a6, zero, chain_head
+    li   t3, 0x7fffff40          # output region
+    ld   t0, 0(s11)
+    sd   t0, 0(t3)
+    ld   t0, 8(s11)
+    sd   t0, 8(t3)
+    ld   t0, 16(s11)
+    sd   t0, 16(t3)
+    ld   t0, 24(s11)
+    sd   t0, 24(t3)
     li   t0, 0x7fffff88          # termination bit
     li   t1, 1
     sd   t1, 0(t0)

@@ -11,6 +11,12 @@ constrains (`witness/r1cs_inputs.py` left/right lookup operand columns), so
 the read-raf sumcheck closes the loop: R1CS shapes operands ->  raf ties the
 one-hot index to the operands -> read ties LookupOutput to the table MLE at
 the index -> R1CS routes LookupOutput into rd/branch/jump semantics.
+
+Extraction is fully vectorized (numpy): the 128-bit interleave runs through
+a 16-bit Morton spread table, chunks come from u64 shifts, and the prover
+self-check (LookupOutput column == table entry -- the reference's
+debug-assert at witness generation) evaluates each table's closed form on
+whole operand arrays.
 """
 
 from __future__ import annotations
@@ -29,6 +35,8 @@ from .r1cs_inputs import (R1CSCycleInputs, V_LEFT_LOOKUP_OPERAND,
                           V_LOOKUP_OUTPUT, V_RIGHT_LOOKUP_OPERAND)
 
 P = FR.modulus
+M64 = (1 << 64) - 1
+_U64 = np.uint64
 
 # OneHotParams: log_k_chunk = 8, d = LOG_K / log_k_chunk = 16
 LOG_M = 8
@@ -54,42 +62,198 @@ class InstructionLookupWitness:
         return out
 
 
+# ---------------------------------------------------------------------------
+# vectorized interleave (Morton): 16-bit spread table
+# ---------------------------------------------------------------------------
+
+_SPREAD16 = None
+
+
+def _spread16() -> np.ndarray:
+    global _SPREAD16
+    if _SPREAD16 is None:
+        x = np.arange(65536, dtype=_U64)
+        x = (x | (x << _U64(8))) & _U64(0x00FF00FF)
+        x = (x | (x << _U64(4))) & _U64(0x0F0F0F0F)
+        x = (x | (x << _U64(2))) & _U64(0x33333333)
+        x = (x | (x << _U64(1))) & _U64(0x55555555)
+        _SPREAD16 = x
+    return _SPREAD16
+
+
+def _morton(x: np.ndarray, y: np.ndarray):
+    """(lo64, hi64) of interleave_bits(x, y): y at even, x at odd bits."""
+    S = _spread16()
+    m16 = _U64(0xFFFF)
+
+    def parts(v):
+        return [S[((v >> _U64(16 * i)) & m16).astype(np.int64)]
+                for i in range(4)]
+
+    xp, yp = parts(x), parts(y)
+    lo = yp[0] | (yp[1] << _U64(32)) | ((xp[0] | (xp[1] << _U64(32))) << _U64(1))
+    hi = yp[2] | (yp[3] << _U64(32)) | ((xp[2] | (xp[3] << _U64(32))) << _U64(1))
+    return lo, hi
+
+
+# ---------------------------------------------------------------------------
+# vectorized table entries (the prover self-check closed forms)
+#
+# `split` tables consume the de-interleaved operands (x, y); `raw` tables
+# consume the index halves (lo, hi).  Semantics mirror TABLES[...]["entry"]
+# exactly on honest witnesses (equivalence-tested in tests/test_lookup_tables).
+# ---------------------------------------------------------------------------
+
+def _i64(v):
+    return v.astype(np.uint64).view(np.int64)
+
+
+def _rsh_fold_vec(x, y):
+    """MSB-first fold of virtual_srl.rs, vectorized over cycles."""
+    e = np.zeros_like(x)
+    one = _U64(1)
+    for p in range(63, -1, -1):
+        yp = (y >> _U64(p)) & one
+        xp = (x >> _U64(p)) & one
+        e = e * (one + yp) + xp * yp
+    return e
+
+
+def _sra_mass(x, y):
+    """Sign-extension mass: x_63 * sum_{p<63, y_p=0} 2^(63-p)."""
+    m = np.zeros_like(x)
+    one = _U64(1)
+    for p in range(63):
+        clear = one - ((y >> _U64(p)) & one)
+        m = m + clear * (one << _U64(63 - p))
+    return ((x >> _U64(63)) & one) * m
+
+
+def _b(v):
+    return v.astype(_U64)
+
+
+_VEC_ENTRIES = {
+    # raw: f(lo, hi)
+    "RangeCheck": ("raw", lambda lo, hi: lo),
+    "RangeCheckAligned": ("raw", lambda lo, hi: lo & _U64(M64 - 1)),
+    "UpperWord": ("raw", lambda lo, hi: hi),
+    "Pow2": ("raw", lambda lo, hi: _U64(1) << (lo & _U64(63))),
+    "Pow2W": ("raw", lambda lo, hi: _U64(1) << (lo & _U64(31))),
+    "ShiftRightBitmask": ("raw",
+                          lambda lo, hi: _U64(0) - (_U64(1) << (lo & _U64(63)))),
+    "SignExtendHalfWord": ("raw", lambda lo, hi: (lo & _U64(0xFFFFFFFF)) | (
+        ((lo >> _U64(31)) & _U64(1)) * _U64(0xFFFFFFFF00000000))),
+    "LowerHalfWord": ("raw", lambda lo, hi: lo & _U64(0xFFFFFFFF)),
+    "HalfwordAlignment": ("raw", lambda lo, hi: _b((lo & _U64(1)) == 0)),
+    "WordAlignment": ("raw", lambda lo, hi: _b((lo & _U64(3)) == 0)),
+    "MulUNoOverflow": ("raw", lambda lo, hi: _b(hi == 0)),
+    # split: f(x, y) on de-interleaved operands
+    "And": ("split", lambda x, y: x & y),
+    "Or": ("split", lambda x, y: x | y),
+    "Xor": ("split", lambda x, y: x ^ y),
+    "Equal": ("split", lambda x, y: _b(x == y)),
+    "NotEqual": ("split", lambda x, y: _b(x != y)),
+    "UnsignedLessThan": ("split", lambda x, y: _b(x < y)),
+    "SignedLessThan": ("split", lambda x, y: _b(_i64(x) < _i64(y))),
+    "UnsignedGreaterThanEqual": ("split", lambda x, y: _b(x >= y)),
+    "SignedGreaterThanEqual": ("split", lambda x, y: _b(_i64(x) >= _i64(y))),
+    "UnsignedLessThanEqual": ("split", lambda x, y: _b(x <= y)),
+    "SignMask": ("split",
+                 lambda x, y: ((x >> _U64(63)) & _U64(1)) * _U64(M64)),
+    "ValidDiv0": ("split",
+                  lambda x, y: np.where(x != 0, _U64(1), _b(y == _U64(M64)))),
+    "ValidUnsignedRemainder": ("split",
+                               lambda x, y: _b((y == 0) | (x < y))),
+    "VirtualChangeDivisor": ("split", lambda x, y: np.where(
+        (x == _U64(1 << 63)) & (y == _U64(M64)), _U64(1), y)),
+    "VirtualChangeDivisorW": ("split", lambda x, y: np.where(
+        (x == _U64(0xFFFFFFFF80000000)) & (y == _U64(M64)), _U64(1), y)),
+    "VirtualSRL": ("split", _rsh_fold_vec),
+    "VirtualSRA": ("split", lambda x, y: _rsh_fold_vec(x, y) + _sra_mass(x, y)),
+}
+assert set(_VEC_ENTRIES) == set(LT.TABLE_NAMES)
+
+# per-kind static metadata indexed by numeric kind id
+_KIND_META = None
+
+
+def _kind_meta():
+    global _KIND_META
+    if _KIND_META is None:
+        n = len(isa.KINDS)
+        inter = np.zeros(n, dtype=bool)
+        tid = np.full(n, -1, dtype=np.int32)
+        no_inter = {"AddOperands", "SubtractOperands", "MultiplyOperands",
+                    "Advice"}
+        for kid in range(n):
+            kind = isa.KINDS[kid]
+            cf = F.FLAGS[kind][0]
+            inter[kid] = not (no_inter & set(cf))
+            tname = LT.KIND_TABLE.get(kind)
+            if tname is not None:
+                tid[kid] = LT.TABLE_INDEX[tname]
+        _KIND_META = (inter, tid)
+    return _KIND_META
+
+
 def extract_instruction_lookup_witness(
         trace: Trace, inputs: R1CSCycleInputs) -> InstructionLookupWitness:
     T = inputs.T
-    kinds = [isa.KINDS[k] for k in trace.col("kind").tolist()]
+    kid = np.asarray(trace.col("kind"), dtype=np.int64)[:T]
+    inter_by_kid, tid_by_kid = _kind_meta()
+    inter = inter_by_kid[kid]
+    table_ids_np = tid_by_kid[kid]
+
     left_col = inputs.col(V_LEFT_LOOKUP_OPERAND)
     right_col = inputs.col(V_RIGHT_LOOKUP_OPERAND)
     out_col = inputs.col(V_LOOKUP_OUTPUT)
+    left = np.fromiter((v & M64 for v in left_col), _U64, T)
+    r_lo = np.fromiter((v & M64 for v in right_col), _U64, T)
+    r_hi = np.fromiter(((v >> 64) & M64 for v in right_col), _U64, T)
+    out64 = np.fromiter((v & M64 for v in out_col), _U64, T)
 
-    indices: List[int] = [0] * T
-    table_ids: List[int] = [-1] * T
-    interleaved: List[int] = [0] * T
+    # non-interleaved indices are the raw u128 operand with left == 0
+    # (`instructions/riscv/add.rs:10-17`); a nonzero left there is a
+    # witness-extraction bug, not a provable state
+    if (left[~inter] != 0).any() or (r_hi[inter] != 0).any():
+        raise ValueError("lookup operand shape violates interleave class")
+    m_lo, m_hi = _morton(left, r_lo)
+    idx_lo = np.where(inter, m_lo, r_lo)
+    idx_hi = np.where(inter, m_hi, r_hi)
+
     chunks = np.zeros((D, T), dtype=np.uint32)
+    for i in range(8):
+        chunks[i] = ((idx_hi >> _U64(56 - 8 * i)) & _U64(0xFF)).astype(np.uint32)
+        chunks[8 + i] = ((idx_lo >> _U64(56 - 8 * i)) & _U64(0xFF)).astype(np.uint32)
 
-    for j in range(T):
-        kind = kinds[j]
-        cf = F.FLAGS[kind][0]
-        inter = not ({"AddOperands", "SubtractOperands", "MultiplyOperands",
-                      "Advice"} & set(cf))
-        interleaved[j] = 1 if inter else 0
-        idx = LT.lookup_index(inter, left_col[j], right_col[j])
-        indices[j] = idx
-        tname = LT.KIND_TABLE.get(kind)
-        if tname is not None:
-            table_ids[j] = LT.TABLE_INDEX[tname]
-            # prover self-check: the R1CS LookupOutput column must equal
-            # the table entry at the index (zkvm/prover.rs:539 analog)
-            want = LT.table_entry(tname, idx)
-            if out_col[j] % P != want % P:
-                raise ValueError(
-                    f"lookup output mismatch at cycle {j} ({kind}): "
-                    f"column {out_col[j]} vs table {want}")
-        elif out_col[j] % P != 0:
-            raise ValueError(f"nonzero LookupOutput for no-table {kind}@{j}")
-        for i in range(D):
-            chunks[i, j] = (idx >> (LT.LOG_K - LOG_M * (i + 1))) & (M - 1)
+    # prover self-check: the R1CS LookupOutput column must equal the table
+    # entry at the index (zkvm witness-gen debug assert analog)
+    bad = (table_ids_np < 0) & (out64 != 0)
+    if bad.any():
+        j = int(np.nonzero(bad)[0][0])
+        raise ValueError(
+            f"nonzero LookupOutput for no-table {isa.KINDS[int(kid[j])]}@{j}")
+    for t in np.unique(table_ids_np):
+        if t < 0:
+            continue
+        name = LT.TABLE_NAMES[t]
+        mask = table_ids_np == t
+        basis, fn = _VEC_ENTRIES[name]
+        want = (fn(idx_lo[mask], idx_hi[mask]) if basis == "raw"
+                else fn(left[mask], r_lo[mask]))
+        got = out64[mask]
+        if (got != want).any():
+            rel = int(np.nonzero(got != want)[0][0])
+            j = int(np.nonzero(mask)[0][rel])
+            raise ValueError(
+                f"lookup output mismatch at cycle {j} "
+                f"({isa.KINDS[int(kid[j])]}): column {out_col[j]} vs table "
+                f"{LT.table_entry(name, (int(idx_hi[j]) << 64) | int(idx_lo[j]))}")
 
-    return InstructionLookupWitness(indices=indices, table_ids=table_ids,
-                                    interleaved=interleaved, chunks=chunks,
-                                    T=T)
+    hi_list = idx_hi.tolist()
+    lo_list = idx_lo.tolist()
+    indices = [(h << 64) | l for h, l in zip(hi_list, lo_list)]
+    return InstructionLookupWitness(
+        indices=indices, table_ids=table_ids_np.tolist(),
+        interleaved=inter.astype(np.int64).tolist(), chunks=chunks, T=T)
