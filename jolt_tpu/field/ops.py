@@ -419,6 +419,35 @@ def dot(a: jnp.ndarray, b: jnp.ndarray, fp: FieldParams = FR) -> jnp.ndarray:
     return sum_mod(mont_mul(a, b, fp), fp)
 
 
+@_fieldop('num_segments', 'fp')
+def segment_sum_mod(a: jnp.ndarray, ids: jnp.ndarray, num_segments: int,
+                    fp: FieldParams = FR) -> jnp.ndarray:
+    """Segment sum over the LAST axis: out[..., s] = sum_{i: ids[i]=s} a[..., i].
+
+    The device primitive behind sparse one-hot aggregation (suffix-table
+    builds, flag claims): limbs accumulate raw in uint32 (13-bit limbs sum
+    safely for up to 2^18 terms per chunk), then one lazy wide reduction per
+    segment.  Exact mod-p, order-free."""
+    T = a.shape[-1]
+    lead = a.shape[:-1]
+    m = _LAZY_CHUNK
+
+    def one_chunk(chunk, chunk_ids):
+        flat = chunk.reshape(-1, chunk.shape[-1]).T          # (t, prod(lead))
+        seg = jax.ops.segment_sum(flat, chunk_ids,
+                                  num_segments=num_segments)  # (S, prod)
+        cols = seg.T.reshape(lead + (num_segments,))
+        return reduce_lazy_cols(cols, fp)
+
+    if T <= m:
+        return one_chunk(a, ids)
+    out = None
+    for start in range(0, T, m):
+        part = one_chunk(a[..., start:start + m], ids[start:start + m])
+        out = part if out is None else add(out, part, fp)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # host <-> device conversion of Python ints (tests / transcript boundary)
 # ---------------------------------------------------------------------------

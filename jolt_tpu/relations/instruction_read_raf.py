@@ -18,10 +18,13 @@ ties the one-hot index to the R1CS lookup-operand columns (raf_j = 1 on the
 non-interleaved add/sub/mul path).
 
 Prover structure (TPU split):
-  * first LOG_K=128 address rounds: host-side prefix-suffix machinery --
-    per-phase suffix polynomials Q (size 256, integer-weighted u_evals
-    accumulation), incremental prefix checkpoints, expanding tables v.
-    Degree-2 messages: O(#tables * 128) host field ops per round.
+  * first LOG_K=128 address rounds: the per-phase suffix tables Q are built
+    ON DEVICE -- vectorized numpy suffix evaluation (lookups/suffix_vec.py)
+    feeds ONE jitted kernel (reused across all 16 phases) that lifts the
+    suffix streams to Montgomery form, weights them by the running u_evals
+    column, segment-sums by chunk value, and aggregates per prefix family.
+    The per-ROUND message/bind algebra stays host-side (tiny: ~13 tables of
+    <=256 entries), as do the incremental prefix checkpoints.
   * last log_T cycle rounds: one stacked device array (L, 18, T) holding
     [eq, combined_val, ra_0..ra_15]; a single fused kernel evaluates the
     degree-18 univariate and one bind halves the whole stack.
@@ -38,9 +41,11 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..field import FR, ops
 from ..lookups import tables as LT
+from ..lookups.suffix_vec import eval_suffix
 from ..poly import dense, eq
 from ..poly.univariate import UniPoly
 from ..sumcheck.engine import OpeningAccumulator, SumcheckInstance
@@ -49,6 +54,7 @@ from ..witness.instruction_lookups import D, LOG_M, M, InstructionLookupWitness
 P = FR.modulus
 LOG_K = LT.LOG_K  # 128
 PAIRS_PER_PHASE = LOG_M // 2  # 4
+_U64 = np.uint64
 
 # every prefix family the table set + raf paths use
 _ALL_PREFIXES = sorted(set(
@@ -68,6 +74,74 @@ def host_eq_evals(point: Sequence[int]) -> List[int]:
             nxt.append(wr)
         tab = nxt
     return tab
+
+
+def _value_limbs(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    """13-bit limb decomposition of hi*2^64 + lo (< 2^128) -> (NUM_LIMBS, T)
+    uint32 (raw, non-Montgomery)."""
+    nl, lb = FR.num_limbs, FR.limb_bits
+    out = np.zeros((nl,) + lo.shape, np.uint32)
+    mask = _U64((1 << lb) - 1)
+    for l in range(nl):
+        bit = l * lb
+        if bit >= 128:
+            break
+        if bit < 64:
+            v = lo >> _U64(bit)
+            if bit + lb > 64:
+                v = v | (hi << _U64(64 - bit))
+        else:
+            v = hi >> _U64(bit - 64)
+        out[l] = (v & mask).astype(np.uint32)
+    return out
+
+
+@jax.jit
+def _fold_v_kernel(u: jnp.ndarray, v_tab: jnp.ndarray,
+                   chunk: jnp.ndarray) -> jnp.ndarray:
+    """u *= v_tab[chunk] -- fold a finished phase's expanding table into the
+    running per-cycle weight column (all Montgomery)."""
+    return ops.mont_mul(u, jnp.take(v_tab, chunk, axis=1))
+
+
+@partial(jax.jit, static_argnames=('n_streams',))
+def _suffix_tables_kernel(u: jnp.ndarray, u_idx: jnp.ndarray,
+                          sv_limbs: jnp.ndarray, seg_ids: jnp.ndarray,
+                          coef_mat: jnp.ndarray, n_streams: int):
+    """Per-phase suffix-table build, one dispatch for ALL streams, in a
+    COMPACT entry layout: entry e is (cycle u_idx[e], raw suffix value
+    sv[e], target segment seg_ids[e] = stream*M + chunk).  Only in-bucket
+    cycles appear, so device work is O(sum of bucket sizes), not O(S*T).
+
+      u:        (L, T)  running u_evals (Montgomery)
+      sv_limbs: (L, N)  raw 13-bit limbs of the suffix values (< 2^128)
+      coef_mat: (L, n_pre, S) Montgomery aggregation matrix
+
+    mont_mul(Montgomery u, raw sv) = u*sv in CANONICAL form, so the whole
+    aggregation runs without lifting sv; one final mont_mul by R^2 restores
+    Montgomery form for the (tiny) Q output.
+
+    Returns Q: (L, n_pre, M): Q[p][c] = sum_s coef[p,s] *
+    sum_{j: chunk_j=c, j in bucket_s} u_j * sv_{s,j}."""
+    w = ops.mont_mul(jnp.take(u, u_idx, axis=1), sv_limbs)   # canonical
+    seg = ops.segment_sum_mod(w, seg_ids, n_streams * M)
+    seg = seg.reshape((FR.num_limbs, n_streams, M))
+    # coef (mont) x seg (canonical) -> canonical products
+    prod = ops.mont_mul(coef_mat[:, :, :, None], seg[:, None, :, :])
+    q = ops.sum_mod(jnp.swapaxes(prod, 2, 3))[..., 0]        # (L, n_pre, M)
+    r2 = jnp.asarray(FR.r2_limbs, dtype=jnp.uint32).reshape(
+        (FR.num_limbs, 1, 1))
+    return ops.mont_mul(q, jnp.broadcast_to(r2, q.shape))
+
+
+@jax.jit
+def _flag_claims_kernel(e2: jnp.ndarray, table_ids1: jnp.ndarray,
+                        inter01: jnp.ndarray):
+    """Table-flag claims at the bound cycle point: segment-sums of the eq
+    column by table id (bucket 0 = no-table) and by interleave class."""
+    flags = ops.segment_sum_mod(e2, table_ids1, LT.NUM_TABLES + 1)
+    raf = ops.segment_sum_mod(e2, inter01, 2)
+    return flags, raf
 
 
 @partial(jax.jit, static_argnames=('nf', 'fp'))
@@ -98,28 +172,60 @@ class InstructionReadRaf(SumcheckInstance):
         self.r_cycle = [r % P for r in r_cycle]
         self.claims = (rv_claim % P, left_claim % P, right_claim % P)
 
-        # per-cycle data
-        self.u_evals = host_eq_evals(self.r_cycle)          # mutated per phase
-        self.x_full = [0] * self.T
-        self.y_full = [0] * self.T
-        for j, idx in enumerate(wit.indices):
-            self.x_full[j], self.y_full[j] = LT.uninterleave_bits(idx)
-        self.buckets: List[List[int]] = [[] for _ in range(LT.NUM_TABLES)]
-        for j, t in enumerate(wit.table_ids):
-            if t >= 0:
-                self.buckets[t].append(j)
-        self.il_cycles = [j for j in range(self.T) if wit.interleaved[j]]
-        self.id_cycles = [j for j in range(self.T) if not wit.interleaved[j]]
+        # per-cycle data: numpy views from the witness + the running u_evals
+        # column on DEVICE (u_j = eq(j; r_cycle) * prod of finished-phase
+        # expanding tables at j's chunks)
+        self.u_dev = eq.evals(self.r_cycle)
+        tid = wit.table_ids_np
+        inter = wit.inter_np
+        self.table_masks = {int(t): tid == t for t in np.unique(tid)
+                            if t >= 0}
 
-        # raf pseudo-tables: (terms, bucket)
+        # raf pseudo-tables: (terms, bucket mask)
         g, g2 = self.gamma, self.g2
         self.raf_groups = {
             "raf_il": ([(g, "left", "one"), (g, "one", "left"),
                         (g2, "right", "one"), (g2, "one", "right")],
-                       self.il_cycles),
+                       inter),
             "raf_id": ([(g2, "id", "one"), (g2, "one", "id")],
-                       self.id_cycles),
+                       ~inter),
         }
+
+        # phase-invariant stream plan: one (bucket, suffix) stream per
+        # entry, a compact concatenated cycle-index layout, and the
+        # prefix-aggregation coefficient matrix
+        self._streams: List[Tuple[np.ndarray, str]] = []  # (bucket_js, suf)
+        coef_entries: List[Tuple[int, int, int]] = []   # (pre_idx, s, coef)
+        pre_used: List[str] = []
+        pre_index: Dict[str, int] = {}
+        for key, terms, mask in self._groups():
+            js = np.nonzero(mask)[0].astype(np.int32)
+            if js.size == 0:
+                continue
+            sufs = sorted({s for _, _, s in terms})
+            s_idx = {}
+            for s in sufs:
+                s_idx[s] = len(self._streams)
+                self._streams.append((js, s))
+            for coef, pre, suf in terms:
+                pi = pre_index.get(pre)
+                if pi is None:
+                    pi = pre_index[pre] = len(pre_used)
+                    pre_used.append(pre)
+                coef_entries.append((pi, s_idx[suf], coef % P))
+        self._pre_used = pre_used
+        n_pre, S = len(pre_used), len(self._streams)
+        cmat = [[0] * S for _ in range(n_pre)]
+        for pi, si, c in coef_entries:
+            cmat[pi][si] = (cmat[pi][si] + c) % P
+        flat = [c for row in cmat for c in row]
+        self._coef_mat = ops.pack_ints(flat).reshape(
+            (FR.num_limbs, n_pre, S))
+        self._u_idx_np = np.concatenate([js for js, _ in self._streams])
+        self._stream_of = np.concatenate(
+            [np.full(js.size, si, np.int32)
+             for si, (js, _) in enumerate(self._streams)])
+        self._u_idx = jnp.asarray(self._u_idx_np)
 
         # prefix checkpoint states (completed pairs folded in)
         self.pstates = {n: LT.PREFIXES[n].init() for n in _ALL_PREFIXES}
@@ -139,59 +245,63 @@ class InstructionReadRaf(SumcheckInstance):
     # ---- phase machinery ------------------------------------------------
 
     def _groups(self):
-        """Active (group_key, terms, bucket) triples."""
+        """Active (group_key, terms, bucket_mask) triples."""
         out = []
-        for t, bucket in enumerate(self.buckets):
-            if bucket:
-                out.append((LT.TABLE_NAMES[t], LT.TABLES[LT.TABLE_NAMES[t]]["terms"],
-                            bucket))
-        for key, (terms, bucket) in self.raf_groups.items():
-            if bucket:
-                out.append((key, terms, bucket))
+        for t, mask in self.table_masks.items():
+            name = LT.TABLE_NAMES[t]
+            out.append((name, LT.TABLES[name]["terms"], mask))
+        for key, (terms, mask) in self.raf_groups.items():
+            out.append((key, terms, mask))
         return out
 
     def _init_phase(self, phase: int) -> None:
+        """Build this phase's per-prefix suffix tables Q on device.
+
+        The round message only ever consumes sum_{key,suf->pre} coef * Q,
+        and suffix binding commutes with that linear combination, so the
+        per-round b-loop runs over ~13 prefix tables instead of ~45
+        (group, term) pairs.  All O(T) work -- the u_evals fold, the
+        Montgomery lift of the suffix streams, and the chunk segment-sums --
+        happens in two device dispatches; the host only evaluates the u64
+        suffix closed forms (vectorized numpy) and unpacks the (n_pre, M)
+        result."""
+        wit = self.wit
         if phase > 0:
-            v = self.v_done[phase - 1]
-            chunk = self.wit.chunks[phase - 1]
-            for j in range(self.T):
-                self.u_evals[j] = self.u_evals[j] * v[int(chunk[j])] % P
+            v_tab = ops.pack_ints(self.v_done[phase - 1])
+            chunk_prev = jnp.asarray(wit.chunks[phase - 1].astype(np.int32))
+            self.u_dev = _fold_v_kernel(self.u_dev, v_tab, chunk_prev)
         L = LOG_K - LOG_M * (phase + 1)      # suffix bit length
         half = L // 2
-        mask_s = (1 << L) - 1
-        mask_h = (1 << half) - 1
-        chunk_col = self.wit.chunks[phase]
-        # Build per-(group, suffix) tables, then AGGREGATE by prefix family:
-        # the round message only ever consumes sum_{key,suf->pre} coef * Q,
-        # and suffix binding commutes with that linear combination, so the
-        # per-round b-loop runs over ~13 prefix tables instead of ~45
-        # (group, term) pairs.
-        self.QP: Dict[str, List[int]] = {}
-        for key, terms, bucket in self._groups():
-            sufs = sorted({s for _, _, s in terms})
-            local = {s: [0] * M for s in sufs}
-            fns = {s: LT.SUFFIXES[s] for s in sufs}
-            for j in bucket:
-                u = self.u_evals[j]
-                if u == 0:
-                    continue
-                c = int(chunk_col[j])
-                s_tail = self.wit.indices[j] & mask_s
-                xs = self.x_full[j] & mask_h
-                ys = self.y_full[j] & mask_h
-                for s in sufs:
-                    sv = fns[s](xs, ys, s_tail, L)
-                    if sv:
-                        local[s][c] = (local[s][c] + u * sv) % P
-            for coef, pre, suf in terms:
-                q = local[suf]
-                agg = self.QP.get(pre)
-                if agg is None:
-                    agg = [0] * M
-                    self.QP[pre] = agg
-                for c in range(M):
-                    if q[c]:
-                        agg[c] = (agg[c] + coef * q[c]) % P
+        mask_h = _U64(((1 << half) - 1) & ((1 << 64) - 1))
+        if L >= 64:
+            s_lo = wit.idx_lo
+            s_hi = (wit.idx_hi & _U64((1 << (L - 64)) - 1) if L > 64
+                    else np.zeros_like(wit.idx_hi))
+        else:
+            s_lo = wit.idx_lo & _U64((1 << L) - 1)
+            s_hi = np.zeros_like(wit.idx_hi)
+        xs_all = wit.x64 & mask_h
+        ys_all = wit.y64 & mask_h
+
+        lo_parts, hi_parts = [], []
+        for js, suf in self._streams:
+            l, h = eval_suffix(suf, xs_all[js], ys_all[js], s_lo[js],
+                               s_hi[js], L)
+            lo_parts.append(l)
+            hi_parts.append(h)
+        sv_limbs = jnp.asarray(_value_limbs(np.concatenate(lo_parts),
+                                            np.concatenate(hi_parts)))
+        chunk = wit.chunks[phase].astype(np.int32)
+        seg_ids = jnp.asarray(self._stream_of * M + chunk[self._u_idx_np])
+        q = _suffix_tables_kernel(self.u_dev, self._u_idx, sv_limbs,
+                                  seg_ids, self._coef_mat,
+                                  len(self._streams))
+        q_ints = ops.unpack_ints(q)          # row-major (n_pre, M)
+        self.QP = {}
+        for pi, pre in enumerate(self._pre_used):
+            row = q_ints[pi * M:(pi + 1) * M]
+            if any(row):
+                self.QP[pre] = row
         self.cur_v = [1]
 
     # ---- engine interface -----------------------------------------------
@@ -289,12 +399,6 @@ class InstructionReadRaf(SumcheckInstance):
                 self._init_cycle_rounds()
 
     def _init_cycle_rounds(self) -> None:
-        # final condensation of the last phase into u_evals
-        v = self.v_done[D - 1]
-        chunk = self.wit.chunks[D - 1]
-        for j in range(self.T):
-            self.u_evals[j] = self.u_evals[j] * v[int(chunk[j])] % P
-
         pvals = {n: LT.PREFIXES[n].value(s) for n, s in self.pstates.items()}
         empty = LT.suffix_values(0, 0)
         tval = [LT.table_value_from_parts(name, pvals, empty)
@@ -302,19 +406,20 @@ class InstructionReadRaf(SumcheckInstance):
         raf_il = (self.gamma * pvals["left"] + self.g2 * pvals["right"]) % P
         raf_id = self.g2 * pvals["id"] % P
 
-        val_col = [0] * self.T
-        for j in range(self.T):
-            t = self.wit.table_ids[j]
-            acc = tval[t] if t >= 0 else 0
-            acc += raf_il if self.wit.interleaved[j] else raf_id
-            val_col[j] = acc % P
-
-        arrays = [eq.evals(self.r_cycle), ops.pack_ints(val_col)]
+        # val column: per-cycle table value + raf term (object-numpy
+        # gathers; one vectorized pack)
+        tval_arr = np.array(tval + [0], dtype=object)
+        tid = self.wit.table_ids_np.astype(np.int64)
+        val_col = tval_arr[np.where(tid >= 0, tid, LT.NUM_TABLES)]
+        raf_arr = np.array([raf_id, raf_il], dtype=object)
+        val_col = val_col + raf_arr[self.wit.inter_np.astype(np.int64)]
+        arrays = [eq.evals(self.r_cycle),
+                  ops.pack_ints([int(v) % P for v in val_col])]
+        # ra_i columns: device gathers from the 256-entry expanding tables
         for i in range(D):
-            v_i = self.v_done[i]
-            col = self.wit.chunks[i]
-            arrays.append(ops.pack_ints([v_i[int(col[j])]
-                                         for j in range(self.T)]))
+            v_tab = ops.pack_ints(self.v_done[i])
+            col = jnp.asarray(self.wit.chunks[i].astype(np.int32))
+            arrays.append(jnp.take(v_tab, col, axis=1))
         self.S = jnp.stack(arrays, axis=1)          # (L, D+2, T)
 
     def finalize(self) -> None:
@@ -328,11 +433,14 @@ class InstructionReadRaf(SumcheckInstance):
         r_addr = list(r_slice[:LOG_K])
         r_cyc2 = list(r_slice[LOG_K:])
         # flag claims at the new cycle point (verified by the stage-6
-        # bytecode flags instance)
-        e2 = host_eq_evals(r_cyc2)
-        self.flag_claims = [
-            sum(e2[j] for j in bucket) % P for bucket in self.buckets]
-        self.raf_flag_claim = sum(e2[j] for j in self.id_cycles) % P
+        # bytecode flags instance): device segment-sums of the eq column
+        e2 = eq.evals(r_cyc2)
+        tid1 = jnp.asarray((self.wit.table_ids_np + 1).astype(np.int32))
+        inter01 = jnp.asarray(self.wit.inter_np.astype(np.int32))
+        flags_dev, raf_dev = _flag_claims_kernel(e2, tid1, inter01)
+        flag_ints = ops.unpack_ints(flags_dev)
+        self.flag_claims = [flag_ints[t + 1] for t in range(LT.NUM_TABLES)]
+        self.raf_flag_claim = ops.unpack_ints(raf_dev)[0]
         for t, name in enumerate(LT.TABLE_NAMES):
             accumulator.insert(("instr_flag", name), r_cyc2,
                                self.flag_claims[t])

@@ -70,15 +70,36 @@ def num_stage1_rounds(log_T: int) -> int:
 # device evaluation of sparse row combos
 # ---------------------------------------------------------------------------
 
+@jax.jit
+def _lift_columns_kernel(lo32a, lo32b, hi32a, hi32b, sign_mask):
+    """(lo, hi) u64 columns (as u32 word pairs) -> Montgomery limb array;
+    value = hi*2^64 + lo - sign_mask*2^128 (exact signed semantics)."""
+    vlo = ops.from_u64(lo32a, lo32b)
+    vhi = ops.from_u64(hi32a, hi32b)
+    two64 = ops.const_mont(1 << 64, batch_shape=vlo.shape[1:])
+    val = ops.add(vlo, ops.mont_mul(vhi, two64))
+    two128 = ops.const_mont(1 << 128, batch_shape=vlo.shape[1:])
+    corr = jnp.where(sign_mask[None], jnp.broadcast_to(two128, val.shape),
+                     jnp.zeros_like(val))
+    return ops.sub(val, corr)
+
+
 def pack_input_columns(inputs: R1CSCycleInputs) -> jnp.ndarray:
-    """All 38 columns as one Montgomery limb array (L, 38, T) -- a single
-    vectorized host->device conversion."""
-    T = inputs.T
-    flat: List[int] = []
-    for col in inputs.columns:
-        flat.extend(col)
-    packed = ops.pack_ints([v % P for v in flat])       # (L, 38*T)
-    return packed.reshape(packed.shape[0], NUM_VARS, T)
+    """All 38 columns as one Montgomery limb array (L, 38, T): the u64
+    (lo, hi) witness arrays lift on DEVICE (no per-int host serialization)."""
+    from ..witness.r1cs_inputs import SIGNED_COLS
+    lo, hi = inputs.lo, inputs.hi
+    m32 = np.uint64(0xFFFFFFFF)
+    signed_rows = np.zeros(NUM_VARS, bool)
+    for v in SIGNED_COLS:
+        signed_rows[v] = True
+    sign_mask = signed_rows[:, None] & ((hi >> np.uint64(63)) == 1)
+    return _lift_columns_kernel(
+        jnp.asarray((lo & m32).astype(np.uint32)),
+        jnp.asarray((lo >> np.uint64(32)).astype(np.uint32)),
+        jnp.asarray((hi & m32).astype(np.uint32)),
+        jnp.asarray((hi >> np.uint64(32)).astype(np.uint32)),
+        jnp.asarray(sign_mask))
 
 
 def _combo_terms(w_rows: Sequence[Tuple[int, Dict[int, int]]]):

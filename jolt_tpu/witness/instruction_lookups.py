@@ -52,6 +52,22 @@ class InstructionLookupWitness:
     chunks: np.ndarray       # [D, T] uint32: chunk c of each index,
     #                          chunk 0 = most-significant LOG_M bits
     T: int
+    # vectorized views consumed by the device suffix-table kernel
+    idx_lo: np.ndarray = None   # [T] u64: low 64 index bits
+    idx_hi: np.ndarray = None   # [T] u64: high 64 index bits
+    x64: np.ndarray = None      # [T] u64: de-interleaved left operand
+    y64: np.ndarray = None      # [T] u64: de-interleaved right operand
+    table_ids_np: np.ndarray = None   # [T] int32 (-1 = no table)
+    inter_np: np.ndarray = None       # [T] bool
+
+    def __post_init__(self):
+        if self.idx_lo is None:   # hand-built witnesses (tests): derive
+            self.idx_lo = np.array([i & M64 for i in self.indices], _U64)
+            self.idx_hi = np.array([(i >> 64) & M64 for i in self.indices],
+                                   _U64)
+            self.x64, self.y64 = _unmorton(self.idx_lo, self.idx_hi)
+            self.table_ids_np = np.asarray(self.table_ids, np.int32)
+            self.inter_np = np.asarray(self.interleaved, bool)
 
     def onehot_chunk(self, i: int) -> List[int]:
         """Committed InstructionRa(i): cycle-major one-hot [M*T]."""
@@ -94,6 +110,24 @@ def _morton(x: np.ndarray, y: np.ndarray):
     lo = yp[0] | (yp[1] << _U64(32)) | ((xp[0] | (xp[1] << _U64(32))) << _U64(1))
     hi = yp[2] | (yp[3] << _U64(32)) | ((xp[2] | (xp[3] << _U64(32))) << _U64(1))
     return lo, hi
+
+
+def _compact_even(v: np.ndarray) -> np.ndarray:
+    """Gather the bits at even positions of a u64 into the low 32 bits."""
+    v = v & _U64(0x5555555555555555)
+    v = (v | (v >> _U64(1))) & _U64(0x3333333333333333)
+    v = (v | (v >> _U64(2))) & _U64(0x0F0F0F0F0F0F0F0F)
+    v = (v | (v >> _U64(4))) & _U64(0x00FF00FF00FF00FF)
+    v = (v | (v >> _U64(8))) & _U64(0x0000FFFF0000FFFF)
+    return (v | (v >> _U64(16))) & _U64(0x00000000FFFFFFFF)
+
+
+def _unmorton(lo: np.ndarray, hi: np.ndarray):
+    """Vectorized `uninterleave_bits`: (x, y) halves of the 128-bit index
+    (y = even bits, x = odd bits)."""
+    y = _compact_even(lo) | (_compact_even(hi) << _U64(32))
+    x = _compact_even(lo >> _U64(1)) | (_compact_even(hi >> _U64(1)) << _U64(32))
+    return x, y
 
 
 # ---------------------------------------------------------------------------
@@ -205,13 +239,10 @@ def extract_instruction_lookup_witness(
     inter = inter_by_kid[kid]
     table_ids_np = tid_by_kid[kid]
 
-    left_col = inputs.col(V_LEFT_LOOKUP_OPERAND)
-    right_col = inputs.col(V_RIGHT_LOOKUP_OPERAND)
-    out_col = inputs.col(V_LOOKUP_OUTPUT)
-    left = np.fromiter((v & M64 for v in left_col), _U64, T)
-    r_lo = np.fromiter((v & M64 for v in right_col), _U64, T)
-    r_hi = np.fromiter(((v >> 64) & M64 for v in right_col), _U64, T)
-    out64 = np.fromiter((v & M64 for v in out_col), _U64, T)
+    left = inputs.lo[V_LEFT_LOOKUP_OPERAND]
+    r_lo = inputs.lo[V_RIGHT_LOOKUP_OPERAND]
+    r_hi = inputs.hi[V_RIGHT_LOOKUP_OPERAND]
+    out64 = inputs.lo[V_LOOKUP_OUTPUT]
 
     # non-interleaved indices are the raw u128 operand with left == 0
     # (`instructions/riscv/add.rs:10-17`); a nonzero left there is a
@@ -248,12 +279,15 @@ def extract_instruction_lookup_witness(
             j = int(np.nonzero(mask)[0][rel])
             raise ValueError(
                 f"lookup output mismatch at cycle {j} "
-                f"({isa.KINDS[int(kid[j])]}): column {out_col[j]} vs table "
+                f"({isa.KINDS[int(kid[j])]}): column {int(out64[j])} vs table "
                 f"{LT.table_entry(name, (int(idx_hi[j]) << 64) | int(idx_lo[j]))}")
 
     hi_list = idx_hi.tolist()
     lo_list = idx_lo.tolist()
     indices = [(h << 64) | l for h, l in zip(hi_list, lo_list)]
+    x_half, y_half = _unmorton(idx_lo, idx_hi)
     return InstructionLookupWitness(
         indices=indices, table_ids=table_ids_np.tolist(),
-        interleaved=inter.astype(np.int64).tolist(), chunks=chunks, T=T)
+        interleaved=inter.astype(np.int64).tolist(), chunks=chunks, T=T,
+        idx_lo=idx_lo, idx_hi=idx_hi, x64=x_half, y64=y_half,
+        table_ids_np=table_ids_np.astype(np.int32), inter_np=inter)
