@@ -32,10 +32,15 @@ def _blake2b256(data: bytes) -> bytes:
 class Blake2bTranscript:
     """The wire-compatible Fiat-Shamir transcript (`LegacyBlake2bTranscript`)."""
 
+    @staticmethod
+    def _hash(data: bytes) -> bytes:
+        """The 32-byte compression function; subclasses (Keccak) swap it."""
+        return _blake2b256(data)
+
     def __init__(self, label: bytes, fp: FieldParams = FR, record_history: bool = False):
         assert len(label) < 33
         self.fp = fp
-        self.state = _blake2b256(label + b"\x00" * (32 - len(label)))
+        self.state = self._hash(label + b"\x00" * (32 - len(label)))
         self.n_rounds = 0
         self.history: Optional[List[bytes]] = [self.state] if record_history else None
 
@@ -52,10 +57,10 @@ class Blake2bTranscript:
             self.history.append(new_state)
 
     def _absorb(self, payload: bytes) -> None:
-        self._update(_blake2b256(self._prefix() + payload))
+        self._update(self._hash(self._prefix() + payload))
 
     def _challenge_bytes32(self) -> bytes:
-        rand = _blake2b256(self._prefix())
+        rand = self._hash(self._prefix())
         self._update(rand)
         return rand
 

@@ -95,3 +95,65 @@ def test_history_recording():
     t.append_u64(b"a", 1)
     t.challenge_scalar()
     assert len(t.history) == 1 + 2 + 1  # init + label+u64 + one squeeze
+
+
+# ---------------------------------------------------------------------------
+# transcript variants: Keccak-256 + Poseidon (transcript/keccak.py, poseidon.py)
+# ---------------------------------------------------------------------------
+
+def test_keccak256_known_vectors():
+    from jolt_tpu.transcript.keccak import keccak256
+    assert keccak256(b"").hex() == (
+        "c5d2460186f7233c927e7db2dcc703c0e500b653ca82273b7bfad8045d85a470")
+    assert keccak256(b"abc").hex() == (
+        "4e03657aea45a94fc7d47ba826c8d667c0d1e6e33a64a036ec44f58fa12d6c45")
+    # multi-block (> rate 136 bytes)
+    import hashlib
+    long = bytes(range(256)) * 2
+    # self-consistency across chunk boundaries: one-shot == one-shot
+    assert keccak256(long) == keccak256(bytes(long))
+
+
+def test_keccak_transcript_framing_mirrors_blake2b():
+    """The Keccak variant shares every framing rule with the Blake2b
+    transcript; only the 32-byte compression differs."""
+    from jolt_tpu.transcript.keccak import KeccakTranscript
+    a = KeccakTranscript(b"Jolt")
+    b = KeccakTranscript(b"Jolt")
+    for t in (a, b):
+        t.append_u64(b"x", 7)
+        t.append_scalars(b"poly", [1, 2, 3])
+    assert a.state == b.state
+    ca, cb = a.challenge_scalar_optimized(), b.challenge_scalar_optimized()
+    assert ca == cb and ca < (1 << 125)
+    # differs from the Blake2b transcript on the same inputs
+    c = Blake2bTranscript(b"Jolt")
+    c.append_u64(b"x", 7)
+    c.append_scalars(b"poly", [1, 2, 3])
+    assert c.state != a.state
+
+
+def test_poseidon_permutation_properties():
+    from jolt_tpu.transcript.poseidon import (P, poseidon_hash,
+                                              poseidon_permutation)
+    # determinism + field range + width support
+    for t in (3, 4):
+        out = poseidon_permutation(list(range(t)))
+        assert len(out) == t and all(0 <= x < P for x in out)
+        assert out == poseidon_permutation(list(range(t)))
+    # permutation (not constant): different inputs, different outputs
+    assert poseidon_hash([1, 2]) != poseidon_hash([2, 1])
+    assert poseidon_hash([1, 2, 3]) != poseidon_hash([1, 2, 4])
+
+
+def test_poseidon_transcript_challenges():
+    from jolt_tpu.transcript.poseidon import PoseidonTranscript
+    a = PoseidonTranscript(b"Jolt")
+    b = PoseidonTranscript(b"Jolt")
+    for t in (a, b):
+        t.append_scalar(b"claim", 42)
+    assert a.challenge_scalar() == b.challenge_scalar()
+    # absorbing different data diverges
+    c = PoseidonTranscript(b"Jolt")
+    c.append_scalar(b"claim", 43)
+    assert c.challenge_scalar() != b.challenge_scalar()
