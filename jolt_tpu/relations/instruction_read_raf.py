@@ -75,54 +75,45 @@ def host_eq_evals(point: Sequence[int]) -> List[int]:
         tab = nxt
     return tab
 
-
-def _value_limbs(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
-    """13-bit limb decomposition of hi*2^64 + lo (< 2^128) -> (NUM_LIMBS, T)
-    uint32 (raw, non-Montgomery)."""
-    nl, lb = FR.num_limbs, FR.limb_bits
-    out = np.zeros((nl,) + lo.shape, np.uint32)
-    mask = _U64((1 << lb) - 1)
-    for l in range(nl):
-        bit = l * lb
-        if bit >= 128:
-            break
-        if bit < 64:
-            v = lo >> _U64(bit)
-            if bit + lb > 64:
-                v = v | (hi << _U64(64 - bit))
-        else:
-            v = hi >> _U64(bit - 64)
-        out[l] = (v & mask).astype(np.uint32)
-    return out
-
-
-@jax.jit
-def _fold_v_kernel(u: jnp.ndarray, v_tab: jnp.ndarray,
-                   chunk: jnp.ndarray) -> jnp.ndarray:
-    """u *= v_tab[chunk] -- fold a finished phase's expanding table into the
-    running per-cycle weight column (all Montgomery)."""
-    return ops.mont_mul(u, jnp.take(v_tab, chunk, axis=1))
-
-
 @partial(jax.jit, static_argnames=('n_streams',))
-def _suffix_tables_kernel(u: jnp.ndarray, u_idx: jnp.ndarray,
-                          sv_limbs: jnp.ndarray, seg_ids: jnp.ndarray,
-                          coef_mat: jnp.ndarray, n_streams: int):
-    """Per-phase suffix-table build, one dispatch for ALL streams, in a
-    COMPACT entry layout: entry e is (cycle u_idx[e], raw suffix value
-    sv[e], target segment seg_ids[e] = stream*M + chunk).  Only in-bucket
-    cycles appear, so device work is O(sum of bucket sizes), not O(S*T).
+def _suffix_tables_kernel(u: jnp.ndarray, v_tab: jnp.ndarray,
+                          chunk_prev: jnp.ndarray, u_idx: jnp.ndarray,
+                          lo32a, lo32b, hi32a, hi32b,
+                          seg_ids: jnp.ndarray, coef_mat: jnp.ndarray,
+                          n_streams: int):
+    """Per-phase suffix-table build, ONE dispatch for everything:
 
-      u:        (L, T)  running u_evals (Montgomery)
-      sv_limbs: (L, N)  raw 13-bit limbs of the suffix values (< 2^128)
-      coef_mat: (L, n_pre, S) Montgomery aggregation matrix
+      1. fold the previous phase's expanding table into the running weight
+         column:  u *= v_tab[chunk_prev]  (v_tab = all-ones on phase 0)
+      2. limb-decompose the raw u64x2 suffix values (shipped as four u32
+         word arrays -- 5x less relay traffic than pre-built limb rows)
+      3. weight, segment-sum by (stream, chunk), aggregate per prefix
+
+    COMPACT entry layout: entry e is (cycle u_idx[e], suffix value, target
+    segment seg_ids[e] = stream*M + chunk); only in-bucket cycles appear,
+    so device work is O(sum of bucket sizes), not O(S*T).
 
     mont_mul(Montgomery u, raw sv) = u*sv in CANONICAL form, so the whole
     aggregation runs without lifting sv; one final mont_mul by R^2 restores
     Montgomery form for the (tiny) Q output.
 
-    Returns Q: (L, n_pre, M): Q[p][c] = sum_s coef[p,s] *
-    sum_{j: chunk_j=c, j in bucket_s} u_j * sv_{s,j}."""
+    Returns (u_new, Q) with Q: (L, n_pre, M):
+    Q[p][c] = sum_s coef[p,s] * sum_{j: chunk_j=c, j in bucket_s} u_j*sv_{s,j}."""
+    u = ops.mont_mul(u, jnp.take(v_tab, chunk_prev, axis=1))
+    words = (lo32a, lo32b, hi32a, hi32b)
+    lb, nl = FR.limb_bits, FR.num_limbs
+    limbs = []
+    for l in range(nl):
+        bit = l * lb
+        if bit >= 128:
+            limbs.append(jnp.zeros_like(lo32a))
+            continue
+        wi, off = bit // 32, bit % 32
+        v = words[wi] >> np.uint32(off)
+        if off + lb > 32 and wi + 1 < 4:
+            v = v | (words[wi + 1] << np.uint32(32 - off))
+        limbs.append(v & np.uint32((1 << lb) - 1))
+    sv_limbs = jnp.stack(limbs, axis=0)                      # (L, N) raw
     w = ops.mont_mul(jnp.take(u, u_idx, axis=1), sv_limbs)   # canonical
     seg = ops.segment_sum_mod(w, seg_ids, n_streams * M)
     seg = seg.reshape((FR.num_limbs, n_streams, M))
@@ -131,7 +122,7 @@ def _suffix_tables_kernel(u: jnp.ndarray, u_idx: jnp.ndarray,
     q = ops.sum_mod(jnp.swapaxes(prod, 2, 3))[..., 0]        # (L, n_pre, M)
     r2 = jnp.asarray(FR.r2_limbs, dtype=jnp.uint32).reshape(
         (FR.num_limbs, 1, 1))
-    return ops.mont_mul(q, jnp.broadcast_to(r2, q.shape))
+    return u, ops.mont_mul(q, jnp.broadcast_to(r2, q.shape))
 
 
 @jax.jit
@@ -269,7 +260,9 @@ class InstructionReadRaf(SumcheckInstance):
         if phase > 0:
             v_tab = ops.pack_ints(self.v_done[phase - 1])
             chunk_prev = jnp.asarray(wit.chunks[phase - 1].astype(np.int32))
-            self.u_dev = _fold_v_kernel(self.u_dev, v_tab, chunk_prev)
+        else:
+            v_tab = ops.ones((256,))
+            chunk_prev = jnp.zeros(self.T, jnp.int32)
         L = LOG_K - LOG_M * (phase + 1)      # suffix bit length
         half = L // 2
         mask_h = _U64(((1 << half) - 1) & ((1 << 64) - 1))
@@ -289,13 +282,18 @@ class InstructionReadRaf(SumcheckInstance):
                                s_hi[js], L)
             lo_parts.append(l)
             hi_parts.append(h)
-        sv_limbs = jnp.asarray(_value_limbs(np.concatenate(lo_parts),
-                                            np.concatenate(hi_parts)))
+        lo = np.concatenate(lo_parts)
+        hi = np.concatenate(hi_parts)
+        m32 = _U64(0xFFFFFFFF)
         chunk = wit.chunks[phase].astype(np.int32)
         seg_ids = jnp.asarray(self._stream_of * M + chunk[self._u_idx_np])
-        q = _suffix_tables_kernel(self.u_dev, self._u_idx, sv_limbs,
-                                  seg_ids, self._coef_mat,
-                                  len(self._streams))
+        self.u_dev, q = _suffix_tables_kernel(
+            self.u_dev, v_tab, chunk_prev, self._u_idx,
+            jnp.asarray((lo & m32).astype(np.uint32)),
+            jnp.asarray((lo >> _U64(32)).astype(np.uint32)),
+            jnp.asarray((hi & m32).astype(np.uint32)),
+            jnp.asarray((hi >> _U64(32)).astype(np.uint32)),
+            seg_ids, self._coef_mat, len(self._streams))
         q_ints = ops.unpack_ints(q)          # row-major (n_pre, M)
         self.QP = {}
         for pi, pre in enumerate(self._pre_used):

@@ -179,10 +179,12 @@ class Emulator:
     # ---- execution -----------------------------------------------------
 
     def fetch(self) -> isa.Decoded:
-        word = self.read_mem(self.pc, 4)
+        lo = self.read_mem(self.pc, 2)
+        hi = self.read_mem(self.pc + 2, 2) if lo & 3 == 3 else 0
+        word = lo | (hi << 16)
         dec = self.decode_cache.get(word)
         if dec is None:
-            dec = isa.decode(word)
+            dec = isa.decode_any(lo, hi)
             self.decode_cache[word] = dec
         return dec
 
@@ -264,6 +266,71 @@ class Emulator:
             rd_post = self._alu_reg(kind, rs1_val, rs2_val)
         elif kind in ("FENCE", "ECALL", "EBREAK"):
             pass  # no-ops at the architectural level used here
+        elif kind in ("LRW", "LRD"):
+            size = 4 if kind[-1] == "W" else 8
+            addr = rs1_val
+            if addr % size:
+                raise RuntimeError(f"misaligned {kind} {addr:#x}")
+            raw = self.read_mem(addr, size)
+            rd_post = _sext32(raw) if size == 4 else raw
+            self.reservation = addr
+            ram_addr = addr & ~7
+            ram_pre = ram_post = self.read_dword(ram_addr)
+        elif kind in ("SCW", "SCD"):
+            size = 4 if kind[-1] == "W" else 8
+            addr = rs1_val
+            if addr % size:
+                raise RuntimeError(f"misaligned {kind} {addr:#x}")
+            success = getattr(self, "reservation", None) == addr
+            self.reservation = None
+            ram_addr = addr & ~7
+            ram_pre = self.read_dword(ram_addr)
+            if success:
+                off = addr - ram_addr
+                mask = ((1 << (8 * size)) - 1) << (8 * off)
+                ram_post = (ram_pre & ~mask) | ((rs2_val << (8 * off)) & mask)
+                self.write_mem(addr, rs2_val, size)
+            else:
+                ram_post = ram_pre
+            rd_post = 0 if success else 1
+        elif kind.startswith("AMO"):
+            size = 4 if kind[-1] == "W" else 8
+            op = kind[3:-1]
+            addr = rs1_val
+            if addr % size:
+                raise RuntimeError(f"misaligned {kind} {addr:#x}")
+            raw = self.read_mem(addr, size)
+            old = _sext32(raw) if size == 4 else raw
+            b = rs2_val
+            if op == "SWAP":
+                new = b
+            elif op == "ADD":
+                new = old + b
+            elif op == "XOR":
+                new = old ^ b
+            elif op == "AND":
+                new = old & b
+            elif op == "OR":
+                new = old | b
+            else:   # MIN/MAX/MINU/MAXU on width-extended values
+                if size == 4:
+                    bo = b & _M32 if "U" in op else _sext32(b)
+                    ao = raw & _M32 if "U" in op else old
+                else:
+                    ao, bo = old, b
+                if "U" in op:
+                    take_a = ao < bo if op.startswith("MIN") else ao > bo
+                else:
+                    take_a = (_s64(ao) < _s64(bo) if op.startswith("MIN")
+                              else _s64(ao) > _s64(bo))
+                new = ao if take_a else bo
+            ram_addr = addr & ~7
+            ram_pre = self.read_dword(ram_addr)
+            off = addr - ram_addr
+            mask = ((1 << (8 * size)) - 1) << (8 * off)
+            ram_post = (ram_pre & ~mask) | (((new & _M64) << (8 * off)) & mask)
+            self.write_mem(addr, new & _M64, size)
+            rd_post = old
         else:  # pragma: no cover
             raise isa.DecodeError(f"unhandled kind {kind}")
 
@@ -488,7 +555,8 @@ class RowEmulator(Emulator):
         ram_post = 0
         # default next: within-sequence rows hold the unexpanded pc
         next_row = self.row_idx + 1
-        next_pc = pc + 4 if row.advances_pc else pc
+        ilen = row.length                    # 2 for compressed source rows
+        next_pc = pc + ilen if row.advances_pc else pc
         taken_target = None
 
         if kind in ("NOOP", "FENCE", "ECALL", "EBREAK"):
@@ -498,10 +566,10 @@ class RowEmulator(Emulator):
         elif kind == "AUIPC":
             rd_post = (pc + imm) & _M64
         elif kind == "JAL":
-            rd_post = (pc + 4) & _M64
+            rd_post = (pc + ilen) & _M64
             taken_target = (pc + imm) & _M64
         elif kind == "JALR":
-            rd_post = (pc + 4) & _M64
+            rd_post = (pc + ilen) & _M64
             taken_target = (rs1_val + imm) & _M64 & ~1
         elif kind in ("BEQ", "BNE", "BLT", "BGE", "BLTU", "BGEU"):
             a, b = rs1_val, rs2_val

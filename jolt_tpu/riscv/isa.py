@@ -45,6 +45,14 @@ KINDS = [
     "VirtualAssertEQ", "VirtualAssertLTE", "VirtualAssertValidDiv0",
     "VirtualAssertValidUnsignedRemainder", "VirtualAssertMulUNoOverflow",
     "VirtualAssertHalfwordAlignment", "VirtualAssertWordAlignment",
+    # RV64A (source-only: every atomic expands to a final-row sequence,
+    # single-hart RMW semantics -- reference tracer/src/instruction/amo*.rs
+    # + jolt-program/src/expand/memory/{amo*,lr*,sc*}.rs)
+    "LRW", "LRD", "SCW", "SCD",
+    "AMOSWAPW", "AMOSWAPD", "AMOADDW", "AMOADDD", "AMOXORW", "AMOXORD",
+    "AMOANDW", "AMOANDD", "AMOORW", "AMOORD",
+    "AMOMINW", "AMOMIND", "AMOMAXW", "AMOMAXD",
+    "AMOMINUW", "AMOMINUD", "AMOMAXUW", "AMOMAXUD",
 ]
 KIND_ID = {name: i for i, name in enumerate(KINDS)}
 
@@ -160,6 +168,18 @@ def decode(word: int) -> Decoded:
         if key not in _OP32:
             raise DecodeError(f"bad op-32 {key}")
         return Decoded(_OP32[key], rd=rd, rs1=rs1, rs2=rs2)
+    if opcode == 0x2F:
+        funct5 = funct7 >> 2      # aq/rl bits (funct7 & 3) are ignored
+        width = {2: "W", 3: "D"}.get(funct3)
+        amo = {0x02: "LR", 0x03: "SC", 0x01: "AMOSWAP", 0x00: "AMOADD",
+               0x04: "AMOXOR", 0x0C: "AMOAND", 0x08: "AMOOR",
+               0x10: "AMOMIN", 0x14: "AMOMAX", 0x18: "AMOMINU",
+               0x1C: "AMOMAXU"}.get(funct5)
+        if width is None or amo is None:
+            raise DecodeError(f"bad AMO funct5/funct3 {funct5}/{funct3}")
+        if amo == "LR" and rs2 != 0:
+            raise DecodeError("LR with rs2 != 0")
+        return Decoded(amo + width, rd=rd, rs1=rs1, rs2=rs2)
     if opcode == 0x0F:
         return Decoded("FENCE")
     if opcode == 0x73:
@@ -169,3 +189,150 @@ def decode(word: int) -> Decoded:
             return Decoded("EBREAK")
         raise DecodeError(f"unsupported SYSTEM instruction {word:#010x}")
     raise DecodeError(f"unsupported opcode {opcode:#04x} (word {word:#010x})")
+
+
+# ---------------------------------------------------------------------------
+# RVC (compressed) decoding: every 16-bit instruction maps to a base kind
+# with length=2 (the IsCompressed circuit flag + PC-advance arithmetic are
+# driven by Decoded.length).  Reference: tracer decompression in
+# `tracer/src/emulator/cpu.rs` (uncompress) + `jolt-riscv` IsCompressed.
+# ---------------------------------------------------------------------------
+
+def _bits(w: int, hi: int, lo: int) -> int:
+    return (w >> lo) & ((1 << (hi - lo + 1)) - 1)
+
+
+def decode_compressed(h: int) -> Decoded:
+    """Decode one 16-bit RVC halfword into its base-instruction form."""
+    if h & 3 == 3:
+        raise DecodeError("not a compressed instruction")
+    if h == 0:
+        raise DecodeError("illegal compressed instruction 0x0000")
+    op = h & 3
+    funct3 = _bits(h, 15, 13)
+    L = 2
+
+    def C(kind, **kw):
+        return Decoded(kind, length=L, **kw)
+
+    if op == 0:
+        rdp = 8 + _bits(h, 4, 2)
+        rs1p = 8 + _bits(h, 9, 7)
+        if funct3 == 0:   # C.ADDI4SPN
+            imm = (_bits(h, 12, 11) << 4) | (_bits(h, 10, 7) << 6) \
+                | (_bits(h, 6, 6) << 2) | (_bits(h, 5, 5) << 3)
+            if imm == 0:
+                raise DecodeError("reserved C.ADDI4SPN imm=0")
+            return C("ADDI", rd=rdp, rs1=2, imm=imm)
+        if funct3 in (2, 3, 6, 7):  # C.LW/C.LD/C.SW/C.SD
+            if funct3 in (2, 6):
+                imm = (_bits(h, 12, 10) << 3) | (_bits(h, 6, 6) << 2) \
+                    | (_bits(h, 5, 5) << 6)
+                kind = "LW" if funct3 == 2 else "SW"
+            else:
+                imm = (_bits(h, 12, 10) << 3) | (_bits(h, 6, 5) << 6)
+                kind = "LD" if funct3 == 3 else "SD"
+            if kind in ("LW", "LD"):
+                return C(kind, rd=rdp, rs1=rs1p, imm=imm)
+            return C(kind, rs1=rs1p, rs2=rdp, imm=imm)
+        raise DecodeError(f"unsupported C0 funct3 {funct3}")
+    if op == 1:
+        rd = _bits(h, 11, 7)
+        imm6 = _sext((_bits(h, 12, 12) << 5) | _bits(h, 6, 2), 6)
+        if funct3 == 0:   # C.ADDI / C.NOP
+            return C("ADDI", rd=rd, rs1=rd, imm=imm6)
+        if funct3 == 1:   # C.ADDIW (RV64)
+            if rd == 0:
+                raise DecodeError("reserved C.ADDIW rd=0")
+            return C("ADDIW", rd=rd, rs1=rd, imm=imm6)
+        if funct3 == 2:   # C.LI
+            return C("ADDI", rd=rd, rs1=0, imm=imm6)
+        if funct3 == 3:
+            if rd == 2:   # C.ADDI16SP
+                imm = _sext((_bits(h, 12, 12) << 9) | (_bits(h, 6, 6) << 4)
+                            | (_bits(h, 5, 5) << 6) | (_bits(h, 4, 3) << 7)
+                            | (_bits(h, 2, 2) << 5), 10)
+                if imm == 0:
+                    raise DecodeError("reserved C.ADDI16SP imm=0")
+                return C("ADDI", rd=2, rs1=2, imm=imm)
+            if rd == 0 or imm6 == 0:
+                raise DecodeError("reserved C.LUI")
+            return C("LUI", rd=rd, imm=imm6 << 12)
+        if funct3 == 4:
+            rdp = 8 + _bits(h, 9, 7)
+            f2 = _bits(h, 11, 10)
+            if f2 == 0 or f2 == 1:   # C.SRLI / C.SRAI
+                sh = (_bits(h, 12, 12) << 5) | _bits(h, 6, 2)
+                return C("SRLI" if f2 == 0 else "SRAI", rd=rdp, rs1=rdp,
+                         imm=sh)
+            if f2 == 2:   # C.ANDI
+                return C("ANDI", rd=rdp, rs1=rdp, imm=imm6)
+            rs2p = 8 + _bits(h, 4, 2)
+            f2b = _bits(h, 6, 5)
+            if _bits(h, 12, 12) == 0:
+                kind = ["SUB", "XOR", "OR", "AND"][f2b]
+            else:
+                if f2b == 0:
+                    kind = "SUBW"
+                elif f2b == 1:
+                    kind = "ADDW"
+                else:
+                    raise DecodeError("reserved C1 op")
+            return C(kind, rd=rdp, rs1=rdp, rs2=rs2p)
+        if funct3 == 5:   # C.J
+            imm = _sext((_bits(h, 12, 12) << 11) | (_bits(h, 11, 11) << 4)
+                        | (_bits(h, 10, 9) << 8) | (_bits(h, 8, 8) << 10)
+                        | (_bits(h, 7, 7) << 6) | (_bits(h, 6, 6) << 7)
+                        | (_bits(h, 5, 3) << 1) | (_bits(h, 2, 2) << 5), 12)
+            return C("JAL", rd=0, imm=imm)
+        # C.BEQZ / C.BNEZ
+        rs1p = 8 + _bits(h, 9, 7)
+        imm = _sext((_bits(h, 12, 12) << 8) | (_bits(h, 11, 10) << 3)
+                    | (_bits(h, 6, 5) << 6) | (_bits(h, 4, 3) << 1)
+                    | (_bits(h, 2, 2) << 5), 9)
+        return C("BEQ" if funct3 == 6 else "BNE", rs1=rs1p, rs2=0, imm=imm)
+    # op == 2
+    rd = _bits(h, 11, 7)
+    rs2 = _bits(h, 6, 2)
+    if funct3 == 0:   # C.SLLI
+        sh = (_bits(h, 12, 12) << 5) | _bits(h, 6, 2)
+        return C("SLLI", rd=rd, rs1=rd, imm=sh)
+    if funct3 == 2:   # C.LWSP
+        if rd == 0:
+            raise DecodeError("reserved C.LWSP rd=0")
+        imm = (_bits(h, 12, 12) << 5) | (_bits(h, 6, 4) << 2) \
+            | (_bits(h, 3, 2) << 6)
+        return C("LW", rd=rd, rs1=2, imm=imm)
+    if funct3 == 3:   # C.LDSP
+        if rd == 0:
+            raise DecodeError("reserved C.LDSP rd=0")
+        imm = (_bits(h, 12, 12) << 5) | (_bits(h, 6, 5) << 3) \
+            | (_bits(h, 4, 2) << 6)
+        return C("LD", rd=rd, rs1=2, imm=imm)
+    if funct3 == 4:
+        if _bits(h, 12, 12) == 0:
+            if rs2 == 0:   # C.JR
+                if rd == 0:
+                    raise DecodeError("reserved C.JR rs1=0")
+                return C("JALR", rd=0, rs1=rd, imm=0)
+            return C("ADD", rd=rd, rs1=0, rs2=rs2)   # C.MV
+        if rs2 == 0:
+            if rd == 0:   # C.EBREAK
+                return C("EBREAK")
+            return C("JALR", rd=1, rs1=rd, imm=0)    # C.JALR
+        return C("ADD", rd=rd, rs1=rd, rs2=rs2)      # C.ADD
+    if funct3 == 6:   # C.SWSP
+        imm = (_bits(h, 12, 9) << 2) | (_bits(h, 8, 7) << 6)
+        return C("SW", rs1=2, rs2=rs2, imm=imm)
+    if funct3 == 7:   # C.SDSP
+        imm = (_bits(h, 12, 10) << 3) | (_bits(h, 9, 7) << 6)
+        return C("SD", rs1=2, rs2=rs2, imm=imm)
+    raise DecodeError(f"unsupported C2 funct3 {funct3}")
+
+
+def decode_any(lo16: int, hi16: int) -> Decoded:
+    """Decode at a 2-byte-aligned position: compressed if the low 2 bits
+    aren't 0b11, else the full 32-bit word lo16 | hi16<<16."""
+    if lo16 & 3 != 3:
+        return decode_compressed(lo16)
+    return decode(lo16 | (hi16 << 16))

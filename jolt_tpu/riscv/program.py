@@ -39,6 +39,13 @@ M64 = (1 << 64) - 1
 # first virtual register available to expansion temporaries
 VTEMP_BASE = 33
 NUM_REGS = 128
+# persistent LR/SC reservation registers (never allocated as temps):
+# mirror of the reference's reservation_{w,d}_register()
+# (expand/memory/lrw.rs) -- a reservation survives across sequences as
+# ordinary register state flowing through the Twist argument.
+RESV_W = 126
+RESV_D = 127
+RAM_START = 0x80000000
 
 # advice ops: value = f(regs[rs1], regs[rs2]) evaluated pre-sequence
 ADVICE_OPS = [
@@ -111,12 +118,19 @@ class Row:
     first: bool = False
     last: bool = False
     advice: Optional[Tuple[str, int, int]] = None  # (op, rs1, rs2)
+    compressed: bool = False      # source instruction was 16-bit (RVC)
 
     @property
     def advances_pc(self) -> bool:
         """The unexpanded PC advances after this row (1:1 rows and the
         final row of each sequence)."""
         return not self.virtual or self.last
+
+    @property
+    def length(self) -> int:
+        """Source instruction length in bytes (IsCompressed circuit flag +
+        the PC-advance / jump-link arithmetic)."""
+        return 2 if self.compressed else 4
 
 
 @dataclasses.dataclass
@@ -149,7 +163,7 @@ class _Builder:
 
     def tmp(self) -> int:
         r = self._next_tmp
-        assert r < NUM_REGS, "virtual register pool exhausted"
+        assert r < RESV_W, "virtual register pool exhausted"
         self._next_tmp += 1
         return r
 
@@ -308,13 +322,151 @@ def _unsigned_div_rem(b: _Builder, d, word: bool, rem_out: bool) -> None:
         b.emit("ADDI", rd=d.rd, rs1=out, imm=0)
 
 
+# ---------------------------------------------------------------------------
+# RV64A recipes (expand/memory/{amo*,lr*,sc*}.rs): single-hart RMW through
+# the existing aligned-dword memory rows.  Reservations live in RESV_W/RESV_D.
+# ---------------------------------------------------------------------------
+
+class _NS:
+    def __init__(self, **kw):
+        self.__dict__.update(kw)
+
+
+def _assert_ram_region(b: _Builder, rs1: int) -> None:
+    """LR/SC reservations are only modeled for ordinary RAM
+    (expand/memory/lrw.rs RAM-region assertion)."""
+    t = b.tmp()
+    b.emit("ADDI", rd=t, rs1=0, imm=RAM_START)
+    b.emit("VirtualAssertLTE", rs1=t, rs2=rs1)
+
+
+def _select(b: _Builder, out: int, t01: int, a: int, c: int) -> None:
+    """out = t01 ? a : c for a boolean register t01 (branch-free:
+    out = c + t*(a - c) exactly, since t in {0,1})."""
+    d1 = b.tmp()
+    b.emit("SUB", rd=d1, rs1=a, rs2=c)
+    b.emit("MUL", rd=d1, rs1=d1, rs2=t01)
+    b.emit("ADD", rd=out, rs1=c, rs2=d1)
+
+
+def _amo_new_value(b: _Builder, op: str, word: bool, v_old: int,
+                   rs2: int) -> int:
+    """Rows computing the AMO replacement value; v_old is the (sign-
+    extended, for word) old memory value."""
+    v_new = b.tmp()
+    if op == "SWAP":
+        b.emit("ADDI", rd=v_new, rs1=rs2, imm=0)
+    elif op in ("ADD", "XOR", "AND", "OR"):
+        b.emit(op, rd=v_new, rs1=v_old, rs2=rs2)
+    else:   # MIN/MAX/MINU/MAXU: compare width-extended, keep payload
+        unsigned = op.endswith("U")
+        e1, e2 = b.tmp(), b.tmp()
+        if word:
+            ext = "VirtualZeroExtendWord" if unsigned else \
+                "VirtualSignExtendWord"
+            b.emit(ext, rd=e1, rs1=v_old)
+            b.emit(ext, rd=e2, rs1=rs2)
+        else:
+            e1, e2 = v_old, rs2
+        t = b.tmp()
+        cmp_kind = "SLTU" if unsigned else "SLT"
+        if op.startswith("MIN"):
+            b.emit(cmp_kind, rd=t, rs1=e1, rs2=e2)   # t = e1 < e2
+        else:
+            b.emit(cmp_kind, rd=t, rs1=e2, rs2=e1)   # t = e1 > e2
+        _select(b, v_new, t, e1, e2)                 # t ? e1 : e2
+    return v_new
+
+
+def _cond_narrow_store(b: _Builder, rs1: int, value: int, size: int,
+                       cond: Optional[int]) -> None:
+    """_narrow_store with the write masked by a boolean `cond` register
+    (None = unconditional); the dword RMW degenerates to a rewrite of the
+    old value when cond = 0."""
+    v0, v1, v2, v3 = b.tmp(), b.tmp(), b.tmp(), b.tmp()
+    if size == 2:
+        b.emit("VirtualAssertHalfwordAlignment", rs1=rs1, imm=0)
+    elif size == 4:
+        b.emit("VirtualAssertWordAlignment", rs1=rs1, imm=0)
+    b.emit("ADDI", rd=v0, rs1=rs1, imm=0)
+    b.emit("ANDI", rd=v1, rs1=v0, imm=-8)
+    b.emit("LD", rd=v2, rs1=v1, imm=0)
+    b.emit("VirtualMULI", rd=v3, rs1=v0, imm=8)
+    b.emit("VirtualPow2", rd=v3, rs1=v3)
+    b.emit("LUI", rd=v0, imm=(1 << (8 * size)) - 1)
+    b.emit("MUL", rd=v0, rs1=v0, rs2=v3)
+    b.emit("MUL", rd=v3, rs1=value, rs2=v3)
+    b.emit("XOR", rd=v3, rs1=v2, rs2=v3)
+    b.emit("AND", rd=v3, rs1=v3, rs2=v0)
+    if cond is not None:
+        b.emit("MUL", rd=v3, rs1=v3, rs2=cond)
+    b.emit("XOR", rd=v2, rs1=v2, rs2=v3)
+    b.emit("SD", rs1=v1, rs2=v2, imm=0)
+
+
+def _expand_atomic(b: _Builder, d) -> None:
+    k = d.kind
+    word = k.endswith("W")
+    rd_t = d.rd if d.rd else VTEMP_BASE - 1   # x32 sink keeps side effects
+    if k in ("LRW", "LRD"):
+        _assert_ram_region(b, d.rs1)
+        b.emit("ADDI", rd=RESV_W if word else RESV_D, rs1=d.rs1, imm=0)
+        b.emit("ADDI", rd=RESV_D if word else RESV_W, rs1=0, imm=0)
+        if word:
+            _narrow_load(b, _NS(rd=rd_t, rs1=d.rs1, imm=0), 4, signed=True)
+        else:
+            b.emit("LD", rd=rd_t, rs1=d.rs1, imm=0)
+        return
+    if k in ("SCW", "SCD"):
+        _assert_ram_region(b, d.rs1)
+        t, succ = b.tmp(), b.tmp()
+        b.emit("XOR", rd=t, rs1=RESV_W if word else RESV_D, rs2=d.rs1)
+        b.emit("SLTIU", rd=succ, rs1=t, imm=1)        # 1 iff match
+        if word:
+            _cond_narrow_store(b, d.rs1, d.rs2, 4, succ)
+        else:
+            v_old, diff = b.tmp(), b.tmp()
+            b.emit("LD", rd=v_old, rs1=d.rs1, imm=0)
+            b.emit("XOR", rd=diff, rs1=v_old, rs2=d.rs2)
+            b.emit("MUL", rd=diff, rs1=diff, rs2=succ)
+            b.emit("XOR", rd=v_old, rs1=v_old, rs2=diff)
+            b.emit("SD", rs1=d.rs1, rs2=v_old, imm=0)
+        # any SC invalidates both reservations; status: 0 = success
+        b.emit("ADDI", rd=RESV_W, rs1=0, imm=0)
+        b.emit("ADDI", rd=RESV_D, rs1=0, imm=0)
+        b.emit("XORI", rd=rd_t, rs1=succ, imm=1)
+        return
+    op = k[3:-1]
+    v_old = b.tmp()
+    if word:
+        _narrow_load(b, _NS(rd=v_old, rs1=d.rs1, imm=0), 4, signed=True)
+    else:
+        b.emit("LD", rd=v_old, rs1=d.rs1, imm=0)
+    v_new = _amo_new_value(b, op, word, v_old, d.rs2)
+    if word:
+        _cond_narrow_store(b, d.rs1, v_new, 4, None)
+    else:
+        b.emit("SD", rs1=d.rs1, rs2=v_new, imm=0)
+    b.emit("ADDI", rd=rd_t, rs1=v_old, imm=0)
+
+
+_ATOMIC_KINDS = frozenset([
+    "LRW", "LRD", "SCW", "SCD",
+    "AMOSWAPW", "AMOSWAPD", "AMOADDW", "AMOADDD", "AMOXORW", "AMOXORD",
+    "AMOANDW", "AMOANDD", "AMOORW", "AMOORD",
+    "AMOMINW", "AMOMIND", "AMOMAXW", "AMOMAXD",
+    "AMOMINUW", "AMOMINUD", "AMOMAXUW", "AMOMAXUD"])
+
+
 def expand_decoded(d, address: int) -> List[Row]:
     """Expand one decoded instruction into its final row sequence."""
     k = d.kind
     b = _Builder(address)
     rd = d.rd
 
-    if k in ("LB", "LBU", "LH", "LHU", "LW", "LWU"):
+    if k in _ATOMIC_KINDS:
+        _expand_atomic(b, d)
+    elif k in ("LB", "LBU", "LH", "LHU", "LW", "LWU"):
         size = {"LB": 1, "LBU": 1, "LH": 2, "LHU": 2, "LW": 4, "LWU": 4}[k]
         _narrow_load(b, d, size, signed=k in ("LB", "LH", "LW"))
     elif k in ("SB", "SH", "SW"):
@@ -407,19 +559,41 @@ _NO_RD = frozenset([
 
 def expand_program(code: bytes, entry: int, start: int = None) -> Program:
     """Statically expand a program image (pure function of (code, entry);
-    both prover and verifier derive the same public row table)."""
+    both prover and verifier derive the same public row table).
+
+    The walk is 2-byte granular: a halfword whose low bits aren't 0b11 is
+    an RVC (compressed) instruction; its expanded rows carry the
+    IsCompressed flag so the R1CS PC-advance constraints use +2."""
     rows: List[Row] = []
     addr2row: Dict[int, int] = {}
-    n = len(code) // 4
-    for i in range(n):
-        addr = entry + 4 * i
+    n = len(code)
+    off = 0
+    while off + 2 <= n:
+        addr = entry + off
         addr2row[addr] = len(rows)
-        word = int.from_bytes(code[4 * i:4 * i + 4], "little")
-        try:
-            d = isa.decode(word)
-        except isa.DecodeError:
-            rows.append(Row(kind="NOOP", address=addr))
-            continue
+        lo = int.from_bytes(code[off:off + 2], "little")
+        if lo & 3 == 3:
+            if off + 4 > n:
+                rows.append(Row(kind="NOOP", address=addr))
+                off += 2
+                continue
+            word = int.from_bytes(code[off:off + 4], "little")
+            step = 4
+            try:
+                d = isa.decode(word)
+            except isa.DecodeError:
+                rows.append(Row(kind="NOOP", address=addr))
+                off += step
+                continue
+        else:
+            step = 2
+            try:
+                d = isa.decode_compressed(lo)
+            except isa.DecodeError:
+                rows.append(Row(kind="NOOP", address=addr))
+                off += step
+                continue
+        comp = d.length == 2
         # rd = x0 with a destination and no side effect is architecturally a
         # no-op; the R1CS cannot satisfy RdWrite == LookupOutput through the
         # x0 sink, so expansion replaces it with `addi x32, x0, 0` -- a real
@@ -427,14 +601,20 @@ def expand_program(code: bytes, entry: int, start: int = None) -> Program:
         # and are reserved for trace padding).  Reference: expand/mod.rs
         # rd-zero rewrite; jumps keep their x32 rewrite instead.
         if (d.rd == 0 and d.kind not in _NO_RD
-                and d.kind not in ("JAL", "JALR")):
-            rows.append(Row(kind="ADDI", address=addr, rd=VTEMP_BASE - 1))
+                and d.kind not in ("JAL", "JALR")
+                and d.kind not in _ATOMIC_KINDS):   # atomics keep side effects
+            rows.append(Row(kind="ADDI", address=addr, rd=VTEMP_BASE - 1,
+                            compressed=comp))
+            off += step
             continue
         seq = expand_decoded(d, addr)
+        for row in seq:
+            row.compressed = comp
         if d.kind in ("JAL", "JALR") and d.rd == 0:
             seq[0].rd = 32  # x0-jump rewrite (emulator.py Emulator.step)
         rows.extend(seq)
+        off += step
     # one-past-the-end halt row (pc after the final instruction)
-    addr2row[entry + 4 * n] = len(rows)
+    addr2row[entry + n] = len(rows)
     return Program(rows=rows, addr2row=addr2row, code=code, entry=entry,
                    start=start)

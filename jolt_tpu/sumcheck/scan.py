@@ -265,6 +265,8 @@ def prove_scan(instances: Sequence[SumcheckInstance],
     output, one device dispatch per stage, O(segments) compile."""
     if not _supports_scan(instances):
         return prove_fused(instances, accumulator, transcript)
+    from ..utils.profiling import active as _prof_active
+    _prof = _prof_active()
 
     max_rounds = max(i.num_rounds for i in instances)
     n_inst = len(instances)
@@ -355,6 +357,8 @@ def prove_scan(instances: Sequence[SumcheckInstance],
             inst.scan_finals(st) for inst, st in zip(instances, sts))
         return state, n, flat_comp, flat_r, finals
 
+    _sp = _prof.span(f"scan_prep[{'+'.join(type(i).__name__ for i in instances)}]")
+    _sp.__enter__()
     bcs0 = tuple(inst.scan_bconsts() for inst in instances)
     st00 = tuple(inst.scan_state0() for inst in instances)
     xs_all0 = []
@@ -379,12 +383,14 @@ def prove_scan(instances: Sequence[SumcheckInstance],
     if fn is None:
         fn = jax.jit(stage)
         _SCAN_CACHE[key] = fn
-    state_f, n_f, flat_comp, flat_r, finals_f = fn(
-        state0, n0, claim_arr, coeff_arr, bcs0, st00, xs_all0)
+    _sp.__exit__(None, None, None)
+    with _prof.span("scan_dispatch_fetch"):
+        state_f, n_f, flat_comp, flat_r, finals_f = fn(
+            state0, n0, claim_arr, coeff_arr, bcs0, st00, xs_all0)
 
-    # ---- ONE fetch, host transcript replay + self-check ------------------
-    comp_np, r_np, state_np, finals_np = jax.device_get(
-        (flat_comp, flat_r, state_f, finals_f))
+        # ---- ONE fetch, host transcript replay + self-check --------------
+        comp_np, r_np, state_np, finals_np = jax.device_get(
+            (flat_comp, flat_r, state_f, finals_f))
 
     compressed_polys: List[List[int]] = []
     r_sumcheck: List[int] = []
@@ -400,13 +406,14 @@ def prove_scan(instances: Sequence[SumcheckInstance],
         compressed_polys.append(compressed)
     assert dt.words_to_state(state_np) == transcript.state
 
-    for inst, fin in zip(instances, finals_np):
-        inst.fused_store(fin)
-    for inst in instances:
-        inst.finalize()
-    for inst, off in zip(instances, offs):
-        inst.cache_openings(accumulator,
-                            r_sumcheck[off:off + inst.num_rounds])
-    accumulator.flush_to_transcript(transcript)
+    with _prof.span("scan_post"):
+        for inst, fin in zip(instances, finals_np):
+            inst.fused_store(fin)
+        for inst in instances:
+            inst.finalize()
+        for inst, off in zip(instances, offs):
+            inst.cache_openings(accumulator,
+                                r_sumcheck[off:off + inst.num_rounds])
+        accumulator.flush_to_transcript(transcript)
 
     return compressed_polys, r_sumcheck

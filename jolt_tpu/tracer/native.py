@@ -81,7 +81,8 @@ def serialize_program(program: Program) -> np.ndarray:
         arr[i]["rs1"] = r.rs1
         arr[i]["rs2"] = r.rs2
         arr[i]["flags"] = ((1 if r.virtual else 0) | (2 if r.first else 0)
-                           | (4 if r.last else 0))
+                           | (4 if r.last else 0)
+                           | (8 if r.compressed else 0))
         if r.advice is not None:
             op, a, b = r.advice
             arr[i]["advice_op"] = ADVICE_OP_ID[op]

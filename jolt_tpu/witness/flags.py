@@ -119,6 +119,15 @@ FLAGS: Dict[str, Tuple[Tuple[str, ...], Tuple[str, ...]]] = {
     "VirtualAssertWordAlignment": (("AddOperands", "Assert"), _RS1_IMM),
 }
 
+# RV64A source kinds: always expanded into final-row sequences
+# (riscv/program.py); entries exist only for the semantic oracle.
+for _amo in ["LRW", "LRD", "SCW", "SCD",
+             "AMOSWAPW", "AMOSWAPD", "AMOADDW", "AMOADDD", "AMOXORW",
+             "AMOXORD", "AMOANDW", "AMOANDD", "AMOORW", "AMOORD",
+             "AMOMINW", "AMOMIND", "AMOMAXW", "AMOMAXD",
+             "AMOMINUW", "AMOMINUD", "AMOMAXUW", "AMOMAXUD"]:
+    FLAGS[_amo] = ((), _RS1_RS2)
+
 # Kinds that may appear as FINAL bytecode rows: every one has a direct
 # lookup table (or none needed).  Source-only kinds (sub-word memory ops,
 # register/word shifts, W arithmetic, MULH*, div/rem) are expanded by

@@ -141,8 +141,8 @@ class R1CSCycleInputs:
 
 def row_circuit_flags(row) -> frozenset:
     """Kind flags + per-row sequence flags (VirtualInstruction,
-    IsFirst/IsLastInSequence, and DoNotUpdateUnexpandedPC on every
-    non-final sequence row)."""
+    IsFirst/IsLastInSequence, DoNotUpdateUnexpandedPC on every non-final
+    sequence row, and IsCompressed for RVC source instructions)."""
     cf = set(F.FLAGS[row.kind][0])
     if row.virtual:
         cf.add("VirtualInstruction")
@@ -152,6 +152,8 @@ def row_circuit_flags(row) -> frozenset:
             cf.add("IsLastInSequence")
         else:
             cf.add("DoNotUpdateUnexpandedPC")
+    if getattr(row, "compressed", False):
+        cf.add("IsCompressed")
     return frozenset(cf)
 
 
@@ -224,6 +226,7 @@ def _program_tables(program):
     virt = np.zeros(n + 1, bool)
     first = np.zeros(n + 1, bool)
     last = np.zeros(n + 1, bool)
+    comp = np.zeros(n + 1, bool)
     noop_id = isa.KIND_ID["NOOP"]
     kid[n] = noop_id   # one-past-the-end halt row
     for i, row in enumerate(program.rows):
@@ -235,8 +238,9 @@ def _program_tables(program):
         virt[i] = row.virtual
         first[i] = row.first
         last[i] = row.last
+        comp[i] = row.compressed
     tabs = dict(kid=kid, imm_lo=imm_lo, imm_neg=imm_neg, virt=virt,
-                first=first, last=last, noop=noop_id)
+                first=first, last=last, comp=comp, noop=noop_id)
     program._r1cs_row_tables = tabs
     return tabs
 
@@ -303,11 +307,12 @@ def extract_r1cs_inputs(trace: Trace, strict: bool = True) -> R1CSCycleInputs:
         virt = PT["virt"][k_idx]
         first = PT["first"][k_idx]
         last = PT["last"][k_idx]
+        comp = PT["comp"][k_idx]
         noop_id = PT["noop"]
     else:
         imm_lo = np.zeros(T, _U64)
         imm_neg = np.zeros(T, bool)
-        virt = first = last = np.zeros(T, bool)
+        virt = first = last = comp = np.zeros(T, bool)
         noop_id = isa.KIND_ID["NOOP"]
 
     is_noop = kid == noop_id
@@ -329,6 +334,7 @@ def extract_r1cs_inputs(trace: Trace, strict: bool = True) -> R1CSCycleInputs:
     cf[:, ci["IsFirstInSequence"]] |= virt & first
     cf[:, ci["IsLastInSequence"]] |= virt & last
     cf[:, ci["DoNotUpdateUnexpandedPC"]] |= virt & ~last
+    cf[:, ci["IsCompressed"]] |= comp
     inf = KT["inf"][kid]                      # (T, 6)
     ii = {n: i for i, n in enumerate(F.INSTRUCTION_FLAGS)}
 

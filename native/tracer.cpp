@@ -276,8 +276,9 @@ TraceResult* jolt_trace_rows(const ProgRow* prog, u64 n_prog,
     u64 rs2v = m->regs[pr.rs2];
     i64 imm = pr.imm;
     bool advances = !(pr.flags & 1) || (pr.flags & 4);  // !virtual || last
+    u64 ilen = (pr.flags & 8) ? 2 : 4;   // RVC source instruction
     u64 next_row = row_idx + 1;
-    u64 next_pc = advances ? pc + 4 : pc;
+    u64 next_pc = advances ? pc + ilen : pc;
     u64 rd_pre = m->regs[rd];
     u64 rd_post = rd_pre;
     u64 ram_addr = 0, ram_pre = 0, ram_post = 0;
@@ -291,8 +292,8 @@ TraceResult* jolt_trace_rows(const ProgRow* prog, u64 n_prog,
         break;
       case LUI: rd_post = (u64)imm; break;
       case AUIPC: rd_post = pc + (u64)imm; break;
-      case JAL: rd_post = pc + 4; target = pc + (u64)imm; has_target = true; break;
-      case JALR: rd_post = pc + 4; target = (rs1v + (u64)imm) & ~1ull; has_target = true; break;
+      case JAL: rd_post = pc + ilen; target = pc + (u64)imm; has_target = true; break;
+      case JALR: rd_post = pc + ilen; target = (rs1v + (u64)imm) & ~1ull; has_target = true; break;
       case BEQ: case BNE: case BLT: case BGE: case BLTU: case BGEU: {
         bool taken = false;
         switch (k) {
