@@ -1,0 +1,130 @@
+"""ctypes bindings for the native BN254 pairing (native/pairing.cpp).
+
+The C++ library mirrors `pairing.py` / `fq_tower.py` formula-for-formula,
+so GT elements are byte-identical to the Python oracle; `pairing.py`
+routes Miller loops / final exponentiations / GT pows here when the
+library is available (JOLT_TPU_NO_NATIVE_PAIRING=1 forces the Python
+tier; tests/test_native_pairing.py pins the equivalence)."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Optional, Tuple
+
+from ..field.params import FQ_MODULUS as Q
+from ..field.params import FR_MODULUS as R
+from .fq_tower import Fq2, Fq6, Fq12
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_SO = os.path.join(_NATIVE_DIR, "libjolt_pairing.so")
+_SRC = os.path.join(_NATIVE_DIR, "pairing.cpp")
+_FINAL_EXP = (Q ** 12 - 1) // R
+_FINAL_EXP_LE = _FINAL_EXP.to_bytes((_FINAL_EXP.bit_length() + 7) // 8,
+                                    "little")
+
+_lib = None
+_lock = threading.Lock()
+
+
+def available() -> bool:
+    return load() is not None
+
+
+def load():
+    global _lib
+    if _lib is not None:
+        return _lib if _lib is not False else None
+    with _lock:
+        if _lib is not None:
+            return _lib if _lib is not False else None
+        if os.environ.get("JOLT_TPU_NO_NATIVE_PAIRING"):
+            _lib = False
+            return None
+        try:
+            if (not os.path.exists(_SO)
+                    or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+                subprocess.run(["g++", "-O3", "-shared", "-fPIC", "-pthread",
+                                "-o", _SO, _SRC], check=True)
+            lib = ctypes.CDLL(_SO)
+            lib.jolt_miller_product.argtypes = [
+                ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+                ctypes.c_uint64, ctypes.c_char_p]
+            lib.jolt_fq12_pow.argtypes = [
+                ctypes.c_char_p, ctypes.c_char_p, ctypes.c_uint64,
+                ctypes.c_char_p]
+            lib.jolt_fq12_mul.argtypes = [
+                ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p]
+            _lib = lib
+        except Exception:
+            _lib = False
+            return None
+    return _lib
+
+
+# ---- encoding (little-endian 32B canonical Fq components) -----------------
+
+def _fq12_to_bytes(f: Fq12) -> bytes:
+    out = b""
+    for f6 in (f.c0, f.c1):
+        for f2 in (f6.c0, f6.c1, f6.c2):
+            out += f2.a.to_bytes(32, "little") + f2.b.to_bytes(32, "little")
+    return out
+
+
+def _fq12_from_bytes(buf: bytes) -> Fq12:
+    vals = [int.from_bytes(buf[i * 32:(i + 1) * 32], "little")
+            for i in range(12)]
+    f2s = [Fq2(vals[2 * i], vals[2 * i + 1]) for i in range(6)]
+    return Fq12(Fq6(f2s[0], f2s[1], f2s[2]), Fq6(f2s[3], f2s[4], f2s[5]))
+
+
+def miller_product(pairs: List[Tuple[Optional[tuple], object]]) -> Optional[Fq12]:
+    """prod of Miller loops over (G1 affine ints, G2 affine Fq2) pairs;
+    None when the native library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    n = len(pairs)
+    g1 = bytearray(64 * n)
+    g2 = bytearray(128 * n)
+    inf = bytearray(n)
+    for i, (p, q) in enumerate(pairs):
+        if p is None or q is None:
+            inf[i] = 1
+            continue
+        g1[64 * i:64 * i + 32] = p[0].to_bytes(32, "little")
+        g1[64 * i + 32:64 * i + 64] = p[1].to_bytes(32, "little")
+        xq, yq = q
+        o = 128 * i
+        g2[o:o + 32] = xq.a.to_bytes(32, "little")
+        g2[o + 32:o + 64] = xq.b.to_bytes(32, "little")
+        g2[o + 64:o + 96] = yq.a.to_bytes(32, "little")
+        g2[o + 96:o + 128] = yq.b.to_bytes(32, "little")
+    out = ctypes.create_string_buffer(384)
+    lib.jolt_miller_product(bytes(g1), bytes(g2), bytes(inf), n, out)
+    return _fq12_from_bytes(out.raw)
+
+
+def fq12_pow(base: Fq12, e: int) -> Optional[Fq12]:
+    lib = load()
+    if lib is None:
+        return None
+    if e == 0:
+        return Fq12.one()
+    eb = int(e).to_bytes((e.bit_length() + 7) // 8, "little")
+    out = ctypes.create_string_buffer(384)
+    lib.jolt_fq12_pow(_fq12_to_bytes(base), eb, len(eb), out)
+    return _fq12_from_bytes(out.raw)
+
+
+def final_exp(f: Fq12) -> Optional[Fq12]:
+    lib = load()
+    if lib is None:
+        return None
+    out = ctypes.create_string_buffer(384)
+    lib.jolt_fq12_pow(_fq12_to_bytes(f), _FINAL_EXP_LE, len(_FINAL_EXP_LE),
+                      out)
+    return _fq12_from_bytes(out.raw)

@@ -133,6 +133,10 @@ def _g1_bytes(p: host.Point) -> bytes:
 
 def gt_exp(f: Fq12, e: int) -> Fq12:
     e %= P
+    from ..curve import native_pairing as _np
+    fast = _np.fq12_pow(f, e)
+    if fast is not None:
+        return fast
     return f.pow(e)
 
 

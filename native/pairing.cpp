@@ -1,0 +1,453 @@
+// BN254 pairing in C++ (host runtime component).
+//
+// Exact mirror of jolt_tpu/curve/pairing.py + fq_tower.py: the same tower
+// (Fq2 = Fq[u]/(u^2+1), Fq6 = Fq2[v]/(v^3 - (9+u)), Fq12 = Fq6[w]/(w^2-v)),
+// the same Tate Miller loop and line function, so every GT element is
+// byte-identical to the Python oracle (transcripts absorb GT bytes; the two
+// tiers must agree bit-for-bit).  The Python tier remains the semantic
+// oracle (tests/test_native_pairing.py); this library is the production
+// path for Dory tier-2 commits / reduce rounds and verifier GT algebra,
+// where the reference leans on optimized arkworks pairings
+// (crates/jolt-dory/src/routines.rs).
+//
+// Arithmetic: 4x64-bit CIOS Montgomery multiplication over Fq via
+// unsigned __int128; generic big exponents arrive as little-endian byte
+// strings from Python (no bignum library needed).
+//
+// ABI (all buffers little-endian 32-byte canonical Fq components):
+//   g1 point  = 64B  (x, y)
+//   g2 point  = 128B (x.a, x.b, y.a, y.b)
+//   fq12      = 384B (c0.c0.a, c0.c0.b, c0.c1.a, .., c1.c2.b)
+
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+typedef uint64_t u64;
+typedef unsigned __int128 u128;
+
+static const u64 QL[4] = {0x3c208c16d87cfd47ull, 0x97816a916871ca8dull,
+                          0xb85045b68181585dull, 0x30644e72e131a029ull};
+static const u64 R2L[4] = {0xf32cfc5b538afa89ull, 0xb5e71911d44501fbull,
+                           0x47ab1eff0a417ff6ull, 0x06d89f71cab8351full};
+static const u64 ONEM[4] = {0xd35d438dc58f0d9dull, 0x0a78eb28f5c70b3dull,
+                            0x666ea36f7879462cull, 0x0e0a77c19a07df2full};
+static const u64 N0 = 0x87d20782e4866389ull;
+
+struct Fq { u64 l[4]; };
+
+static inline Fq fq_zero() { Fq r; r.l[0]=r.l[1]=r.l[2]=r.l[3]=0; return r; }
+static inline bool fq_is_zero(const Fq& a) {
+  return !(a.l[0]|a.l[1]|a.l[2]|a.l[3]);
+}
+static inline bool fq_eq(const Fq& a, const Fq& b) {
+  return a.l[0]==b.l[0] && a.l[1]==b.l[1] && a.l[2]==b.l[2] && a.l[3]==b.l[3];
+}
+static inline bool geq_q(const u64 a[4]) {
+  for (int i = 3; i >= 0; --i) {
+    if (a[i] > QL[i]) return true;
+    if (a[i] < QL[i]) return false;
+  }
+  return true;  // equal
+}
+static inline void sub_q(u64 a[4]) {
+  u128 bor = 0;
+  for (int i = 0; i < 4; ++i) {
+    u128 d = (u128)a[i] - QL[i] - bor;
+    a[i] = (u64)d;
+    bor = (d >> 64) & 1;
+  }
+}
+static inline Fq fq_add(const Fq& a, const Fq& b) {
+  Fq r; u128 c = 0;
+  for (int i = 0; i < 4; ++i) {
+    u128 s = (u128)a.l[i] + b.l[i] + c;
+    r.l[i] = (u64)s; c = s >> 64;
+  }
+  if (c || geq_q(r.l)) sub_q(r.l);
+  return r;
+}
+static inline Fq fq_sub(const Fq& a, const Fq& b) {
+  Fq r; u128 bor = 0;
+  for (int i = 0; i < 4; ++i) {
+    u128 d = (u128)a.l[i] - b.l[i] - bor;
+    r.l[i] = (u64)d; bor = (d >> 64) & 1;
+  }
+  if (bor) {  // add q back
+    u128 c = 0;
+    for (int i = 0; i < 4; ++i) {
+      u128 s = (u128)r.l[i] + QL[i] + c;
+      r.l[i] = (u64)s; c = s >> 64;
+    }
+  }
+  return r;
+}
+static inline Fq fq_neg(const Fq& a) {
+  if (fq_is_zero(a)) return a;
+  Fq q; memcpy(q.l, QL, sizeof(QL));
+  return fq_sub(q, a);
+}
+
+// CIOS Montgomery multiplication
+static Fq fq_mul(const Fq& a, const Fq& b) {
+  u64 t[6] = {0, 0, 0, 0, 0, 0};
+  for (int i = 0; i < 4; ++i) {
+    u128 c = 0;
+    for (int j = 0; j < 4; ++j) {
+      u128 s = (u128)t[j] + (u128)a.l[i] * b.l[j] + c;
+      t[j] = (u64)s; c = s >> 64;
+    }
+    u128 s = (u128)t[4] + c;
+    t[4] = (u64)s; t[5] = (u64)(s >> 64);
+    u64 m = t[0] * N0;
+    c = ((u128)t[0] + (u128)m * QL[0]) >> 64;
+    for (int j = 1; j < 4; ++j) {
+      u128 s2 = (u128)t[j] + (u128)m * QL[j] + c;
+      t[j - 1] = (u64)s2; c = s2 >> 64;
+    }
+    s = (u128)t[4] + c;
+    t[3] = (u64)s;
+    t[4] = t[5] + (u64)(s >> 64);
+    t[5] = 0;
+  }
+  Fq r;
+  memcpy(r.l, t, 32);
+  if (t[4] || geq_q(r.l)) sub_q(r.l);
+  return r;
+}
+static inline Fq fq_sqr(const Fq& a) { return fq_mul(a, a); }
+
+static Fq fq_from_canonical(const u64 l[4]) {
+  Fq a; memcpy(a.l, l, 32);
+  Fq r2; memcpy(r2.l, R2L, 32);
+  return fq_mul(a, r2);
+}
+static void fq_to_canonical(const Fq& a, u64 out[4]) {
+  Fq one = fq_zero(); one.l[0] = 1;   // plain 1 (not Montgomery)
+  Fq c = fq_mul(a, one);
+  memcpy(out, c.l, 32);
+}
+static Fq fq_one() { Fq r; memcpy(r.l, ONEM, 32); return r; }
+
+// generic pow with little-endian byte exponent
+static Fq fq_pow_bytes(const Fq& a, const uint8_t* e, size_t n) {
+  Fq acc = fq_one();
+  // MSB-first
+  int started = 0;
+  for (size_t bi = n; bi-- > 0;) {
+    for (int bit = 7; bit >= 0; --bit) {
+      if (started) acc = fq_sqr(acc);
+      if ((e[bi] >> bit) & 1) {
+        if (!started) { acc = a; started = 1; }
+        else acc = fq_mul(acc, a);
+      }
+    }
+  }
+  return acc;
+}
+// 4-limb helpers for the binary extended GCD
+static inline bool limbs_is_zero(const u64 a[4]) {
+  return !(a[0] | a[1] | a[2] | a[3]);
+}
+static inline bool limbs_is_one(const u64 a[4]) {
+  return a[0] == 1 && !(a[1] | a[2] | a[3]);
+}
+static inline bool limbs_geq(const u64 a[4], const u64 b[4]) {
+  for (int i = 3; i >= 0; --i) {
+    if (a[i] > b[i]) return true;
+    if (a[i] < b[i]) return false;
+  }
+  return true;
+}
+static inline void limbs_sub(u64 a[4], const u64 b[4]) {  // a -= b (a >= b)
+  u128 bor = 0;
+  for (int i = 0; i < 4; ++i) {
+    u128 d = (u128)a[i] - b[i] - bor;
+    a[i] = (u64)d; bor = (d >> 64) & 1;
+  }
+}
+static inline void limbs_shr1(u64 a[4]) {
+  for (int i = 0; i < 3; ++i) a[i] = (a[i] >> 1) | (a[i + 1] << 63);
+  a[3] >>= 1;
+}
+static inline void limbs_half_mod_q(u64 a[4]) {  // a = a/2 mod q
+  if (a[0] & 1) {
+    u128 c = 0;
+    for (int i = 0; i < 4; ++i) {
+      u128 s = (u128)a[i] + QL[i] + c;
+      a[i] = (u64)s; c = s >> 64;
+    }
+    limbs_shr1(a);
+    if (c) a[3] |= 1ull << 63;
+  } else {
+    limbs_shr1(a);
+  }
+}
+static inline void limbs_submod(u64 a[4], const u64 b[4]) {  // a = a-b mod q
+  u128 bor = 0;
+  for (int i = 0; i < 4; ++i) {
+    u128 d = (u128)a[i] - b[i] - bor;
+    a[i] = (u64)d; bor = (d >> 64) & 1;
+  }
+  if (bor) {
+    u128 c = 0;
+    for (int i = 0; i < 4; ++i) {
+      u128 s = (u128)a[i] + QL[i] + c;
+      a[i] = (u64)s; c = s >> 64;
+    }
+  }
+}
+
+static Fq fq_inv(const Fq& a) {
+  // binary extended GCD on the Montgomery representative t = aR:
+  // egcd gives t^{-1} (plain); two mont_muls by R^2 lift it to a^{-1}R.
+  if (fq_is_zero(a)) return a;
+  u64 u[4], v[4], x1[4] = {1, 0, 0, 0}, x2[4] = {0, 0, 0, 0};
+  memcpy(u, a.l, 32);
+  memcpy(v, QL, 32);
+  while (!limbs_is_one(u) && !limbs_is_one(v)) {
+    while (!(u[0] & 1)) { limbs_shr1(u); limbs_half_mod_q(x1); }
+    while (!(v[0] & 1)) { limbs_shr1(v); limbs_half_mod_q(x2); }
+    if (limbs_geq(u, v)) { limbs_sub(u, v); limbs_submod(x1, x2); }
+    else { limbs_sub(v, u); limbs_submod(x2, x1); }
+  }
+  Fq s;
+  memcpy(s.l, limbs_is_one(u) ? x1 : x2, 32);
+  Fq r2; memcpy(r2.l, R2L, 32);
+  return fq_mul(fq_mul(s, r2), r2);
+}
+
+// ---------------- Fq2 ----------------
+struct Fq2 { Fq a, b; };
+static inline Fq2 f2(const Fq& a, const Fq& b) { Fq2 r; r.a = a; r.b = b; return r; }
+static inline Fq2 f2_zero() { return f2(fq_zero(), fq_zero()); }
+static inline Fq2 f2_one() { return f2(fq_one(), fq_zero()); }
+static inline Fq2 f2_add(const Fq2& x, const Fq2& y) { return f2(fq_add(x.a, y.a), fq_add(x.b, y.b)); }
+static inline Fq2 f2_sub(const Fq2& x, const Fq2& y) { return f2(fq_sub(x.a, y.a), fq_sub(x.b, y.b)); }
+static inline Fq2 f2_neg(const Fq2& x) { return f2(fq_neg(x.a), fq_neg(x.b)); }
+static Fq2 f2_mul(const Fq2& x, const Fq2& y) {
+  Fq ac = fq_mul(x.a, y.a), bd = fq_mul(x.b, y.b);
+  Fq ad_bc = fq_sub(fq_sub(fq_mul(fq_add(x.a, x.b), fq_add(y.a, y.b)), ac), bd);
+  return f2(fq_sub(ac, bd), ad_bc);
+}
+static inline Fq2 f2_sqr(const Fq2& x) { return f2_mul(x, x); }
+static Fq2 f2_mul_fq(const Fq2& x, const Fq& s) { return f2(fq_mul(x.a, s), fq_mul(x.b, s)); }
+static Fq2 f2_inv(const Fq2& x) {
+  Fq t = fq_inv(fq_add(fq_sqr(x.a), fq_sqr(x.b)));
+  return f2(fq_mul(x.a, t), fq_neg(fq_mul(x.b, t)));
+}
+static inline bool f2_is_zero(const Fq2& x) { return fq_is_zero(x.a) && fq_is_zero(x.b); }
+
+// xi = 9 + u (cached Montgomery form)
+static Fq2 f2_xi() {
+  static Fq2 xi;
+  static bool init = false;
+  if (!init) {
+    Fq nine = fq_zero(); nine.l[0] = 9;
+    Fq r2; memcpy(r2.l, R2L, 32);
+    xi = f2(fq_mul(nine, r2), fq_one());
+    init = true;
+  }
+  return xi;
+}
+static Fq2 f2_mul_xi(const Fq2& x) { return f2_mul(x, f2_xi()); }
+
+// ---------------- Fq6 = Fq2[v]/(v^3 - xi) ----------------
+struct Fq6 { Fq2 c0, c1, c2; };
+static inline Fq6 f6(const Fq2& a, const Fq2& b, const Fq2& c) { Fq6 r; r.c0=a; r.c1=b; r.c2=c; return r; }
+static inline Fq6 f6_zero() { return f6(f2_zero(), f2_zero(), f2_zero()); }
+static inline Fq6 f6_one() { return f6(f2_one(), f2_zero(), f2_zero()); }
+static inline Fq6 f6_add(const Fq6& x, const Fq6& y) { return f6(f2_add(x.c0,y.c0), f2_add(x.c1,y.c1), f2_add(x.c2,y.c2)); }
+static inline Fq6 f6_sub(const Fq6& x, const Fq6& y) { return f6(f2_sub(x.c0,y.c0), f2_sub(x.c1,y.c1), f2_sub(x.c2,y.c2)); }
+static inline Fq6 f6_neg(const Fq6& x) { return f6(f2_neg(x.c0), f2_neg(x.c1), f2_neg(x.c2)); }
+static Fq6 f6_mul(const Fq6& x, const Fq6& y) {
+  // Karatsuba (same schedule as fq_tower.py)
+  Fq2 t0 = f2_mul(x.c0, y.c0), t1 = f2_mul(x.c1, y.c1), t2 = f2_mul(x.c2, y.c2);
+  Fq2 c0 = f2_add(f2_mul_xi(f2_sub(f2_sub(f2_mul(f2_add(x.c1,x.c2), f2_add(y.c1,y.c2)), t1), t2)), t0);
+  Fq2 c1 = f2_add(f2_sub(f2_sub(f2_mul(f2_add(x.c0,x.c1), f2_add(y.c0,y.c1)), t0), t1), f2_mul_xi(t2));
+  Fq2 c2 = f2_add(f2_sub(f2_sub(f2_mul(f2_add(x.c0,x.c2), f2_add(y.c0,y.c2)), t0), t2), t1);
+  return f6(c0, c1, c2);
+}
+static inline Fq6 f6_sqr(const Fq6& x) { return f6_mul(x, x); }
+static Fq6 f6_mul_v(const Fq6& x) { return f6(f2_mul_xi(x.c2), x.c0, x.c1); }
+static Fq6 f6_inv(const Fq6& x) {
+  Fq2 a = x.c0, b = x.c1, c = x.c2;
+  Fq2 A = f2_sub(f2_sqr(a), f2_mul_xi(f2_mul(b, c)));
+  Fq2 B = f2_sub(f2_mul_xi(f2_sqr(c)), f2_mul(a, b));
+  Fq2 C = f2_sub(f2_sqr(b), f2_mul(a, c));
+  Fq2 t = f2_inv(f2_add(f2_mul(a, A), f2_mul_xi(f2_add(f2_mul(c, B), f2_mul(b, C)))));
+  return f6(f2_mul(A, t), f2_mul(B, t), f2_mul(C, t));
+}
+
+// ---------------- Fq12 = Fq6[w]/(w^2 - v) ----------------
+struct Fq12 { Fq6 c0, c1; };
+static inline Fq12 f12(const Fq6& a, const Fq6& b) { Fq12 r; r.c0=a; r.c1=b; return r; }
+static inline Fq12 f12_one() { return f12(f6_one(), f6_zero()); }
+static Fq12 f12_mul(const Fq12& x, const Fq12& y) {
+  Fq6 t0 = f6_mul(x.c0, y.c0), t1 = f6_mul(x.c1, y.c1);
+  Fq6 c0 = f6_add(t0, f6_mul_v(t1));
+  Fq6 c1 = f6_sub(f6_sub(f6_mul(f6_add(x.c0,x.c1), f6_add(y.c0,y.c1)), t0), t1);
+  return f12(c0, c1);
+}
+static inline Fq12 f12_sqr(const Fq12& x) { return f12_mul(x, x); }
+static Fq12 f12_pow_bytes(const Fq12& a, const uint8_t* e, size_t n) {
+  Fq12 acc = f12_one();
+  int started = 0;
+  for (size_t bi = n; bi-- > 0;) {
+    for (int bit = 7; bit >= 0; --bit) {
+      if (started) acc = f12_sqr(acc);
+      if ((e[bi] >> bit) & 1) {
+        if (!started) { acc = a; started = 1; }
+        else acc = f12_mul(acc, a);
+      }
+    }
+  }
+  return acc;
+}
+
+// ---------------- serialization ----------------
+static Fq fq_read(const uint8_t* p) {
+  u64 l[4];
+  memcpy(l, p, 32);
+  return fq_from_canonical(l);
+}
+static void fq_write(const Fq& a, uint8_t* p) {
+  u64 l[4];
+  fq_to_canonical(a, l);
+  memcpy(p, l, 32);
+}
+static Fq2 f2_read(const uint8_t* p) { return f2(fq_read(p), fq_read(p + 32)); }
+static void f2_write(const Fq2& x, uint8_t* p) { fq_write(x.a, p); fq_write(x.b, p + 32); }
+static Fq12 f12_read(const uint8_t* p) {
+  Fq6 c0 = f6(f2_read(p), f2_read(p + 64), f2_read(p + 128));
+  Fq6 c1 = f6(f2_read(p + 192), f2_read(p + 256), f2_read(p + 320));
+  return f12(c0, c1);
+}
+static void f12_write(const Fq12& x, uint8_t* p) {
+  f2_write(x.c0.c0, p); f2_write(x.c0.c1, p + 64); f2_write(x.c0.c2, p + 128);
+  f2_write(x.c1.c0, p + 192); f2_write(x.c1.c1, p + 256); f2_write(x.c1.c2, p + 320);
+}
+
+// ---------------- Miller loop (Tate; mirrors pairing.py) ----------------
+// psi(Q) = (x_Q w^2 = x_Q*v, y_Q w^3 = y_Q*v*w); line evaluated sparsely:
+//   l = y_Q*v*w + (-lam * x_Q)*v + (lam*ax - ay)
+// (an Fq12 with c0 = (c, -lam*x_Q, 0), c1 = (0, y_Q, 0))
+static Fq12 line_eval(const Fq& ax, const Fq& ay, const Fq& lam,
+                      const Fq2& xq, const Fq2& yq) {
+  Fq c = fq_sub(fq_mul(lam, ax), ay);
+  Fq2 c00 = f2(c, fq_zero());
+  Fq2 c01 = f2_mul_fq(xq, fq_neg(lam));
+  Fq6 c0 = f6(c00, c01, f2_zero());
+  Fq6 c1 = f6(f2_zero(), yq, f2_zero());
+  return f12(c0, c1);
+}
+
+// f * line, exploiting the line's sparsity (l.c0 = (a, b, 0),
+// l.c1 = (0, c, 0)): same product as f12_mul, ~60% fewer Fq2 muls.
+static Fq12 f12_mul_line(const Fq12& f, const Fq2& a, const Fq2& b,
+                         const Fq2& c) {
+  const Fq6& x0 = f.c0;
+  const Fq6& x1 = f.c1;
+  // t0 = x0 * (a + b v):
+  Fq6 t0 = f6(f2_add(f2_mul(x0.c0, a), f2_mul_xi(f2_mul(x0.c2, b))),
+              f2_add(f2_mul(x0.c1, a), f2_mul(x0.c0, b)),
+              f2_add(f2_mul(x0.c2, a), f2_mul(x0.c1, b)));
+  // t1 = x1 * (c v):
+  Fq6 t1 = f6(f2_mul_xi(f2_mul(x1.c2, c)),
+              f2_mul(x1.c0, c),
+              f2_mul(x1.c1, c));
+  // x1 * (a + b v):
+  Fq6 t2 = f6(f2_add(f2_mul(x1.c0, a), f2_mul_xi(f2_mul(x1.c2, b))),
+              f2_add(f2_mul(x1.c1, a), f2_mul(x1.c0, b)),
+              f2_add(f2_mul(x1.c2, a), f2_mul(x1.c1, b)));
+  // x0 * (c v):
+  Fq6 t3 = f6(f2_mul_xi(f2_mul(x0.c2, c)),
+              f2_mul(x0.c0, c),
+              f2_mul(x0.c1, c));
+  return f12(f6_add(t0, f6_mul_v(t1)), f6_add(t2, t3));
+}
+
+// Fr (the group order r) bits, MSB-first, skipping the leading 1.
+static const char* R_BITS =
+  "1000001100100010011100111001011100001001100011010000000101001101"
+  "1100001010000010001011011011010000001100000010101100001011101001"
+  "0100000110011111010000100100001111001101110010111000010010001010"
+  "0001111100001111101011001001111110000000000000000000000000001";  // bin(r)[3:], 253 bits
+
+static Fq12 miller_one(const uint8_t* g1, const uint8_t* g2, int inf) {
+  if (inf) return f12_one();
+  Fq xp = fq_read(g1), yp = fq_read(g1 + 32);
+  Fq2 xq = f2_read(g2), yq = f2_read(g2 + 64);
+  Fq12 f = f12_one();
+  Fq tx = xp, ty = yp;
+  for (const char* b = R_BITS; *b; ++b) {
+    Fq lam = fq_mul(fq_mul(fq_add(fq_add(tx, tx), tx), tx),
+                    fq_inv(fq_add(ty, ty)));   // 3*tx^2 / (2*ty)
+    {
+      Fq c = fq_sub(fq_mul(lam, tx), ty);
+      f = f12_mul_line(f12_sqr(f), f2(c, fq_zero()),
+                       f2_mul_fq(xq, fq_neg(lam)), yq);
+    }
+    Fq x3 = fq_sub(fq_sqr(lam), fq_add(tx, tx));
+    ty = fq_sub(fq_mul(lam, fq_sub(tx, x3)), ty);
+    tx = x3;
+    if (*b == '1') {
+      if (fq_eq(tx, xp) && fq_is_zero(fq_add(ty, yp))) break;
+      Fq lam2 = fq_mul(fq_sub(ty, yp), fq_inv(fq_sub(tx, xp)));
+      {
+        Fq c = fq_sub(fq_mul(lam2, tx), ty);
+        f = f12_mul_line(f, f2(c, fq_zero()),
+                         f2_mul_fq(xq, fq_neg(lam2)), yq);
+      }
+      Fq x32 = fq_sub(fq_sub(fq_sqr(lam2), tx), xp);
+      ty = fq_sub(fq_mul(lam2, fq_sub(tx, x32)), ty);
+      tx = x32;
+    }
+  }
+  return f;
+}
+
+extern "C" {
+
+// prod of Miller loops (no final exp).  g1s: n*64B, g2s: n*128B,
+// inf: n bytes (1 = skip).  out: 384B Fq12.
+void jolt_miller_product(const uint8_t* g1s, const uint8_t* g2s,
+                         const uint8_t* inf, uint64_t n, uint8_t* out) {
+  unsigned hw = std::thread::hardware_concurrency();
+  uint64_t nt = hw ? (hw < 8 ? hw : 8) : 1;
+  if (nt > n) nt = n ? n : 1;
+  if (nt <= 1 || n < 4) {
+    Fq12 acc = f12_one();
+    for (uint64_t i = 0; i < n; ++i)
+      acc = f12_mul(acc, miller_one(g1s + 64 * i, g2s + 128 * i, inf[i]));
+    f12_write(acc, out);
+    return;
+  }
+  // Miller loops are independent; the product is order-free (GT abelian).
+  std::vector<Fq12> parts(nt, f12_one());
+  std::vector<std::thread> ts;
+  for (uint64_t t = 0; t < nt; ++t) {
+    ts.emplace_back([&, t]() {
+      Fq12 acc = f12_one();
+      for (uint64_t i = t; i < n; i += nt)
+        acc = f12_mul(acc, miller_one(g1s + 64 * i, g2s + 128 * i, inf[i]));
+      parts[t] = acc;
+    });
+  }
+  for (auto& th : ts) th.join();
+  Fq12 acc = f12_one();
+  for (auto& p : parts) acc = f12_mul(acc, p);
+  f12_write(acc, out);
+}
+
+void jolt_fq12_pow(const uint8_t* base, const uint8_t* exp_le,
+                   uint64_t exp_len, uint8_t* out) {
+  f12_write(f12_pow_bytes(f12_read(base), exp_le, exp_len), out);
+}
+
+void jolt_fq12_mul(const uint8_t* a, const uint8_t* b, uint8_t* out) {
+  f12_write(f12_mul(f12_read(a), f12_read(b)), out);
+}
+
+}  // extern "C"

@@ -1,0 +1,80 @@
+"""Native C++ pairing (native/pairing.cpp) vs the Python oracle.
+
+The dispatch contract: byte-identical GT values (transcripts absorb GT
+bytes, so the tiers must agree exactly), with JOLT_TPU_NO_NATIVE_PAIRING=1
+forcing the Python tier."""
+
+import os
+import random
+
+import pytest
+
+from jolt_tpu.curve import native_pairing as npair
+from jolt_tpu.curve.fq_tower import Fq12
+from jolt_tpu.curve.pairing import (G2_GEN, _FINAL_EXP, g2_mul, miller,
+                                    pairing_product, tate_pairing)
+from jolt_tpu.curve.bn254_host import g1_mul
+from jolt_tpu.pcs.dory import gt_exp, hash_to_g1, hash_to_g2
+from jolt_tpu.field.params import FR_MODULUS as P
+
+rng = random.Random(11)
+
+
+@pytest.fixture(scope="module")
+def pts():
+    g1 = hash_to_g1(b"np/a")
+    g2 = hash_to_g2(b"np/b")
+    return g1, g2
+
+
+def test_native_available():
+    assert npair.available(), "native pairing library failed to build"
+
+
+def test_miller_matches_oracle(pts):
+    g1, g2 = pts
+    assert npair.miller_product([(g1, g2)]) == miller(g1, g2)
+    # products (order-free in GT)
+    g1b = hash_to_g1(b"np/c")
+    want = miller(g1, g2) * miller(g1b, G2_GEN)
+    assert npair.miller_product([(g1, g2), (g1b, G2_GEN)]) == want
+
+
+def test_final_exp_and_pow_match(pts):
+    g1, g2 = pts
+    m = miller(g1, g2)
+    assert npair.final_exp(m) == m.pow(_FINAL_EXP)
+    e = rng.randrange(P)
+    assert npair.fq12_pow(m, e) == m.pow(e)
+    assert gt_exp(m, e) == m.pow(e % P)
+
+
+def test_infinity_handling(pts):
+    g1, g2 = pts
+    assert npair.miller_product([(None, g2), (g1, None)]) == Fq12.one()
+
+
+def test_bilinearity(pts):
+    """e(aP, Q) == e(P, Q)^a through the native path end-to-end."""
+    g1, g2 = pts
+    a = rng.randrange(1, 1 << 64)
+    lhs = tate_pairing(g1_mul(g1, a), g2)
+    rhs = gt_exp(tate_pairing(g1, g2), a)
+    assert lhs == rhs
+    # and against scalar on the G2 side
+    assert tate_pairing(g1, g2_mul(g2, a)) == lhs
+
+
+def test_dispatch_env_gate(pts):
+    """pairing_product gives the same value with the native tier disabled."""
+    g1, g2 = pts
+    want = pairing_product([(g1, g2)])
+    os.environ["JOLT_TPU_NO_NATIVE_PAIRING"] = "1"
+    saved = npair._lib
+    npair._lib = None
+    try:
+        got = pairing_product([(g1, g2)])
+    finally:
+        del os.environ["JOLT_TPU_NO_NATIVE_PAIRING"]
+        npair._lib = saved
+    assert got == want
