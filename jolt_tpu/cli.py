@@ -76,7 +76,7 @@ def cmd_prove(args):
     else:
         tr, _ = _trace(args)
     t0 = time.time()
-    proof = prove(tr)
+    proof = prove(tr, setup=(None if args.pcs == "none" else args.pcs))
     dt = time.time() - t0
     khz = tr.length / dt / 1e3
     print(f"proved {tr.length} cycles in {dt:.1f}s ({khz:.2f} kHz)")
@@ -127,9 +127,20 @@ def cmd_verify(args):
         return 1
     io = PublicIO(st["trace_length"], st["padded_length"], inputs,
                   st["outputs"], st["panic"], layout, code, entry, start)
+    setup = None
+    if args.pcs != "none":
+        from .prover.prover import required_num_vars
+        if args.pcs == "dory":
+            from .pcs.dory import DorySetup
+            setup = DorySetup.generate(required_num_vars(
+                st["padded_length"], proof.ram_log_K, proof.bytecode_log_K))
+        else:
+            from .pcs.hyperkzg import KZGSetup
+            setup = KZGSetup.generate(1 << required_num_vars(
+                st["padded_length"], proof.ram_log_K, proof.bytecode_log_K))
     t0 = time.time()
     try:
-        ok = verify(proof, io)
+        ok = verify(proof, io, setup=setup)
     except VerificationError as e:
         print(f"REJECTED: {e}")
         return 1
@@ -151,6 +162,11 @@ def main(argv=None):
                         help="max input/output region size")
         sp.add_argument("--native", action="store_true",
                         help="use the C++ tracer")
+        sp.add_argument("--pcs", choices=("none", "dory", "hyperkzg"),
+                        default="none",
+                        help="commitment scheme for prove/verify (none = "
+                        "sumcheck-only proof; dory = production transparent "
+                        "scheme)")
         sp.add_argument("--platform", choices=("default", "cpu"),
                         default="default",
                         help="force the JAX backend (cpu = local host; "

@@ -142,6 +142,32 @@ def mask_points(P: Point3, mask: jnp.ndarray) -> Point3:
     return (X, Y, ops.select(mask, Z, jnp.zeros_like(Z)))
 
 
+@partial(jax.jit)
+def segmented_scan_points(P: Point3, heads: jnp.ndarray) -> Point3:
+    """Segmented inclusive prefix-sum of points over the last axis.
+
+    `heads` (uint32, shape (1, N)) marks the first lane of each segment;
+    lanes within a segment accumulate left-to-right and reset at heads.
+    The per-segment TOTAL sits at each segment's last lane -- the device
+    primitive behind sparse one-hot tier-1 commits (sum of generators per
+    matrix row; `poly/one_hot_polynomial.rs:119` commit_rows is the
+    reference analog).  O(N log N) point adds, one dispatch."""
+    X, Y, Z = P
+
+    def combine(a, b):
+        ax, ay, az, af = a
+        bx, by, bz, bf = b
+        sx, sy, sz = jacobian_add((ax, ay, az), (bx, by, bz))
+        keep = bf.astype(jnp.bool_)
+        return (jnp.where(keep, bx, sx), jnp.where(keep, by, sy),
+                jnp.where(keep, bz, sz), af | bf)
+
+    ox, oy, oz, _ = jax.lax.associative_scan(
+        combine, (X, Y, Z, jnp.broadcast_to(heads, (1, X.shape[-1]))),
+        axis=-1)
+    return ox, oy, oz
+
+
 def msm_binary(P: Point3, bits: jnp.ndarray) -> Point3:
     """Subset sum: sum of points where bits[n] == 1 (msm/mod.rs msm_binary).
 

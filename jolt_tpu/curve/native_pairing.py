@@ -57,6 +57,13 @@ def load():
                 ctypes.c_char_p]
             lib.jolt_fq12_mul.argtypes = [
                 ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p]
+            lib.jolt_g2_mul_batch.argtypes = [
+                ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+                ctypes.c_uint64, ctypes.c_char_p, ctypes.c_char_p]
+            lib.jolt_g2_fold_batch.argtypes = [
+                ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+                ctypes.c_char_p, ctypes.c_char_p, ctypes.c_uint64,
+                ctypes.c_char_p, ctypes.c_char_p]
             _lib = lib
         except Exception:
             _lib = False
@@ -106,6 +113,66 @@ def miller_product(pairs: List[Tuple[Optional[tuple], object]]) -> Optional[Fq12
     out = ctypes.create_string_buffer(384)
     lib.jolt_miller_product(bytes(g1), bytes(g2), bytes(inf), n, out)
     return _fq12_from_bytes(out.raw)
+
+
+def _g2_enc(p) -> Tuple[bytes, int]:
+    if p is None:
+        return b"\x00" * 128, 1
+    return (p[0].a.to_bytes(32, "little") + p[0].b.to_bytes(32, "little")
+            + p[1].a.to_bytes(32, "little") + p[1].b.to_bytes(32, "little")), 0
+
+
+def _g2_dec(buf: bytes, inf: int):
+    if inf:
+        return None
+    v = [int.from_bytes(buf[i * 32:(i + 1) * 32], "little") for i in range(4)]
+    return (Fq2(v[0], v[1]), Fq2(v[2], v[3]))
+
+
+def g2_mul_batch(points: List, scalars: List[int]) -> Optional[List]:
+    """[s_i * Q_i] (threaded native lanes); None if unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    n = len(points)
+    buf = bytearray(128 * n)
+    inf = bytearray(n)
+    sc = bytearray(32 * n)
+    for i, (p, s) in enumerate(zip(points, scalars)):
+        pb, pi = _g2_enc(p)
+        buf[128 * i:128 * (i + 1)] = pb
+        inf[i] = pi
+        sc[32 * i:32 * (i + 1)] = (s % R).to_bytes(32, "little")
+    out = ctypes.create_string_buffer(128 * n)
+    oinf = ctypes.create_string_buffer(n)
+    lib.jolt_g2_mul_batch(bytes(buf), bytes(sc), bytes(inf), n, out, oinf)
+    return [_g2_dec(out.raw[128 * i:128 * (i + 1)], oinf.raw[i])
+            for i in range(n)]
+
+
+def g2_fold_batch(a: List, b: List, s: int) -> Optional[List]:
+    """[a_i + s * b_i] with one shared scalar; None if unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    n = len(a)
+    ab = bytearray(128 * n)
+    ai = bytearray(n)
+    bb = bytearray(128 * n)
+    bi = bytearray(n)
+    for i in range(n):
+        pb, pi = _g2_enc(a[i])
+        ab[128 * i:128 * (i + 1)] = pb
+        ai[i] = pi
+        pb, pi = _g2_enc(b[i])
+        bb[128 * i:128 * (i + 1)] = pb
+        bi[i] = pi
+    out = ctypes.create_string_buffer(128 * n)
+    oinf = ctypes.create_string_buffer(n)
+    lib.jolt_g2_fold_batch(bytes(ab), bytes(ai), bytes(bb), bytes(bi),
+                           (s % R).to_bytes(32, "little"), n, out, oinf)
+    return [_g2_dec(out.raw[128 * i:128 * (i + 1)], oinf.raw[i])
+            for i in range(n)]
 
 
 def fq12_pow(base: Fq12, e: int) -> Optional[Fq12]:

@@ -264,13 +264,15 @@ class Dory:
     # ---- commit --------------------------------------------------------
 
     def commit_rows(self, coeffs: Sequence[int]) -> DoryHint:
-        """Tier 1: pay-per-bit row MSMs (zero coefficients skipped)."""
+        """Tier 1: pay-per-bit row MSMs (zero coefficients and all-zero
+        trailing rows are skipped)."""
         s = self.setup
         cols = 1 << s.sigma
-        rows = []
-        for i in range(1 << s.nu):
+        n_rows = min(1 << s.nu, (len(coeffs) + cols - 1) // cols)
+        rows: List[Optional[host.Point]] = [None] * (1 << s.nu)
+        for i in range(n_rows):
             row = coeffs[i * cols:(i + 1) * cols]
-            rows.append(host.g1_msm_pippenger(s.gamma1[:len(row)], row))
+            rows[i] = host.g1_msm_pippenger(s.gamma1[:len(row)], row)
         return DoryHint(rows=rows)
 
     def commit(self, coeffs: Sequence[int]) -> Tuple[DoryCommitment, DoryHint]:
@@ -278,19 +280,73 @@ class Dory:
         assert len(coeffs) <= 1 << s.num_vars
         hint = self.commit_rows(list(coeffs) + [0] * ((1 << s.num_vars)
                                                       - len(coeffs)))
-        gamma2 = s.levels[0].g2
+        return self._tier2(hint), hint
+
+    def _tier2(self, hint: DoryHint) -> DoryCommitment:
+        gamma2 = self.setup.levels[0].g2
         c = pairing_product([(r, g) for r, g in zip(hint.rows, gamma2)
                              if r is not None])
-        return DoryCommitment(c=c), hint
+        return DoryCommitment(c=c)
+
+    def _gamma1_dev(self):
+        if getattr(self, "_g1_dev", None) is None:
+            from ..curve import g1 as g1dev
+            self._g1_dev = g1dev.pack_points(self.setup.gamma1)
+        return self._g1_dev
+
+    def commit_onehot(self, positions) -> Tuple[DoryCommitment, DoryHint]:
+        """Commit a sparse 0/1 vector given its nonzero POSITIONS (numpy
+        int64, in [0, 2^num_vars)) -- O(T log T) device point adds for
+        tier 1 (no dense K*T vector is ever built), then the usual tier-2
+        multi-pairing over nonzero rows.
+
+        The one-hot fast path of the reference
+        (`poly/one_hot_polynomial.rs:119`): each row commitment is a plain
+        sum of column generators."""
+        import numpy as np
+
+        import jax.numpy as jnp
+
+        from ..curve import g1 as g1dev
+        s = self.setup
+        cols = 1 << s.sigma
+        positions = np.asarray(positions, np.int64)
+        row_idx = positions >> s.sigma
+        col_idx = positions & (cols - 1)
+        order = np.argsort(row_idx, kind="stable")
+        r_sorted = row_idx[order]
+        c_sorted = col_idx[order]
+        n = len(positions)
+        heads = np.ones(n, np.uint32)
+        heads[1:] = (r_sorted[1:] != r_sorted[:-1]).astype(np.uint32)
+        G = self._gamma1_dev()
+        take = jnp.asarray(c_sorted.astype(np.int32))
+        P = tuple(jnp.take(a, take, axis=-1) for a in G)
+        scan = g1dev.segmented_scan_points(P, jnp.asarray(heads[None, :]))
+        lasts = np.nonzero(np.concatenate([heads[1:], [1]]))[0]
+        il = jnp.asarray(lasts.astype(np.int32))
+        totals = tuple(a[..., il] for a in scan)
+        pts = g1dev.unpack_points(totals)
+        rows: List[Optional[host.Point]] = [None] * (1 << s.nu)
+        for r, pt in zip(r_sorted[lasts].tolist(), pts):
+            rows[r] = pt
+        hint = DoryHint(rows=rows)
+        return self._tier2(hint), hint
 
     # ---- open ----------------------------------------------------------
 
-    def open(self, coeffs: Sequence[int], hint: DoryHint,
+    def open(self, coeffs, hint: DoryHint,
              point: Sequence[int], value: int,
              transcript: Blake2bTranscript) -> DoryProof:
+        """coeffs: dense int list, or a sparse (positions int64 array,
+        values list) pair -- only the combined-row build touches
+        coefficients, so sparse inputs make the opening O(nnz), never
+        O(2^num_vars)."""
         s = self.setup
         n = s.num_vars
-        coeffs = list(coeffs) + [0] * ((1 << n) - len(coeffs))
+        sparse = isinstance(coeffs, tuple)
+        if not sparse:
+            coeffs = list(coeffs) + [0] * ((1 << n) - len(coeffs))
         r_row, r_col = point[:s.nu], point[s.nu:]
         L = _eq_tensor(r_row)
         R = _eq_tensor(r_col)
@@ -304,8 +360,11 @@ class Dory:
         transcript.append_bytes(b"dory_e1", _g1_bytes(e1))
 
         # ---- phase A: Dory-reduce on (v1 = rows, v2 = L (.) g2star) ----
+        from ..curve import native_pairing as _np
         v1 = list(hint.rows)
-        v2 = [g2_mul(s.g2star, li) for li in L]
+        v2 = _np.g2_mul_batch([s.g2star] * len(L), L)
+        if v2 is None:
+            v2 = [g2_mul(s.g2star, li) for li in L]
         a_d1l, a_d1r, a_d2l, a_d2r = [], [], [], []
         a_cp, a_cm = [], []
         for j in range(s.nu):
@@ -326,7 +385,10 @@ class Dory:
             binv = pow(beta, -1, P)
             v1 = [host.g1_add(v, host.g1_mul(g, beta))
                   for v, g in zip(v1, lev.g1)]
-            v2 = [g2_add(v, g2_mul(g, binv)) for v, g in zip(v2, lev.g2)]
+            v2n = _np.g2_fold_batch(v2, lev.g2, binv)
+            v2 = (v2n if v2n is not None
+                  else [g2_add(v, g2_mul(g, binv))
+                        for v, g in zip(v2, lev.g2)])
             cplus = pairing_product(list(zip(v1[:h], v2[h:])))
             cminus = pairing_product(list(zip(v1[h:], v2[:h])))
             transcript.append_bytes(b"dory_c", gt_to_bytes(cplus))
@@ -337,20 +399,31 @@ class Dory:
             ainv = pow(alpha, -1, P)
             v1 = [host.g1_add(host.g1_mul(a, alpha), b)
                   for a, b in zip(v1[:h], v1[h:])]
-            v2 = [g2_add(g2_mul(a, ainv), b)
-                  for a, b in zip(v2[:h], v2[h:])]
+            v2n = _np.g2_fold_batch(v2[h:], v2[:h], ainv)
+            v2 = (v2n if v2n is not None
+                  else [g2_add(g2_mul(a, ainv), b)
+                        for a, b in zip(v2[:h], v2[h:])])
         transcript.append_bytes(b"dory_fin", _g1_bytes(v1[0]))
         transcript.append_bytes(b"dory_fin", _g2_bytes(v2[0]))
 
         # ---- phase B: fold s against (Gamma1, R) -----------------------
         sv = [0] * cols
-        for i, li in enumerate(L):
-            if li:
-                base = i * cols
-                for jj in range(cols):
-                    c = coeffs[base + jj]
-                    if c:
+        if sparse:
+            positions, values = coeffs
+            for pos, c in zip(positions.tolist(), values):
+                if c:
+                    li = L[pos >> s.sigma]
+                    if li:
+                        jj = pos & (cols - 1)
                         sv[jj] = (sv[jj] + li * c) % P
+        else:
+            for i, li in enumerate(L):
+                if li:
+                    base = i * cols
+                    for jj in range(cols):
+                        c = coeffs[base + jj]
+                        if c:
+                            sv[jj] = (sv[jj] + li * c) % P
         gam = list(s.gamma1)
         Rv = list(R)
         b_xl, b_xr, b_yl, b_yr = [], [], [], []

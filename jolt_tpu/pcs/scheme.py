@@ -45,12 +45,26 @@ class HyperKZGScheme:
     def commit(self, name: str, coeffs: Sequence[int], bits: int = 254):
         return self.pcs.commit_ints(coeffs, bits=bits)
 
+    def commit_sparse(self, name: str, positions, length: int):
+        """0/1 vector by nonzero positions (dense materialization -- the
+        secondary scheme has no sparse fast path)."""
+        vec = [0] * length
+        for pos in positions.tolist():
+            vec[pos] = 1
+        return self.commit(name, vec, bits=1)
+
     def absorb(self, transcript: Blake2bTranscript, comm) -> None:
         _absorb_point(transcript, b"commitment", comm)
 
-    def open_rlc(self, weights: Dict[str, int], rlc: List[int],
+    def open_rlc(self, weights: Dict[str, int], rlc,
                  point: Sequence[int], value: int,
                  transcript: Blake2bTranscript):
+        if isinstance(rlc, tuple):   # sparse (positions, values)
+            positions, values = rlc
+            dense = [0] * (1 << len(point))
+            for pos, v in zip(positions.tolist(), values):
+                dense[pos] = (dense[pos] + v) % P
+            rlc = dense
         return self.pcs.open(rlc, point, value, transcript)
 
     def combine(self, commitments: Dict[str, object],
@@ -90,11 +104,19 @@ class DoryScheme:
         self._hints[name] = hint
         return com
 
+    def commit_sparse(self, name: str, positions,
+                      length: int) -> DoryCommitment:
+        """One-hot fast path: device tier-1 segment sums over the nonzero
+        positions, O(T) -- no dense K*T vector exists anywhere."""
+        com, hint = self.dory.commit_onehot(positions)
+        self._hints[name] = hint
+        return com
+
     def absorb(self, transcript: Blake2bTranscript,
                comm: DoryCommitment) -> None:
         transcript.append_bytes(b"commitment", gt_to_bytes(comm.c))
 
-    def open_rlc(self, weights: Dict[str, int], rlc: List[int],
+    def open_rlc(self, weights: Dict[str, int], rlc,
                  point: Sequence[int], value: int,
                  transcript: Blake2bTranscript):
         assert len(point) == self.setup.num_vars, "setup sized for wrong N"

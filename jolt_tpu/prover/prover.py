@@ -36,8 +36,9 @@ from ..relations.grouped_onehot import GroupedOneHot
 from ..relations.instruction_read_raf import InstructionReadRaf
 from ..relations.opening_reduction import (DenseOpening, SparseOneHotOpening,
                                            cycle_major_to_address_major_point,
-                                           embedding_factor,
-                                           onehot_address_major)
+                                           embedding_factor)
+from ..relations.ra_virtual import (RaVirtual, block_point,
+                                    block_widths, chunk_streams, d_chunks)
 from ..relations.ram_sparse import (RamPairSchedule, SparseOneHotTableEval,
                                     SparseRamOutputCheck,
                                     SparseRamRafEvaluation,
@@ -89,6 +90,8 @@ class JoltProof:
     stage6_openings: Dict[str, int]    # bytecode ra + register one-hot opens
     stage6_claims: List[int]           # virtual rd/rs1/rs2 index claims
     bytecode_log_K: int
+    stage6v_polys: List[List[int]]     # ram/bytecode ra virtualization
+    stage6v_openings: Dict[str, int]   # per-(source, chunk) openings
     stage7_polys: List[List[int]]      # booleanity + hamming (all one-hots)
     stage7_openings: Dict[str, int]    # per-matrix bound openings
     stage8_polys: List[List[int]]      # joint opening-reduction sumcheck
@@ -97,15 +100,26 @@ class JoltProof:
     opening_proofs: Dict[str, object]  # "joint" -> DoryProof|HyperKZGProof
 
 
-def committed_poly_names():
+def committed_poly_names(d_ram: int = 1, d_bc: int = 1):
     """Canonical commitment absorb order, shared by prover and verifier
-    (one-hot access matrices then dense increment columns)."""
-    return (["wa", "ra1", "ra2", "ram_ra", "bc_ra"]
+    (one-hot access matrices then dense increment columns).  RAM and
+    bytecode access matrices are committed as d 8-bit chunk selectors
+    (reference RamRa(i)/BytecodeRa(i), `zkvm/witness.rs:24-74`) so no
+    committed one-hot exceeds 256 rows."""
+    return (["wa", "ra1", "ra2"]
+            + [f"ram_ra{i}" for i in range(d_ram)]
+            + [f"bc_ra{i}" for i in range(d_bc)]
             + [f"lk_ra{i}" for i in range(LK_D)]
             + ["inc", "ram_inc"])
 
 
-def stage8_entry_ids():
+# full-ra virtual claims consumed by the ra-virtualization stage, in order
+RAM_RA_SOURCES = [("ram", "ra"), ("ram_raf", "ra"),
+                  ("ram_val_eval", "ra"), ("ram_output", "ra")]
+BC_RA_SOURCES = [("bytecode", "ra"), ("bytecode_flags", "ra")]
+
+
+def stage8_entry_ids(d_ram: int = 1, d_bc: int = 1):
     """Ordered (accumulator_id, commitment_name) pairs covering EVERY
     committed-polynomial opening produced by stages 1-7.  Shared by prover
     and verifier so the joint reduction is built identically on both sides;
@@ -115,21 +129,28 @@ def stage8_entry_ids():
         (("registers", "ra2"), "ra2"), (("registers", "inc"), "inc"),
         (("registers_val_eval", "wa"), "wa"),
         (("registers_val_eval", "inc"), "inc"),
-        (("ram", "ra"), "ram_ra"), (("ram", "inc"), "ram_inc"),
-        (("ram_raf", "ra"), "ram_ra"),
-        (("ram_val_eval", "ra"), "ram_ra"),
+        (("ram", "inc"), "ram_inc"),
         (("ram_val_eval", "inc"), "ram_inc"),
-        (("ram_output", "ra"), "ram_ra"),
         (("ram_output", "inc"), "ram_inc"),
-        (("bytecode", "ra"), "bc_ra"), (("bytecode_flags", "ra"), "bc_ra"),
         (("registers_raf", "wa"), "wa"), (("registers_raf", "ra1"), "ra1"),
         (("registers_raf", "ra2"), "ra2"),
     ]
+    # ra-virtualization outputs: chunk openings per full-ra source claim
+    for t in range(len(RAM_RA_SOURCES)):
+        for i in range(d_ram):
+            ids.append(((f"ram_ra_virt", (t, i)), f"ram_ra{i}"))
+    for t in range(len(BC_RA_SOURCES)):
+        for i in range(d_bc):
+            ids.append(((f"bc_ra_virt", (t, i)), f"bc_ra{i}"))
     for i in range(LK_D):
         ids.append((("instr_ra", i), f"lk_ra{i}"))
-    onehot_labels = (["reg_wa", "reg_ra1", "reg_ra2", "ram_ra", "bc_ra"]
+    onehot_labels = (["reg_wa", "reg_ra1", "reg_ra2"]
+                     + [f"ram_ra{i}" for i in range(d_ram)]
+                     + [f"bc_ra{i}" for i in range(d_bc)]
                      + [f"lk_ra{i}" for i in range(LK_D)])
-    cnames = (["wa", "ra1", "ra2", "ram_ra", "bc_ra"]
+    cnames = (["wa", "ra1", "ra2"]
+              + [f"ram_ra{i}" for i in range(d_ram)]
+              + [f"bc_ra{i}" for i in range(d_bc)]
               + [f"lk_ra{i}" for i in range(LK_D)])
     for label, cname in zip(onehot_labels, cnames):
         ids.append(((("booleanity"), label), cname))
@@ -209,9 +230,35 @@ def fiat_shamir_preamble(transcript: Blake2bTranscript, trace_length: int,
     transcript.append_u64(b"dory_layout", DORY_LAYOUT)
 
 
+def required_num_vars(padded_length: int, ram_log_K: int,
+                      bytecode_log_K: int) -> int:
+    """log2 of the largest committed-polynomial length: the PCS setup size
+    shared by prover and verifier (derivable from public proof fields).
+
+    With ra chunking (relations/ra_virtual.py) no committed one-hot exceeds
+    2^LOG_K_CHUNK = 256 rows, so the bound is 256 * T regardless of the
+    RAM / bytecode address-space sizes."""
+    del ram_log_K, bytecode_log_K
+    return LOG_K_CHUNK + (padded_length - 1).bit_length()
+
+
+def _resolve_setup(setup, padded_length, ram_log_K, bytecode_log_K):
+    """Accept 'dory' / 'hyperkzg' strings and size the setup from the trace
+    (the CLI path); raw setup objects pass through."""
+    if setup == "dory":
+        from ..pcs.dory import DorySetup
+        return DorySetup.generate(
+            required_num_vars(padded_length, ram_log_K, bytecode_log_K))
+    if setup == "hyperkzg":
+        nv = required_num_vars(padded_length, ram_log_K, bytecode_log_K)
+        return KZGSetup.generate(1 << nv)
+    return setup
+
+
 def prove(trace: Trace, setup=None) -> JoltProof:
     """Prove the trace.  `setup` enables the commitment layer (a `DorySetup`
-    -- production, transparent -- or `KZGSetup`/scheme instance; see
+    -- production, transparent -- or `KZGSetup`/scheme instance, or the
+    strings 'dory'/'hyperkzg' to size + build one from the trace; see
     pcs/scheme.py); without it the proof carries bare opening claims
     (sumcheck-only mode for tests)."""
     import os as _os
@@ -260,14 +307,20 @@ def prove(trace: Trace, setup=None) -> JoltProof:
     bc_wit = extract_bytecode_witness(trace)
     lk_wit = extract_instruction_lookup_witness(trace, inputs)
     log_T = trace.log_T
-    # per-cycle one-hot index streams (x0-sink discipline for registers)
+    # per-cycle one-hot index streams (x0-sink discipline for registers);
+    # RAM/bytecode matrices commit as d 8-bit chunk selectors (ra_virtual)
     rd_eff, rs1_eff, rs2_eff = reg_wit.rd_eff, reg_wit.rs1_eff, reg_wit.rs2_eff
+    ram_chunks = chunk_streams(ram_wit.cols, ram_wit.log_K)
+    bc_chunks = chunk_streams(_np.asarray(bc_wit.pc_idx), bc_wit.log_K)
+    d_ram, d_bc = len(ram_chunks), len(bc_chunks)
     onehot_meta = {"wa": (rd_eff, 128), "ra1": (rs1_eff, 128),
-                   "ra2": (rs2_eff, 128),
-                   "ram_ra": (ram_wit.cols.tolist(), ram_wit.K),
-                   "bc_ra": (bc_wit.pc_idx, bc_wit.K)}
+                   "ra2": (rs2_eff, 128)}
+    for i, w in enumerate(block_widths(ram_wit.log_K)):
+        onehot_meta[f"ram_ra{i}"] = (ram_chunks[i], 1 << w)
+    for i, w in enumerate(block_widths(bc_wit.log_K)):
+        onehot_meta[f"bc_ra{i}"] = (bc_chunks[i], 1 << w)
     for i in range(LK_D):
-        onehot_meta[f"lk_ra{i}"] = (lk_wit.chunks[i].tolist(), 256)
+        onehot_meta[f"lk_ra{i}"] = (lk_wit.chunks[i], 256)
     dense_meta = {"inc": reg_wit.inc, "ram_inc": ram_wit.inc}
     _mark("witness-extraction")
 
@@ -284,22 +337,33 @@ def prove(trace: Trace, setup=None) -> JoltProof:
     # (zkvm/prover.rs:689-800 generate_and_commit_witness_polynomials --
     # commitments absorb BEFORE any challenge so they bind the witness.)
     commitments: Dict[str, object] = {}
-    pcs = make_scheme(setup)
-    committed_vectors: Dict[str, List[int]] = {}
+    pcs = make_scheme(_resolve_setup(setup, T_pad, ram_wit.log_K,
+                                     bc_wit.log_K))
+    # sparse committed-poly descriptors: (positions int64, values|None=ones,
+    # padded length) -- no dense K*T vector is ever materialized
+    committed_sparse: Dict[str, tuple] = {}
     if pcs is not None:
         # pay-per-bit commits (msm/mod.rs:16-80): one-hot access matrices
-        # are binary (1 subset-sum); committed ADDRESS-MAJOR so the joint
-        # reduction's address phase stays sparse.  Increments are SIGNED
+        # are binary, committed ADDRESS-MAJOR (position = k*T + j) so the
+        # joint reduction's address phase stays sparse; tier-1 runs as
+        # device point segment-sums (commit_onehot).  Increments are SIGNED
         # (negative deltas wrap mod p), so until the signed small-scalar MSM
         # lands they take the full-width path (cheap: length T).
+        arange_T = _np.arange(T_pad, dtype=_np.int64)
         for name, (indices, Km) in onehot_meta.items():
-            committed_vectors[name] = onehot_address_major(indices, Km)
+            idx = _np.asarray(indices, _np.int64)
+            committed_sparse[name] = (idx * T_pad + arange_T, None,
+                                      Km * T_pad)
         for name, coeffs in dense_meta.items():
-            committed_vectors[name] = list(coeffs)
-        for name in committed_poly_names():
-            bits = 1 if name in onehot_meta else 254
-            commitments[name] = pcs.commit(name, committed_vectors[name],
-                                           bits=bits)
+            vals = [int(v) % P for v in coeffs]
+            committed_sparse[name] = (arange_T[:len(vals)], vals, len(vals))
+        for name in committed_poly_names(d_ram, d_bc):
+            positions, values, length = committed_sparse[name]
+            if values is None:
+                commitments[name] = pcs.commit_sparse(name, positions,
+                                                      length)
+            else:
+                commitments[name] = pcs.commit(name, values, bits=254)
             pcs.absorb(transcript, commitments[name])
 
     _mark("stage0-commit")
@@ -437,12 +501,43 @@ def prove(trace: Trace, setup=None) -> JoltProof:
         [bc, bc_flags, raf_rd, raf_rs1, raf_rs2], accumulator, transcript)
 
     _mark("stage6-bytecode")
+    # ---- Stage 6v: RAM/bytecode ra virtualization -------------------------
+    # Every full-ra opening accumulated by stages 4-6 reduces to openings of
+    # the d committed 8-bit chunk selectors (relations/ra_virtual.py;
+    # reference RamRaVirtual / bytecode chunking, stage 6b).  Spaces that
+    # already fit one chunk (log_K <= 8) re-index the claim directly: the
+    # 256-row committed MLE at the zero-padded point IS the full-ra MLE.
+    insts6v = []
+    for prefix, chunks, log_Kv, sources in (
+            ("ram_ra", ram_chunks, ram_wit.log_K, RAM_RA_SOURCES),
+            ("bc_ra", bc_chunks, bc_wit.log_K, BC_RA_SOURCES)):
+        for t, oid in enumerate(sources):
+            pt, cl = accumulator.openings[oid]
+            r_cyc_v, r_addr_v = list(pt[:log_T]), list(pt[log_T:])
+            if len(chunks) == 1:
+                accumulator.insert((f"{prefix}_virt", (t, 0)),
+                                   r_cyc_v + r_addr_v, cl)
+            else:
+                insts6v.append(RaVirtual(chunks, log_Kv, r_cyc_v, r_addr_v,
+                                         cl, (prefix, t)))
+    stage6v_polys: List[List[int]] = []
+    stage6v_openings: Dict[str, int] = {}
+    if insts6v:
+        stage6v_polys, _ = prove_scan(insts6v, accumulator, transcript)
+        for inst in insts6v:
+            prefix, t = inst.tag
+            for i, v in enumerate(inst.final_openings):
+                stage6v_openings[f"{prefix}_{t}_{i}"] = v
+
+    _mark("stage6v-ra-virtual")
     # ---- Stage 7: one-hot booleanity + Hamming weight (all matrices) -----
     # Sparse index-stream formulation: O(T) per matrix per round.
     matrices = [("reg_wa", rd_eff, 128), ("reg_ra1", rs1_eff, 128),
-                ("reg_ra2", rs2_eff, 128),
-                ("ram_ra", ram_wit.cols.tolist(), ram_wit.K),
-                ("bc_ra", bc_wit.pc_idx, bc_wit.K)]
+                ("reg_ra2", rs2_eff, 128)]
+    for i, w in enumerate(block_widths(ram_wit.log_K)):
+        matrices.append((f"ram_ra{i}", ram_chunks[i].tolist(), 1 << w))
+    for i, w in enumerate(block_widths(bc_wit.log_K)):
+        matrices.append((f"bc_ra{i}", bc_chunks[i].tolist(), 1 << w))
     for i in range(LK_D):
         matrices.append((f"lk_ra{i}", lk_wit.chunks[i].tolist(), 256))
     max_log_K = max(K.bit_length() - 1 for _, _, K in matrices)
@@ -483,7 +578,7 @@ def prove(trace: Trace, setup=None) -> JoltProof:
     # (prove_packed_openings, zkvm/prover.rs:2097-2260).
     entries = []          # (commitment_name, cycle-major point, claim)
     seen: Dict[object, int] = {}
-    for oid, cname in stage8_entry_ids():
+    for oid, cname in stage8_entry_ids(d_ram, d_bc):
         pt, cl = accumulator.openings[oid]
         key = (cname, pt)
         if key in seen:
@@ -538,9 +633,8 @@ def prove(trace: Trace, setup=None) -> JoltProof:
     opening_proofs: Dict[str, object] = {}
     if pcs is not None:
         mu = transcript.challenge_scalar()
-        n_max = max(len(committed_vectors[c]) for c, _, _ in entries)
+        n_max = max(committed_sparse[c][2] for c, _, _ in entries)
         assert n_max == 1 << len(r8)
-        rlc = [0] * n_max
         weights: Dict[str, int] = {}
         mup = 1
         value = 0
@@ -549,13 +643,20 @@ def prove(trace: Trace, setup=None) -> JoltProof:
             value = (value + mup * o % P
                      * embedding_factor(r8, len(pt))) % P
             mup = mup * mu % P
+        # sparse RLC: concatenated (position, w * value) pairs -- duplicate
+        # positions combine additively inside the opening
+        pos_parts, val_parts = [], []
         for cname, w in weights.items():
-            vec = committed_vectors[cname]
-            for j, c in enumerate(vec):
-                if c:
-                    rlc[j] = (rlc[j] + w * c) % P
-        opening_proofs["joint"] = pcs.open_rlc(weights, rlc, r8, value,
-                                               transcript)
+            positions, values, _ = committed_sparse[cname]
+            pos_parts.append(positions)
+            if values is None:
+                val_parts.append([w] * len(positions))
+            else:
+                val_parts.append([w * v % P for v in values])
+        rlc_sparse = (_np.concatenate(pos_parts),
+                      [v for part in val_parts for v in part])
+        opening_proofs["joint"] = pcs.open_rlc(weights, rlc_sparse, r8,
+                                               value, transcript)
 
     _mark("stage8-openings")
     if _fs_trace:
@@ -590,6 +691,8 @@ def prove(trace: Trace, setup=None) -> JoltProof:
                          "raf_ra2": raf_rs2.final_openings["m"]},
         stage6_claims=list(idx_claims),
         bytecode_log_K=bc_wit.log_K,
+        stage6v_polys=stage6v_polys,
+        stage6v_openings=stage6v_openings,
         stage7_polys=stage7_polys,
         stage7_openings=stage7_openings,
         stage8_polys=stage8_polys,

@@ -20,9 +20,11 @@ from typing import Dict, List
 from ..field.params import FR
 from ..lookups import tables as LT
 from ..pcs.scheme import make_scheme
-from ..prover.prover import (LOOKUP_FLAG_COLUMNS, JoltProof,
-                             committed_poly_names, fiat_shamir_preamble,
-                             stage8_entry_ids)
+from ..prover.prover import (BC_RA_SOURCES, LOOKUP_FLAG_COLUMNS, JoltProof,
+                             RAM_RA_SOURCES, committed_poly_names,
+                             fiat_shamir_preamble, stage8_entry_ids)
+from ..relations.ra_virtual import (RaVirtualVerifier, block_point,
+                                    block_widths, d_chunks)
 from ..relations.opening_reduction import (OpeningReductionVerifier,
                                            cycle_major_to_address_major_point,
                                            embedding_factor)
@@ -107,9 +109,11 @@ def verify(proof: JoltProof, io: PublicIO, setup=None) -> bool:
                          io.start, io.memory_layout, proof.ram_log_K,
                          proof.bytecode_log_K)
 
+    d_ram = d_chunks(proof.ram_log_K)
+    d_bc = d_chunks(proof.bytecode_log_K)
     pcs = make_scheme(setup)
     if pcs is not None:
-        for name in committed_poly_names():
+        for name in committed_poly_names(d_ram, d_bc):
             if name not in proof.commitments:
                 raise VerificationError(f"missing commitment {name}")
             pcs.absorb(transcript, proof.commitments[name])
@@ -297,11 +301,51 @@ def verify(proof: JoltProof, io: PublicIO, setup=None) -> bool:
                            o6[f"raf_{n}"])
     accumulator.flush_to_transcript(transcript)
 
+    # ---- Stage 6v: RAM/bytecode ra virtualization ------------------------
+    # full-ra claims reduce to committed chunk-selector openings (mirrors
+    # the prover's stage 6v; d == 1 spaces re-index claims directly)
+    insts6v = []
+    meta6v = []
+    for prefix, log_Kv, sources in (
+            ("ram_ra", proof.ram_log_K, RAM_RA_SOURCES),
+            ("bc_ra", proof.bytecode_log_K, BC_RA_SOURCES)):
+        d = d_chunks(log_Kv)
+        for t, oid in enumerate(sources):
+            pt, cl = accumulator.openings[oid]
+            r_cyc_v, r_addr_v = list(pt[:log_T]), list(pt[log_T:])
+            if d == 1:
+                accumulator.insert((f"{prefix}_virt", (t, 0)),
+                                   r_cyc_v + r_addr_v, cl)
+            else:
+                try:
+                    chunk_ops = [proof.stage6v_openings[f"{prefix}_{t}_{i}"]
+                                 for i in range(d)]
+                except KeyError as e:
+                    raise VerificationError(
+                        f"missing stage6v opening {e}") from e
+                insts6v.append(RaVirtualVerifier(log_T, log_Kv, r_cyc_v, cl,
+                                                 chunk_ops))
+                meta6v.append((prefix, t, d, r_addr_v, log_Kv))
+    if insts6v:
+        try:
+            r6v = BatchedSumcheck.verify(proof.stage6v_polys, insts6v,
+                                         accumulator, transcript)
+        except SumcheckError as e:
+            raise VerificationError(f"stage6v: {e}") from e
+        for inst, (prefix, t, d, r_addr_v, log_Kv) in zip(insts6v, meta6v):
+            for i in range(d):
+                accumulator.insert(
+                    (f"{prefix}_virt", (t, i)),
+                    list(r6v) + block_point(r_addr_v, log_Kv, i),
+                    proof.stage6v_openings[f"{prefix}_{t}_{i}"])
+        accumulator.flush_to_transcript(transcript)
+
     # ---- Stage 7: one-hot booleanity + Hamming weight --------------------
-    ram_lk = proof.ram_log_K
-    bc_lk = proof.bytecode_log_K
-    mat_dims = [("reg_wa", 7), ("reg_ra1", 7), ("reg_ra2", 7),
-                ("ram_ra", ram_lk), ("bc_ra", bc_lk)]
+    mat_dims = [("reg_wa", 7), ("reg_ra1", 7), ("reg_ra2", 7)]
+    for i, w in enumerate(block_widths(proof.ram_log_K)):
+        mat_dims.append((f"ram_ra{i}", w))
+    for i, w in enumerate(block_widths(proof.bytecode_log_K)):
+        mat_dims.append((f"bc_ra{i}", w))
     for i in range(LK_D):
         mat_dims.append((f"lk_ra{i}", 8))
     max_log_K = max(lk for _, lk in mat_dims)
@@ -349,13 +393,16 @@ def verify(proof: JoltProof, io: PublicIO, setup=None) -> bool:
     # Every committed-poly claim from stages 1-7 must be covered by the
     # reduction; openings are accepted ONLY via this single PCS check (or
     # by public evaluation inside a stage's expected_output_claim).
-    onehot_logK = {"wa": 7, "ra1": 7, "ra2": 7, "ram_ra": proof.ram_log_K,
-                   "bc_ra": proof.bytecode_log_K}
+    onehot_logK = {"wa": 7, "ra1": 7, "ra2": 7}
+    for i, w in enumerate(block_widths(proof.ram_log_K)):
+        onehot_logK[f"ram_ra{i}"] = w
+    for i, w in enumerate(block_widths(proof.bytecode_log_K)):
+        onehot_logK[f"bc_ra{i}"] = w
     for i in range(LK_D):
         onehot_logK[f"lk_ra{i}"] = 8
     entries = []
     seen = {}
-    for oid, cname in stage8_entry_ids():
+    for oid, cname in stage8_entry_ids(d_ram, d_bc):
         if oid not in accumulator.openings:
             raise VerificationError(f"missing stage output claim {oid}")
         pt, cl = accumulator.openings[oid]

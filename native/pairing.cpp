@@ -408,6 +408,224 @@ static Fq12 miller_one(const uint8_t* g1, const uint8_t* g2, int inf) {
   return f;
 }
 
+// Batched Miller product over a contiguous slice: all pairs advance in
+// lockstep so the per-step denominators share ONE inversion (Montgomery
+// batch-inversion trick) -- the egcd that dominated the per-pair loop
+// amortizes to ~3 muls per pair per step.  Values identical to miller_one.
+static Fq12 miller_batch(const uint8_t* g1s, const uint8_t* g2s,
+                         const uint8_t* inf, uint64_t n) {
+  struct St { Fq xp, yp, tx, ty; Fq2 xq, yq; Fq12 f; bool live, done; };
+  std::vector<St> st(n);
+  uint64_t live = 0;
+  for (uint64_t i = 0; i < n; ++i) {
+    St& s = st[i];
+    s.f = f12_one();
+    s.done = false;
+    s.live = !inf[i];
+    if (!s.live) continue;
+    s.xp = fq_read(g1s + 64 * i); s.yp = fq_read(g1s + 64 * i + 32);
+    s.xq = f2_read(g2s + 128 * i); s.yq = f2_read(g2s + 128 * i + 64);
+    s.tx = s.xp; s.ty = s.yp;
+    ++live;
+  }
+  if (!live) return f12_one();
+  std::vector<Fq> dens(n), prefix(n), invs(n);
+
+  auto batch_inv = [&](int which /*0 = 2*ty, 1 = tx - xp*/) {
+    // prefix-product batch inversion over active lanes
+    uint64_t m = 0;
+    static thread_local std::vector<uint64_t> idx;
+    idx.clear();
+    for (uint64_t i = 0; i < n; ++i) {
+      St& s = st[i];
+      if (!s.live || s.done) continue;
+      dens[m] = which == 0 ? fq_add(s.ty, s.ty) : fq_sub(s.tx, s.xp);
+      prefix[m] = m ? fq_mul(prefix[m - 1], dens[m]) : dens[m];
+      idx.push_back(i);
+      ++m;
+    }
+    if (!m) return;
+    Fq run = fq_inv(prefix[m - 1]);
+    for (uint64_t k = m; k-- > 0;) {
+      invs[idx[k]] = k ? fq_mul(run, prefix[k - 1]) : run;
+      run = fq_mul(run, dens[k]);
+    }
+  };
+
+  for (const char* b = R_BITS; *b; ++b) {
+    batch_inv(0);
+    for (uint64_t i = 0; i < n; ++i) {
+      St& s = st[i];
+      if (!s.live || s.done) continue;
+      Fq lam = fq_mul(fq_mul(fq_add(fq_add(s.tx, s.tx), s.tx), s.tx),
+                      invs[i]);
+      Fq c = fq_sub(fq_mul(lam, s.tx), s.ty);
+      s.f = f12_mul_line(f12_sqr(s.f), f2(c, fq_zero()),
+                         f2_mul_fq(s.xq, fq_neg(lam)), s.yq);
+      Fq x3 = fq_sub(fq_sqr(lam), fq_add(s.tx, s.tx));
+      s.ty = fq_sub(fq_mul(lam, fq_sub(s.tx, x3)), s.ty);
+      s.tx = x3;
+    }
+    if (*b == '1') {
+      // lanes hitting T == -P stop here (pairing.py break)
+      for (uint64_t i = 0; i < n; ++i) {
+        St& s = st[i];
+        if (!s.live || s.done) continue;
+        if (fq_eq(s.tx, s.xp) && fq_is_zero(fq_add(s.ty, s.yp)))
+          s.done = true;
+      }
+      batch_inv(1);
+      for (uint64_t i = 0; i < n; ++i) {
+        St& s = st[i];
+        if (!s.live || s.done) continue;
+        Fq lam = fq_mul(fq_sub(s.ty, s.yp), invs[i]);
+        Fq c = fq_sub(fq_mul(lam, s.tx), s.ty);
+        s.f = f12_mul_line(s.f, f2(c, fq_zero()),
+                           f2_mul_fq(s.xq, fq_neg(lam)), s.yq);
+        Fq x3 = fq_sub(fq_sub(fq_sqr(lam), s.tx), s.xp);
+        s.ty = fq_sub(fq_mul(lam, fq_sub(s.tx, x3)), s.ty);
+        s.tx = x3;
+      }
+    }
+  }
+  Fq12 acc = f12_one();
+  for (uint64_t i = 0; i < n; ++i)
+    if (st[i].live) acc = f12_mul(acc, st[i].f);
+  return acc;
+}
+
+// ---------------- batched G2 affine scalar multiplication ----------------
+// v2 builds / folds in the Dory reduce need thousands of independent G2
+// muls; lanes advance bit-synchronously so the affine-formula inversions
+// batch across lanes (same trick as miller_batch).  Mirrors pairing.py's
+// g2_add / g2_mul exactly (LSB-first double-and-add).
+
+struct G2 { Fq2 x, y; bool inf; };
+
+static G2 g2_inf() { G2 r; r.inf = true; r.x = f2_zero(); r.y = f2_zero(); return r; }
+
+// single (non-batched) affine add, used on the accumulate side
+static G2 g2_add1(const G2& p, const G2& q) {
+  if (p.inf) return q;
+  if (q.inf) return p;
+  Fq2 lam;
+  if (fq_eq(p.x.a, q.x.a) && fq_eq(p.x.b, q.x.b)) {
+    Fq2 s = f2_add(p.y, q.y);
+    if (f2_is_zero(s)) return g2_inf();
+    lam = f2_mul(f2_mul_fq(f2_sqr(p.x), fq_add(fq_add(fq_one(), fq_one()), fq_one())),
+                 f2_inv(f2_add(p.y, p.y)));
+  } else {
+    lam = f2_mul(f2_sub(q.y, p.y), f2_inv(f2_sub(q.x, p.x)));
+  }
+  Fq2 x3 = f2_sub(f2_sub(f2_sqr(lam), p.x), q.x);
+  Fq2 y3 = f2_sub(f2_mul(lam, f2_sub(p.x, x3)), p.y);
+  G2 r; r.x = x3; r.y = y3; r.inf = false;
+  return r;
+}
+
+extern "C" {
+
+// out[i] = a_i + s * b_i over G2, one shared scalar s (the Dory reduce's
+// per-level beta/alpha folds).  128B points + inf flags per side.
+void jolt_g2_fold_batch(const uint8_t* av, const uint8_t* a_inf,
+                        const uint8_t* bv, const uint8_t* b_inf,
+                        const uint8_t* scalar /*32B LE*/, uint64_t n,
+                        uint8_t* out, uint8_t* out_inf) {
+  unsigned hw = std::thread::hardware_concurrency();
+  uint64_t nt = hw ? (hw < 8 ? hw : 8) : 1;
+  if (nt > n) nt = n ? n : 1;
+  auto work = [&](uint64_t lo, uint64_t hi) {
+    for (uint64_t i = lo; i < hi; ++i) {
+      u64 k[4];
+      memcpy(k, scalar, 32);
+      G2 acc, add;
+      if (b_inf[i] || limbs_is_zero(k)) {
+        acc = g2_inf();
+      } else {
+        add.x = f2_read(bv + 128 * i);
+        add.y = f2_read(bv + 128 * i + 64);
+        add.inf = false;
+        acc = g2_inf();
+        while (!limbs_is_zero(k)) {
+          if (k[0] & 1) acc = g2_add1(acc, add);
+          limbs_shr1(k);
+          if (!limbs_is_zero(k)) add = g2_add1(add, add);
+        }
+      }
+      G2 a;
+      a.inf = a_inf[i] != 0;
+      if (!a.inf) {
+        a.x = f2_read(av + 128 * i);
+        a.y = f2_read(av + 128 * i + 64);
+      } else { a.x = f2_zero(); a.y = f2_zero(); }
+      G2 r = g2_add1(a, acc);
+      out_inf[i] = r.inf ? 1 : 0;
+      if (!r.inf) {
+        f2_write(r.x, out + 128 * i);
+        f2_write(r.y, out + 128 * i + 64);
+      } else {
+        memset(out + 128 * i, 0, 128);
+      }
+    }
+  };
+  if (nt <= 1) { work(0, n); return; }
+  std::vector<std::thread> ts;
+  uint64_t chunk = (n + nt - 1) / nt;
+  for (uint64_t t = 0; t < nt; ++t) {
+    uint64_t lo = t * chunk, hi = lo + chunk > n ? n : lo + chunk;
+    ts.emplace_back(work, lo, hi);
+  }
+  for (auto& th : ts) th.join();
+}
+
+// out[i] = scalar_i * Q_i.  g2s: n*128B, scalars: n*32B LE (mod r already),
+// out: n*128B with an n-byte inf flag array.
+void jolt_g2_mul_batch(const uint8_t* g2s, const uint8_t* scalars,
+                       const uint8_t* in_inf, uint64_t n,
+                       uint8_t* out, uint8_t* out_inf) {
+  unsigned hw = std::thread::hardware_concurrency();
+  uint64_t nt = hw ? (hw < 8 ? hw : 8) : 1;
+  if (nt > n) nt = n ? n : 1;
+  std::vector<std::thread> ts;
+  uint64_t chunk = (n + nt - 1) / nt;
+  auto work = [&](uint64_t lo, uint64_t hi) {
+    for (uint64_t i = lo; i < hi; ++i) {
+      u64 k[4];
+      memcpy(k, scalars + 32 * i, 32);
+      G2 acc = g2_inf(), add;
+      if (in_inf[i] || limbs_is_zero(k)) {
+        acc = g2_inf();
+      } else {
+        add.x = f2_read(g2s + 128 * i);
+        add.y = f2_read(g2s + 128 * i + 64);
+        add.inf = false;
+        while (!limbs_is_zero(k)) {
+          if (k[0] & 1) acc = g2_add1(acc, add);
+          limbs_shr1(k);
+          if (!limbs_is_zero(k)) add = g2_add1(add, add);
+        }
+      }
+      out_inf[i] = acc.inf ? 1 : 0;
+      if (!acc.inf) {
+        f2_write(acc.x, out + 128 * i);
+        f2_write(acc.y, out + 128 * i + 64);
+      } else {
+        memset(out + 128 * i, 0, 128);
+      }
+    }
+  };
+  if (nt <= 1) { work(0, n); }
+  else {
+    for (uint64_t t = 0; t < nt; ++t) {
+      uint64_t lo = t * chunk, hi = lo + chunk > n ? n : lo + chunk;
+      ts.emplace_back(work, lo, hi);
+    }
+    for (auto& th : ts) th.join();
+  }
+}
+
+}  // extern "C"
+
 extern "C" {
 
 // prod of Miller loops (no final exp).  g1s: n*64B, g2s: n*128B,
@@ -416,23 +634,21 @@ void jolt_miller_product(const uint8_t* g1s, const uint8_t* g2s,
                          const uint8_t* inf, uint64_t n, uint8_t* out) {
   unsigned hw = std::thread::hardware_concurrency();
   uint64_t nt = hw ? (hw < 8 ? hw : 8) : 1;
-  if (nt > n) nt = n ? n : 1;
-  if (nt <= 1 || n < 4) {
-    Fq12 acc = f12_one();
-    for (uint64_t i = 0; i < n; ++i)
-      acc = f12_mul(acc, miller_one(g1s + 64 * i, g2s + 128 * i, inf[i]));
-    f12_write(acc, out);
+  if (nt > n / 8) nt = n / 8 ? n / 8 : 1;  // keep batches big
+  if (nt <= 1) {
+    f12_write(miller_batch(g1s, g2s, inf, n), out);
     return;
   }
   // Miller loops are independent; the product is order-free (GT abelian).
   std::vector<Fq12> parts(nt, f12_one());
   std::vector<std::thread> ts;
+  uint64_t chunk = (n + nt - 1) / nt;
   for (uint64_t t = 0; t < nt; ++t) {
     ts.emplace_back([&, t]() {
-      Fq12 acc = f12_one();
-      for (uint64_t i = t; i < n; i += nt)
-        acc = f12_mul(acc, miller_one(g1s + 64 * i, g2s + 128 * i, inf[i]));
-      parts[t] = acc;
+      uint64_t lo = t * chunk, hi = lo + chunk > n ? n : lo + chunk;
+      if (lo < hi)
+        parts[t] = miller_batch(g1s + 64 * lo, g2s + 128 * lo, inf + lo,
+                                hi - lo);
     });
   }
   for (auto& th : ts) th.join();

@@ -46,7 +46,8 @@ def setup_and_proof():
 
 def test_full_pipeline_with_commitments(setup_and_proof):
     tr, setup, proof = setup_and_proof
-    expected = ({"wa", "ra1", "ra2", "inc", "ram_ra", "ram_inc", "bc_ra"}
+    # ram/bytecode access matrices commit as chunk selectors (ra_virtual)
+    expected = ({"wa", "ra1", "ra2", "inc", "ram_ra0", "ram_inc", "bc_ra0"}
                 | {f"lk_ra{i}" for i in range(16)})
     assert set(proof.commitments) == expected
     assert verify(proof, PublicIO.from_trace(tr), setup=setup)
