@@ -1,12 +1,14 @@
 """The `jolt_tpu` command-line interface.
 
-Analog of the reference's `jolt` binary (`src/main.rs`: new/build/run) plus
-prove/verify, adapted to the assembler-based guest workflow:
+Analog of the reference's `jolt` binary (`src/main.rs:31-50`: new/build/run)
+plus prove/verify, adapted to the assembler-based guest workflow:
 
+    python -m jolt_tpu.cli new DIR                       # scaffold a guest
+    python -m jolt_tpu.cli build GUEST.s -o guest.elf    # assemble -> ELF
     python -m jolt_tpu.cli run GUEST.s [--input HEX] [--native]
-    python -m jolt_tpu.cli trace GUEST.s [--input HEX]     # cycle stats
-    python -m jolt_tpu.cli prove GUEST.s -o proof.pkl [--input HEX]
-    python -m jolt_tpu.cli verify GUEST.s proof.pkl [--input HEX]
+    python -m jolt_tpu.cli trace GUEST.s [--input HEX]   # cycle stats
+    python -m jolt_tpu.cli prove GUEST.s -o proof.bin [--input HEX] [--pcs dory]
+    python -m jolt_tpu.cli verify GUEST.s proof.bin [--input HEX] [--pcs dory]
 """
 
 from __future__ import annotations
@@ -39,6 +41,69 @@ def _trace(args):
     tr = tp(src, inputs=inputs, layout=layout)
     dt = time.time() - t0
     return tr, dt
+
+
+_GUEST_TEMPLATE = """\
+# {name}: jolt_tpu guest template (`jolt new` analog, src/main.rs:31-40).
+#
+# Convention: read inputs from the memory-mapped input region, write
+# outputs to the output region, then store 1 to the termination address
+# (addresses below are for the default 64-byte IO layout; regenerate with
+# `python -m jolt_tpu.cli new --io-size N` for other layouts).
+
+    li   t0, {input_start}     # input region base
+    ld   a0, 0(t0)             # first input dword
+    # ---- your computation here (result in a1) ----
+    addi a1, a0, 1
+    # ----------------------------------------------
+    li   t0, {output_start}    # output region base
+    sd   a1, 0(t0)
+    li   t1, {termination}     # termination flag
+    li   t2, 1
+    sd   t2, 0(t1)
+"""
+
+
+def cmd_new(args):
+    """Scaffold a guest directory with a template .s (the reference's
+    `jolt new` cargo scaffold, adapted to the assembler workflow)."""
+    from .riscv.emulator import MemoryLayout
+    layout = MemoryLayout(max_input_size=args.io_size,
+                          max_output_size=args.io_size)
+    import os
+    os.makedirs(args.dir, exist_ok=True)
+    name = os.path.basename(os.path.abspath(args.dir))
+    path = os.path.join(args.dir, "guest.s")
+    if os.path.exists(path) and not args.force:
+        print(f"{path} exists (use --force to overwrite)")
+        return 1
+    with open(path, "w") as f:
+        f.write(_GUEST_TEMPLATE.format(name=name,
+                                       input_start=layout.input_start,
+                                       output_start=layout.output_start,
+                                       termination=layout.termination))
+    print(f"guest template -> {path}")
+    print(f"  run:   python -m jolt_tpu.cli run {path} --input 2a00000000000000")
+    print(f"  prove: python -m jolt_tpu.cli prove {path} --input 2a00000000000000")
+    return 0
+
+
+def cmd_build(args):
+    """Assemble a guest to a RISC-V ELF (the `jolt build` analog: guest
+    source -> ELF via the linker-script/zeroos path in the reference)."""
+    from .riscv.assembler import assemble
+    from .riscv.elf import is_elf, write_elf
+    raw = open(args.guest, "rb").read()
+    if is_elf(raw):
+        code = raw
+    else:
+        base = 0x80000000
+        code = write_elf(assemble(raw.decode(), base=base), base)
+    out = args.output or (args.guest.rsplit(".", 1)[0] + ".elf")
+    with open(out, "wb") as f:
+        f.write(code)
+    print(f"ELF -> {out} ({len(code)} bytes)")
+    return 0
 
 
 def cmd_run(args):
@@ -153,6 +218,15 @@ def cmd_verify(args):
 def main(argv=None):
     p = argparse.ArgumentParser(prog="jolt_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
+    sp_new = sub.add_parser("new", help="scaffold a guest directory")
+    sp_new.add_argument("dir")
+    sp_new.add_argument("--io-size", type=int, default=64)
+    sp_new.add_argument("--force", action="store_true")
+    sp_new.set_defaults(fn=cmd_new, platform="cpu")
+    sp_build = sub.add_parser("build", help="assemble a guest to an ELF")
+    sp_build.add_argument("guest")
+    sp_build.add_argument("-o", "--output", default=None)
+    sp_build.set_defaults(fn=cmd_build, platform="cpu")
     for name, fn in (("run", cmd_run), ("trace", cmd_trace),
                      ("prove", cmd_prove), ("verify", cmd_verify)):
         sp = sub.add_parser(name)

@@ -136,7 +136,8 @@ class RaVirtual(scan.ScanFusedInstance):
         return ops.sum_mod(acc, FR)
 
     def scan_bind(self, mode, bc, x, st, r):
-        return (scan.pair_bind(st[0], r),)
+        # state is 3-D (L, d+1, T): broadcast the challenge over factors
+        return (scan.pair_bind(st[0], r[:, :, None]),)
 
     def scan_shrink_plan(self, mode, n_rounds):
         return scan.default_shrink_plan(n_rounds, self.T)
