@@ -55,7 +55,8 @@ def _load() -> ctypes.CDLL:
         return _lib
     if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC], check=True)
+            ["g++", "-O3", "-shared", "-fPIC", "-pthread", "-o", _SO, _SRC],
+            check=True)
     lib = ctypes.CDLL(_SO)
     lib.jolt_trace_rows.restype = ctypes.POINTER(_TraceResult)
     lib.jolt_trace_rows.argtypes = [
@@ -65,6 +66,9 @@ def _load() -> ctypes.CDLL:
         ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64,
         ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64,
     ]
+    lib.jolt_trace_rows_parallel.restype = ctypes.POINTER(_TraceResult)
+    lib.jolt_trace_rows_parallel.argtypes = (
+        lib.jolt_trace_rows.argtypes + [ctypes.c_uint64, ctypes.c_uint64])
     lib.jolt_trace_free.argtypes = [ctypes.POINTER(_TraceResult)]
     lib.jolt_trace_fill_columns.argtypes = [ctypes.POINTER(_TraceResult)] + \
         [ctypes.c_void_p] * 28
@@ -99,8 +103,19 @@ def serialize_program(program: Program) -> np.ndarray:
 def trace_program_native(code: bytes | str, inputs: bytes = b"",
                          layout: Optional[MemoryLayout] = None,
                          max_cycles: int = 1 << 24,
-                         entry: int = RAM_START_ADDRESS) -> Trace:
-    """Native-tracer twin of `trace_program` (same Trace output)."""
+                         entry: int = RAM_START_ADDRESS,
+                         parallel: Optional[int] = None,
+                         chunk_rows: Optional[int] = None) -> Trace:
+    """Native-tracer twin of `trace_program` (same Trace output).
+
+    parallel > 1 (or JOLT_TRACER_PARALLEL=n) enables two-pass chunked
+    tracing: pass-1 execute-only checkpoints + parallel chunk re-trace,
+    bit-identical to the serial path (the reference's TRACER_PARALLEL /
+    JOLT_TRACER_CHUNK_ROWS knobs, tracer/src/lib.rs:313-325)."""
+    if parallel is None:
+        parallel = int(os.environ.get("JOLT_TRACER_PARALLEL", "0"))
+    if chunk_rows is None:
+        chunk_rows = int(os.environ.get("JOLT_TRACER_CHUNK_ROWS", "65536"))
     if isinstance(code, str):
         code = assemble(code, base=entry)
     start = entry
@@ -111,13 +126,16 @@ def trace_program_native(code: bytes | str, inputs: bytes = b"",
     program = expand_program(code, entry, start)
     prog_arr = serialize_program(program)
     lib = _load()
-    res_p = lib.jolt_trace_rows(
-        prog_arr.ctypes.data_as(ctypes.c_void_p), program.n_rows,
-        code, len(code), entry, program.start, inputs, len(inputs),
-        layout.input_start, layout.input_end,
-        layout.output_start, layout.output_end,
-        layout.panic, layout.termination, layout.io_end,
-        max_cycles)
+    common = (prog_arr.ctypes.data_as(ctypes.c_void_p), program.n_rows,
+              code, len(code), entry, program.start, inputs, len(inputs),
+              layout.input_start, layout.input_end,
+              layout.output_start, layout.output_end,
+              layout.panic, layout.termination, layout.io_end,
+              max_cycles)
+    if parallel and parallel > 1:
+        res_p = lib.jolt_trace_rows_parallel(*common, chunk_rows, parallel)
+    else:
+        res_p = lib.jolt_trace_rows(*common)
     res = res_p.contents
     try:
         if res.status == 1:

@@ -14,6 +14,8 @@
 
 #include <cstdint>
 #include <cstring>
+#include <atomic>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 #include <memory>
@@ -218,55 +220,15 @@ static inline u64 advice_value(i8 op, u64 a, u64 b) {
   return 0;
 }
 
-}  // namespace
 
-extern "C" {
-
-struct TraceResult {
-  TraceRow* rows;
-  u64 count;
-  u8* outputs;
-  u64 outputs_len;
-  i32 panic_flag;
-  i32 status;  // 0 ok, 1 unmapped jump/assert failure, 2 max cycles exceeded
-  void* rows_owner;     // std::vector<TraceRow>*
-  void* machine_owner;  // Machine*
-};
-
-// Execute the expanded program (prog[0..n_prog)) from the entry row.
-TraceResult* jolt_trace_rows(const ProgRow* prog, u64 n_prog,
-                             const u8* code, u64 code_len, u64 entry,
-                             u64 start,
-                             const u8* inputs, u64 inputs_len,
-                             u64 input_start, u64 input_end,
-                             u64 output_start, u64 output_end,
-                             u64 panic_addr, u64 termination, u64 io_end,
-                             u64 max_cycles) {
-  auto* m = new Machine();
-  std::memset(m->regs, 0, sizeof(m->regs));
-  m->lay = {input_start, input_end, output_start, output_end,
-            panic_addr, termination, io_end};
-  m->inputs = inputs;
-  m->inputs_len = inputs_len;
-  for (u64 i = 0; i < code_len; i++) m->wr8(entry + i, code[i]);
-
-  // source address -> first row index (riscv/program.py addr2row)
-  std::unordered_map<u64, u64> addr2row;
-  addr2row.reserve(n_prog + 1);
-  for (u64 i = 0; i < n_prog; i++) {
-    if (addr2row.find(prog[i].address) == addr2row.end())
-      addr2row.emplace(prog[i].address, i);
-  }
-  addr2row.emplace(entry + (code_len / 4) * 4, n_prog);  // halt row
-
-  auto* res = new TraceResult();
-  auto* rows = new std::vector<TraceRow>();
-  rows->reserve(1 << 16);
-  res->status = 0;
-
-  u64 row_idx = addr2row[start];
-  while (!m->terminated) {
-    if (rows->size() >= max_cycles) { res->status = 2; break; }
+// One row step: advances row_idx, optionally records the trace row.
+// Returns 0 ok, 1 unmapped jump / assert failure / misalignment.
+// Shared by the serial tracer and the two-pass parallel tracer
+// (tracer/src/parallel.rs analog) -- bit-identical by construction.
+static int step_row(Machine* m, const ProgRow* prog,
+                    const std::unordered_map<u64, u64>& addr2row,
+                    u64& row_idx, TraceRow* out) {
+  int status = 0;
     const ProgRow& pr = prog[row_idx];
     u16 k = pr.kind;
     u64 pc = pr.address;
@@ -310,7 +272,7 @@ TraceResult* jolt_trace_rows(const ProgRow* prog, u64 n_prog,
       }
       case LD_: {
         u64 addr = rs1v + (u64)imm;
-        if (addr & 7) { res->status = 1; m->terminated = true; break; }
+        if (addr & 7) { status = 1; m->terminated = true; break; }
         rd_post = m->rd(addr, 8);
         ram_addr = addr;
         ram_pre = ram_post = rd_post;
@@ -318,7 +280,7 @@ TraceResult* jolt_trace_rows(const ProgRow* prog, u64 n_prog,
       }
       case SD_: {
         u64 addr = rs1v + (u64)imm;
-        if (addr & 7) { res->status = 1; m->terminated = true; break; }
+        if (addr & 7) { status = 1; m->terminated = true; break; }
         ram_addr = addr;
         ram_pre = m->rd(addr, 8);
         ram_post = rs2v;
@@ -374,21 +336,21 @@ TraceResult* jolt_trace_rows(const ProgRow* prog, u64 n_prog,
           case VA_HALF_ALIGN: ok = ((rs1v + (u64)imm) & 1) == 0; break;
           case VA_WORD_ALIGN: ok = ((rs1v + (u64)imm) & 3) == 0; break;
         }
-        if (!ok) { res->status = 1; m->terminated = true; }
+        if (!ok) { status = 1; m->terminated = true; }
         has_rd = false;
         break;
       }
       default:
-        res->status = 1;
+        status = 1;
         m->terminated = true;
         break;
     }
-    if (res->status) break;
+    if (status) return status;
 
     if (has_target) {
       next_pc = target;
       auto it = addr2row.find(target);
-      if (it == addr2row.end()) { res->status = 1; break; }
+      if (it == addr2row.end()) { return 1; }
       next_row = it->second;
       // jump-to-self terminates the trace (tracer/src/lib.rs:331 heuristic)
       if ((k == JAL || k == JALR) && target == pc) m->terminated = true;
@@ -414,8 +376,66 @@ TraceResult* jolt_trace_rows(const ProgRow* prog, u64 n_prog,
     row.next_pc = next_pc;
     row.pc_idx = row_idx;
     row.next_pc_idx = next_row;
-    rows->push_back(row);
+    if (out) {
+      *out = row;
+    }
     row_idx = next_row;
+    return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+struct TraceResult {
+  TraceRow* rows;
+  u64 count;
+  u8* outputs;
+  u64 outputs_len;
+  i32 panic_flag;
+  i32 status;  // 0 ok, 1 unmapped jump/assert failure, 2 max cycles exceeded
+  void* rows_owner;     // std::vector<TraceRow>*
+  void* machine_owner;  // Machine*
+};
+
+// Execute the expanded program (prog[0..n_prog)) from the entry row.
+TraceResult* jolt_trace_rows(const ProgRow* prog, u64 n_prog,
+                             const u8* code, u64 code_len, u64 entry,
+                             u64 start,
+                             const u8* inputs, u64 inputs_len,
+                             u64 input_start, u64 input_end,
+                             u64 output_start, u64 output_end,
+                             u64 panic_addr, u64 termination, u64 io_end,
+                             u64 max_cycles) {
+  auto* m = new Machine();
+  std::memset(m->regs, 0, sizeof(m->regs));
+  m->lay = {input_start, input_end, output_start, output_end,
+            panic_addr, termination, io_end};
+  m->inputs = inputs;
+  m->inputs_len = inputs_len;
+  for (u64 i = 0; i < code_len; i++) m->wr8(entry + i, code[i]);
+
+  // source address -> first row index (riscv/program.py addr2row)
+  std::unordered_map<u64, u64> addr2row;
+  addr2row.reserve(n_prog + 1);
+  for (u64 i = 0; i < n_prog; i++) {
+    if (addr2row.find(prog[i].address) == addr2row.end())
+      addr2row.emplace(prog[i].address, i);
+  }
+  addr2row.emplace(entry + code_len, n_prog);  // halt row
+
+  auto* res = new TraceResult();
+  auto* rows = new std::vector<TraceRow>();
+  rows->reserve(1 << 16);
+  res->status = 0;
+
+  u64 row_idx = addr2row[start];
+  while (!m->terminated) {
+    if (rows->size() >= max_cycles) { res->status = 2; break; }
+    TraceRow row;
+    int st = step_row(m, prog, addr2row, row_idx, &row);
+    if (st) { res->status = st; break; }
+    rows->push_back(row);
   }
 
   res->rows = rows->data();
@@ -468,6 +488,119 @@ void jolt_trace_fill_columns(
     split(r.pc_idx, pc_idx_lo, pc_idx_hi, i);
     split(r.next_pc_idx, next_pc_idx_lo, next_pc_idx_hi, i);
   }
+}
+
+
+// Two-pass parallel tracing (the reference's tracer/src/parallel.rs):
+// pass 1 executes WITHOUT recording rows, cutting full machine snapshots
+// every chunk_rows; pass 2 re-executes every chunk from its snapshot in
+// parallel, writing rows into the final array at fixed offsets.  Output is
+// bit-identical to the serial tracer (each chunk replays the exact same
+// deterministic machine), mirroring the reference's paranoia contract.
+TraceResult* jolt_trace_rows_parallel(
+    const ProgRow* prog, u64 n_prog,
+    const u8* code, u64 code_len, u64 entry, u64 start,
+    const u8* inputs, u64 inputs_len,
+    u64 input_start, u64 input_end,
+    u64 output_start, u64 output_end,
+    u64 panic_addr, u64 termination, u64 io_end,
+    u64 max_cycles, u64 chunk_rows, u64 n_threads) {
+  auto* m = new Machine();
+  std::memset(m->regs, 0, sizeof(m->regs));
+  m->lay = {input_start, input_end, output_start, output_end,
+            panic_addr, termination, io_end};
+  m->inputs = inputs;
+  m->inputs_len = inputs_len;
+  for (u64 i = 0; i < code_len; i++) m->wr8(entry + i, code[i]);
+
+  std::unordered_map<u64, u64> addr2row;
+  addr2row.reserve(n_prog + 1);
+  for (u64 i = 0; i < n_prog; i++) {
+    if (addr2row.find(prog[i].address) == addr2row.end())
+      addr2row.emplace(prog[i].address, i);
+  }
+  addr2row.emplace(entry + code_len, n_prog);  // halt row
+
+  auto clone = [](const Machine* src) {
+    auto* c = new Machine();
+    std::memcpy(c->regs, src->regs, sizeof(src->regs));
+    for (const auto& kv : src->pages) {
+      auto pg = std::make_unique<u8[]>(4096);
+      std::memcpy(pg.get(), kv.second.get(), 4096);
+      c->pages.emplace(kv.first, std::move(pg));
+    }
+    c->lay = src->lay;
+    c->inputs = src->inputs;
+    c->inputs_len = src->inputs_len;
+    c->outputs = src->outputs;
+    c->panic_flag = src->panic_flag;
+    c->terminated = src->terminated;
+    return c;
+  };
+
+  auto* res = new TraceResult();
+  res->status = 0;
+  if (chunk_rows == 0) chunk_rows = 1 << 16;
+
+  // ---- pass 1: execute-only + checkpoints (ChunkCheckpoint analog) ----
+  std::vector<Machine*> snaps;
+  std::vector<u64> snap_idx;
+  u64 row_idx = addr2row[start];
+  u64 count = 0;
+  snaps.push_back(clone(m));
+  snap_idx.push_back(row_idx);
+  while (!m->terminated) {
+    if (count >= max_cycles) { res->status = 2; break; }
+    int st = step_row(m, prog, addr2row, row_idx, nullptr);
+    if (st) { res->status = st; break; }
+    count++;
+    if (count % chunk_rows == 0 && !m->terminated) {
+      snaps.push_back(clone(m));
+      snap_idx.push_back(row_idx);
+    }
+  }
+
+  // ---- pass 2: per-chunk re-trace into the final array ----------------
+  auto* rows = new std::vector<TraceRow>(count);
+  u64 n_chunks = (count + chunk_rows - 1) / chunk_rows;
+  if (n_chunks > snaps.size()) n_chunks = snaps.size();
+  if (n_threads == 0) {
+    unsigned hw = std::thread::hardware_concurrency();
+    n_threads = hw ? hw : 1;
+  }
+  auto work = [&](u64 c) {
+    Machine* mc = snaps[c];
+    u64 ri = snap_idx[c];
+    u64 lo = c * chunk_rows;
+    u64 hi = lo + chunk_rows > count ? count : lo + chunk_rows;
+    for (u64 i = lo; i < hi; i++) {
+      if (step_row(mc, prog, addr2row, ri, &(*rows)[i])) break;
+    }
+  };
+  if (n_threads <= 1 || n_chunks <= 1) {
+    for (u64 c = 0; c < n_chunks; c++) work(c);
+  } else {
+    std::vector<std::thread> ts;
+    std::atomic<u64> next{0};
+    for (u64 t = 0; t < n_threads && t < n_chunks; t++) {
+      ts.emplace_back([&]() {
+        for (u64 c = next.fetch_add(1); c < n_chunks;
+             c = next.fetch_add(1))
+          work(c);
+      });
+    }
+    for (auto& th : ts) th.join();
+  }
+  for (auto* sm : snaps) delete sm;
+
+  res->rows = rows->data();
+  res->count = rows->size();
+  res->outputs = m->outputs.data();
+  res->outputs_len = m->outputs.size();
+  res->panic_flag = m->panic_flag ? 1 : 0;
+  res->rows_owner = rows;
+  res->machine_owner = m;
+  return res;
 }
 
 void jolt_trace_free(TraceResult* res) {

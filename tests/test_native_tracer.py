@@ -102,3 +102,22 @@ def test_native_tracer_speed():
     # ~6 MHz standalone; generous threshold tolerates CPU contention from
     # concurrent XLA compilation in full-suite runs on this 4-core host
     assert rate > 0.5e6, f"native tracer too slow: {rate/1e6:.1f} MHz"
+
+
+def test_parallel_tracing_bit_identical():
+    """Two-pass parallel tracing == serial tracing, bit for bit (the
+    reference's paranoia gate, tracer/src/parallel.rs:54-60)."""
+    import numpy as np
+    from jolt_tpu.riscv.emulator import MemoryLayout
+    from jolt_tpu.tracer.native import trace_program_native
+    layout = MemoryLayout(max_input_size=64, max_output_size=64)
+    src = open("examples/collatz.s").read()
+    inputs = (27).to_bytes(8, "little")
+    serial = trace_program_native(src, inputs=inputs, layout=layout,
+                                  parallel=1)
+    par = trace_program_native(src, inputs=inputs, layout=layout,
+                               parallel=4, chunk_rows=64)
+    assert serial.length == par.length
+    for k in serial.columns:
+        assert np.array_equal(serial.columns[k], par.columns[k]), k
+    assert bytes(serial.device.outputs) == bytes(par.device.outputs)
