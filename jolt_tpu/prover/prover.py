@@ -255,7 +255,7 @@ def _resolve_setup(setup, padded_length, ram_log_K, bytecode_log_K):
     return setup
 
 
-def prove(trace: Trace, setup=None) -> JoltProof:
+def prove(trace: Trace, setup=None, _transcript=None) -> JoltProof:
     """Prove the trace.  `setup` enables the commitment layer (a `DorySetup`
     -- production, transparent -- or `KZGSetup`/scheme instance, or the
     strings 'dory'/'hyperkzg' to size + build one from the trace; see
@@ -324,7 +324,7 @@ def prove(trace: Trace, setup=None) -> JoltProof:
     dense_meta = {"inc": reg_wit.inc, "ram_inc": ram_wit.inc}
     _mark("witness-extraction")
 
-    transcript = Blake2bTranscript(b"Jolt")
+    transcript = _transcript or Blake2bTranscript(b"Jolt")
     fiat_shamir_preamble(
         transcript, trace.length, trace.padded_length,
         bytes(trace.device.inputs), bytes(trace.device.outputs),

@@ -37,12 +37,17 @@ class Blake2bTranscript:
         """The 32-byte compression function; subclasses (Keccak) swap it."""
         return _blake2b256(data)
 
-    def __init__(self, label: bytes, fp: FieldParams = FR, record_history: bool = False):
+    def __init__(self, label: bytes, fp: FieldParams = FR,
+                 record_history: bool = False, record_events: bool = False):
         assert len(label) < 33
         self.fp = fp
         self.state = self._hash(label + b"\x00" * (32 - len(label)))
         self.n_rounds = 0
         self.history: Optional[List[bytes]] = [self.state] if record_history else None
+        # FS-obligation audit tape: (op, payload-digest) per absorb/squeeze
+        # (`jolt-verifier/src/fs_audit.rs`: every absorb/challenge expression
+        # has a stable identity; prover and verifier tapes must be EQUAL)
+        self.events: Optional[List[tuple]] = [] if record_events else None
 
     # ---- internals ----------------------------------------------------
 
@@ -57,9 +62,15 @@ class Blake2bTranscript:
             self.history.append(new_state)
 
     def _absorb(self, payload: bytes) -> None:
+        if self.events is not None:
+            import hashlib as _h
+            self.events.append(
+                ("absorb", _h.blake2b(payload, digest_size=8).hexdigest()))
         self._update(self._hash(self._prefix() + payload))
 
     def _challenge_bytes32(self) -> bytes:
+        if self.events is not None:
+            self.events.append(("challenge", ""))
         rand = self._hash(self._prefix())
         self._update(rand)
         return rand

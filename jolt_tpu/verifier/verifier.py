@@ -95,7 +95,8 @@ def expected_bytecode_log_K(program) -> int:
     return bytecode_K(program).bit_length() - 1
 
 
-def verify(proof: JoltProof, io: PublicIO, setup=None) -> bool:
+def verify(proof: JoltProof, io: PublicIO, setup=None,
+           _transcript=None) -> bool:
     # the bytecode table size is derivable from the public program (the
     # expansion is a pure function of the image); the RAM address-space
     # size is a proof-carried config bound by the preamble
@@ -103,7 +104,7 @@ def verify(proof: JoltProof, io: PublicIO, setup=None) -> bool:
     program = expand_program(io.code, io.entry, io.start)
     if proof.bytecode_log_K != expected_bytecode_log_K(program):
         raise VerificationError("bytecode_log_K inconsistent with program")
-    transcript = Blake2bTranscript(b"Jolt")
+    transcript = _transcript or Blake2bTranscript(b"Jolt")
     fiat_shamir_preamble(transcript, io.trace_length, io.padded_length,
                          io.inputs, io.outputs, io.panic, io.code, io.entry,
                          io.start, io.memory_layout, proof.ram_log_K,
