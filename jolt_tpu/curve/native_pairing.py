@@ -57,6 +57,13 @@ def load():
                 ctypes.c_char_p]
             lib.jolt_fq12_mul.argtypes = [
                 ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p]
+            lib.jolt_g1_msm.argtypes = [
+                ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+                ctypes.c_uint64, ctypes.c_char_p, ctypes.c_char_p]
+            lib.jolt_g1_fold_batch.argtypes = [
+                ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+                ctypes.c_char_p, ctypes.c_char_p, ctypes.c_uint64,
+                ctypes.c_char_p, ctypes.c_char_p]
             lib.jolt_g2_mul_batch.argtypes = [
                 ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
                 ctypes.c_uint64, ctypes.c_char_p, ctypes.c_char_p]
@@ -195,3 +202,57 @@ def final_exp(f: Fq12) -> Optional[Fq12]:
     lib.jolt_fq12_pow(_fq12_to_bytes(f), _FINAL_EXP_LE, len(_FINAL_EXP_LE),
                       out)
     return _fq12_from_bytes(out.raw)
+
+
+# ---- G1 helpers -----------------------------------------------------------
+
+def _g1_enc_many(points):
+    n = len(points)
+    buf = bytearray(64 * n)
+    inf = bytearray(n)
+    for i, p in enumerate(points):
+        if p is None:
+            inf[i] = 1
+        else:
+            buf[64 * i:64 * i + 32] = p[0].to_bytes(32, "little")
+            buf[64 * i + 32:64 * i + 64] = p[1].to_bytes(32, "little")
+    return bytes(buf), bytes(inf)
+
+
+def _g1_dec(buf, inf):
+    if inf:
+        return None
+    return (int.from_bytes(buf[:32], "little"),
+            int.from_bytes(buf[32:64], "little"))
+
+
+def g1_msm(points, scalars):
+    """MSM over host affine points; None when the library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    n = len(points)
+    if n == 0:
+        return (None,)
+    buf, inf = _g1_enc_many(points)
+    sc = b"".join((s % R).to_bytes(32, "little") for s in scalars)
+    out = ctypes.create_string_buffer(64)
+    oinf = ctypes.create_string_buffer(1)
+    lib.jolt_g1_msm(buf, inf, sc, n, out, oinf)
+    return (_g1_dec(out.raw, oinf.raw[0]),)
+
+
+def g1_fold_batch(a, b, scalars):
+    """[a_i + s_i * b_i] over G1 lanes; None when unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    n = len(a)
+    ab, ai = _g1_enc_many(a)
+    bb, bi = _g1_enc_many(b)
+    sc = b"".join((s % R).to_bytes(32, "little") for s in scalars)
+    out = ctypes.create_string_buffer(64 * n)
+    oinf = ctypes.create_string_buffer(n)
+    lib.jolt_g1_fold_batch(ab, ai, bb, bi, sc, n, out, oinf)
+    return [_g1_dec(out.raw[64 * i:64 * (i + 1)], oinf.raw[i])
+            for i in range(n)]

@@ -353,10 +353,7 @@ class Dory:
         cols = 1 << s.sigma
 
         # E1 = sum_i L_i C1_i  (commits the combined row s = L^T M)
-        e1 = None
-        for li, ci in zip(L, hint.rows):
-            if ci is not None:
-                e1 = host.g1_add(e1, host.g1_mul(ci, li))
+        e1 = host.g1_msm_pippenger(hint.rows, L)
         transcript.append_bytes(b"dory_e1", _g1_bytes(e1))
 
         # ---- phase A: Dory-reduce on (v1 = rows, v2 = L (.) g2star) ----
@@ -383,8 +380,10 @@ class Dory:
             a_d2r.append(d2r)
             beta = transcript.challenge_scalar()
             binv = pow(beta, -1, P)
-            v1 = [host.g1_add(v, host.g1_mul(g, beta))
-                  for v, g in zip(v1, lev.g1)]
+            v1n = _np.g1_fold_batch(v1, lev.g1, [beta] * len(v1))
+            v1 = (v1n if v1n is not None
+                  else [host.g1_add(v, host.g1_mul(g, beta))
+                        for v, g in zip(v1, lev.g1)])
             v2n = _np.g2_fold_batch(v2, lev.g2, binv)
             v2 = (v2n if v2n is not None
                   else [g2_add(v, g2_mul(g, binv))
@@ -397,8 +396,10 @@ class Dory:
             a_cm.append(cminus)
             alpha = transcript.challenge_scalar()
             ainv = pow(alpha, -1, P)
-            v1 = [host.g1_add(host.g1_mul(a, alpha), b)
-                  for a, b in zip(v1[:h], v1[h:])]
+            v1n = _np.g1_fold_batch(v1[h:], v1[:h], [alpha] * h)
+            v1 = (v1n if v1n is not None
+                  else [host.g1_add(host.g1_mul(a, alpha), b)
+                        for a, b in zip(v1[:h], v1[h:])])
             v2n = _np.g2_fold_batch(v2[h:], v2[:h], ainv)
             v2 = (v2n if v2n is not None
                   else [g2_add(g2_mul(a, ainv), b)
@@ -444,8 +445,10 @@ class Dory:
             alpha = transcript.challenge_scalar()
             ainv = pow(alpha, -1, P)
             sv = [(alpha * a + b) % P for a, b in zip(sv[:h], sv[h:])]
-            gam = [host.g1_add(host.g1_mul(a, ainv), b)
-                   for a, b in zip(gam[:h], gam[h:])]
+            gamn = _np.g1_fold_batch(gam[h:], gam[:h], [ainv] * h)
+            gam = (gamn if gamn is not None
+                   else [host.g1_add(host.g1_mul(a, ainv), b)
+                         for a, b in zip(gam[:h], gam[h:])])
             Rv = [(ainv * a + b) % P for a, b in zip(Rv[:h], Rv[h:])]
         transcript.append_scalar(b"dory_bs", sv[0])
 
@@ -472,9 +475,7 @@ class Dory:
         # ---- phase A verifier ------------------------------------------
         lev0 = s.levels[0]
         # D2 = <Gamma1A, L (.) g2star> = e(sum L_i Gamma1A_i, g2star)
-        acc = None
-        for li, g in zip(L, lev0.g1):
-            acc = host.g1_add(acc, host.g1_mul(g, li))
+        acc = host.g1_msm_pippenger(lev0.g1, L)
         d1 = commitment.c
         d2 = tate_pairing(acc, s.g2star)
         c_ip = tate_pairing(proof.e1, s.g2star)
@@ -534,11 +535,14 @@ class Dory:
             alpha = transcript.challenge_scalar()
             ainv = pow(alpha, -1, P)
             h = len(gam) // 2
+            from ..curve import native_pairing as _np
             E = host.g1_add(E, host.g1_add(host.g1_mul(xl, alpha),
                                            host.g1_mul(xr, ainv)))
             y = (y + alpha * yl + ainv * yr) % P
-            gam = [host.g1_add(host.g1_mul(a, ainv), b)
-                   for a, b in zip(gam[:h], gam[h:])]
+            gamn = _np.g1_fold_batch(gam[h:], gam[:h], [ainv] * h)
+            gam = (gamn if gamn is not None
+                   else [host.g1_add(host.g1_mul(a, ainv), b)
+                         for a, b in zip(gam[:h], gam[h:])])
             Rv = [(ainv * a + b) % P for a, b in zip(Rv[:h], Rv[h:])]
         transcript.append_scalar(b"dory_bs", proof.b_final_s)
         sf = proof.b_final_s % P

@@ -120,12 +120,18 @@ class DoryScheme:
                  point: Sequence[int], value: int,
                  transcript: Blake2bTranscript):
         assert len(point) == self.setup.num_vars, "setup sized for wrong N"
+        from ..curve import native_pairing as _np
         nrows = 1 << self.setup.nu
         rows: List[Optional[host.Point]] = [None] * nrows
         for name, w in weights.items():
-            for i, rc in enumerate(self._hints[name].rows):
-                if rc is not None:
-                    rows[i] = host.g1_add(rows[i], host.g1_mul(rc, w))
+            hrows = self._hints[name].rows
+            folded = _np.g1_fold_batch(rows, hrows, [w] * nrows)
+            if folded is not None:
+                rows = folded
+            else:
+                for i, rc in enumerate(hrows):
+                    if rc is not None:
+                        rows[i] = host.g1_add(rows[i], host.g1_mul(rc, w))
         return self.dory.open(rlc, DoryHint(rows=rows), point, value,
                               transcript)
 

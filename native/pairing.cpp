@@ -20,6 +20,7 @@
 //   fq12      = 384B (c0.c0.a, c0.c0.b, c0.c1.a, .., c1.c2.b)
 
 #include <cstdint>
+#include <atomic>
 #include <cstring>
 #include <thread>
 #include <vector>
@@ -493,6 +494,202 @@ static Fq12 miller_batch(const uint8_t* g1s, const uint8_t* g2s,
     if (st[i].live) acc = f12_mul(acc, st[i].f);
   return acc;
 }
+
+// ---------------- G1 Jacobian arithmetic + Pippenger MSM ----------------
+// Production host-side MSM (Dory tier-1 dense rows, opening phase-B cross
+// terms); mirrors bn254_host.py's zero-skip windowed buckets.
+
+struct G1J { Fq x, y, z; };   // z == 0 -> infinity
+
+static inline G1J g1j_inf() { G1J r; r.x = fq_zero(); r.y = fq_zero(); r.z = fq_zero(); return r; }
+static inline bool g1j_is_inf(const G1J& p) { return fq_is_zero(p.z); }
+
+static G1J g1j_double(const G1J& p) {
+  if (g1j_is_inf(p)) return p;
+  // dbl-2009-l
+  Fq A = fq_sqr(p.x), B = fq_sqr(p.y), C = fq_sqr(B);
+  Fq t = fq_sqr(fq_add(p.x, B));
+  Fq D = fq_add(fq_sub(fq_sub(t, A), C), fq_sub(fq_sub(t, A), C));
+  Fq E = fq_add(fq_add(A, A), A);
+  Fq F = fq_sqr(E);
+  G1J r;
+  r.x = fq_sub(F, fq_add(D, D));
+  Fq c8 = fq_add(C, C); c8 = fq_add(c8, c8); c8 = fq_add(c8, c8);
+  r.y = fq_sub(fq_mul(E, fq_sub(D, r.x)), c8);
+  r.z = fq_mul(fq_add(p.y, p.y), p.z);
+  return r;
+}
+
+static G1J g1j_add(const G1J& p, const G1J& q) {
+  if (g1j_is_inf(p)) return q;
+  if (g1j_is_inf(q)) return p;
+  Fq z1z1 = fq_sqr(p.z), z2z2 = fq_sqr(q.z);
+  Fq u1 = fq_mul(p.x, z2z2), u2 = fq_mul(q.x, z1z1);
+  Fq s1 = fq_mul(fq_mul(p.y, q.z), z2z2);
+  Fq s2 = fq_mul(fq_mul(q.y, p.z), z1z1);
+  if (fq_eq(u1, u2)) {
+    if (fq_eq(s1, s2)) return g1j_double(p);
+    return g1j_inf();
+  }
+  Fq h = fq_sub(u2, u1);
+  Fq i = fq_sqr(fq_add(h, h));
+  Fq j = fq_mul(h, i);
+  Fq rr = fq_add(fq_sub(s2, s1), fq_sub(s2, s1));
+  Fq v = fq_mul(u1, i);
+  G1J r;
+  r.x = fq_sub(fq_sub(fq_sqr(rr), j), fq_add(v, v));
+  Fq s1j = fq_mul(s1, j);
+  r.y = fq_sub(fq_mul(rr, fq_sub(v, r.x)), fq_add(s1j, s1j));
+  Fq zz = fq_sub(fq_sub(fq_sqr(fq_add(p.z, q.z)), z1z1), z2z2);
+  r.z = fq_mul(zz, h);
+  return r;
+}
+
+// mixed add: q affine (z = 1 implicitly); q_inf flag
+static G1J g1j_madd(const G1J& p, const Fq& qx, const Fq& qy) {
+  if (g1j_is_inf(p)) {
+    G1J r; r.x = qx; r.y = qy; r.z = fq_one();
+    return r;
+  }
+  Fq z1z1 = fq_sqr(p.z);
+  Fq u2 = fq_mul(qx, z1z1);
+  Fq s2 = fq_mul(fq_mul(qy, p.z), z1z1);
+  if (fq_eq(p.x, u2)) {
+    if (fq_eq(p.y, s2)) return g1j_double(p);
+    return g1j_inf();
+  }
+  Fq h = fq_sub(u2, p.x);
+  Fq i = fq_sqr(fq_add(h, h));
+  Fq j = fq_mul(h, i);
+  Fq rr = fq_add(fq_sub(s2, p.y), fq_sub(s2, p.y));
+  Fq v = fq_mul(p.x, i);
+  G1J r;
+  r.x = fq_sub(fq_sub(fq_sqr(rr), j), fq_add(v, v));
+  Fq yj = fq_mul(p.y, j);
+  r.y = fq_sub(fq_mul(rr, fq_sub(v, r.x)), fq_add(yj, yj));
+  // z3 = (z1 + h)^2 - z1z1 - h^2
+  r.z = fq_sub(fq_sub(fq_sqr(fq_add(p.z, h)), z1z1), fq_sqr(h));
+  return r;
+}
+
+static void g1j_to_affine(const G1J& p, uint8_t* out64, uint8_t* inf) {
+  if (g1j_is_inf(p)) {
+    *inf = 1;
+    memset(out64, 0, 64);
+    return;
+  }
+  *inf = 0;
+  Fq zi = fq_inv(p.z);
+  Fq zi2 = fq_sqr(zi);
+  fq_write(fq_mul(p.x, zi2), out64);
+  fq_write(fq_mul(p.y, fq_mul(zi2, zi)), out64 + 32);
+}
+
+extern "C" {
+
+// MSM over affine points (n*64B) with 32B LE scalars; zero-skip windowed
+// buckets (c = 8), threaded across windows.  out: 64B affine + inf flag.
+void jolt_g1_msm(const uint8_t* pts, const uint8_t* inf,
+                 const uint8_t* scalars, uint64_t n,
+                 uint8_t* out, uint8_t* out_inf) {
+  constexpr int C = 8;
+  constexpr int NWIN = (254 + C - 1) / C;
+  std::vector<Fq> xs(n), ys(n);
+  std::vector<uint8_t> live(n);
+  for (uint64_t i = 0; i < n; ++i) {
+    bool z = true;
+    for (int b = 0; b < 32; ++b) z = z && scalars[32 * i + b] == 0;
+    live[i] = !inf[i] && !z;
+    if (live[i]) {
+      xs[i] = fq_read(pts + 64 * i);
+      ys[i] = fq_read(pts + 64 * i + 32);
+    }
+  }
+  unsigned hw = std::thread::hardware_concurrency();
+  uint64_t nt = hw ? (hw < 8 ? hw : 8) : 1;
+  if (nt > NWIN) nt = NWIN;
+  std::vector<G1J> windows(NWIN, g1j_inf());
+  auto do_window = [&](int w) {
+    G1J buckets[1 << C];
+    bool used[1 << C] = {false};
+    for (int d = 0; d < (1 << C); ++d) buckets[d] = g1j_inf();
+    int lo_bit = w * C;
+    for (uint64_t i = 0; i < n; ++i) {
+      if (!live[i]) continue;
+      int byte = lo_bit / 8, off = lo_bit % 8;
+      unsigned d = scalars[32 * i + byte] >> off;
+      if (off + C > 8 && byte + 1 < 32)
+        d |= (unsigned)scalars[32 * i + byte + 1] << (8 - off);
+      d &= (1 << C) - 1;
+      if (d) { buckets[d] = g1j_madd(buckets[d], xs[i], ys[i]); used[d] = true; }
+    }
+    G1J run = g1j_inf(), acc = g1j_inf();
+    for (int d = (1 << C) - 1; d >= 1; --d) {
+      if (used[d]) run = g1j_add(run, buckets[d]);
+      acc = g1j_add(acc, run);
+    }
+    windows[w] = acc;
+  };
+  if (nt <= 1) {
+    for (int w = 0; w < NWIN; ++w) do_window(w);
+  } else {
+    std::vector<std::thread> ts;
+    std::atomic<int> next{0};
+    for (uint64_t t = 0; t < nt; ++t)
+      ts.emplace_back([&]() {
+        for (int w = next.fetch_add(1); w < NWIN; w = next.fetch_add(1))
+          do_window(w);
+      });
+    for (auto& th : ts) th.join();
+  }
+  G1J total = g1j_inf();
+  for (int w = NWIN - 1; w >= 0; --w) {
+    for (int b = 0; b < C; ++b) total = g1j_double(total);
+    total = g1j_add(total, windows[w]);
+  }
+  g1j_to_affine(total, out, out_inf);
+}
+
+// out[i] = a_i + s_i * b_i over G1 (per-lane scalars), threaded lanes.
+void jolt_g1_fold_batch(const uint8_t* av, const uint8_t* a_inf,
+                        const uint8_t* bv, const uint8_t* b_inf,
+                        const uint8_t* scalars, uint64_t n,
+                        uint8_t* out, uint8_t* out_inf) {
+  unsigned hw = std::thread::hardware_concurrency();
+  uint64_t nt = hw ? (hw < 8 ? hw : 8) : 1;
+  if (nt > n) nt = n ? n : 1;
+  auto work = [&](uint64_t lo, uint64_t hi) {
+    for (uint64_t i = lo; i < hi; ++i) {
+      G1J acc = g1j_inf();
+      u64 k[4];
+      memcpy(k, scalars + 32 * i, 32);
+      if (!b_inf[i] && !limbs_is_zero(k)) {
+        G1J base;
+        base.x = fq_read(bv + 64 * i);
+        base.y = fq_read(bv + 64 * i + 32);
+        base.z = fq_one();
+        while (!limbs_is_zero(k)) {
+          if (k[0] & 1) acc = g1j_add(acc, base);
+          limbs_shr1(k);
+          if (!limbs_is_zero(k)) base = g1j_double(base);
+        }
+      }
+      if (!a_inf[i])
+        acc = g1j_madd(acc, fq_read(av + 64 * i), fq_read(av + 64 * i + 32));
+      g1j_to_affine(acc, out + 64 * i, out_inf + i);
+    }
+  };
+  if (nt <= 1) { work(0, n); return; }
+  std::vector<std::thread> ts;
+  uint64_t chunk = (n + nt - 1) / nt;
+  for (uint64_t t = 0; t < nt; ++t) {
+    uint64_t lo = t * chunk, hi = lo + chunk > n ? n : lo + chunk;
+    ts.emplace_back(work, lo, hi);
+  }
+  for (auto& th : ts) th.join();
+}
+
+}  // extern "C"
 
 // ---------------- batched G2 affine scalar multiplication ----------------
 // v2 builds / folds in the Dory reduce need thousands of independent G2
