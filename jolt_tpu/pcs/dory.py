@@ -172,10 +172,23 @@ class DorySetup:
     def num_vars(self) -> int:
         return self.nu + self.sigma
 
+    # Default aspect ratio: rows are capped at 2^10.  Tier-2 commits and
+    # the reduce's pairing products scale with ROWS (the host pairing
+    # tier), while tier-1 MSMs and the phase-B folds scale with COLS
+    # (device MSMs / native G1 batches -- much cheaper per element), so a
+    # wide rectangle beats the square for wall time; the verifier's
+    # phase-B O(cols) fold is the counter-pressure that caps sigma.
+    MAX_NU = 10
+
+    @classmethod
+    def default_nu(cls, num_vars: int) -> int:
+        return min(num_vars // 2, cls.MAX_NU)
+
     @classmethod
     def generate(cls, num_vars: int,
-                 cache_dir: str = "/root/repo/.srs_cache") -> "DorySetup":
-        nu = num_vars // 2
+                 cache_dir: str = "/root/repo/.srs_cache",
+                 nu: Optional[int] = None) -> "DorySetup":
+        nu = cls.default_nu(num_vars) if nu is None else nu
         sigma = num_vars - nu
         cache = os.path.join(cache_dir, f"dory_{nu}_{sigma}.pkl")
         if os.path.exists(cache):
