@@ -307,6 +307,55 @@ class Dory:
             self._g1_dev = g1dev.pack_points(self.setup.gamma1)
         return self._g1_dev
 
+    def commit_onehot_many(self, positions_list):
+        """Batched `commit_onehot`: ALL matrices' entries concatenate into
+        ONE device gather + segmented scan (per-matrix boundaries are
+        segment heads), then one tier-2 multi-pairing per matrix -- the
+        per-matrix dispatch/fetch round-trips collapse to one."""
+        import numpy as np
+
+        import jax.numpy as jnp
+
+        from ..curve import g1 as g1dev
+        s = self.setup
+        cols = 1 << s.sigma
+        metas = []
+        c_parts, head_parts = [], []
+        for positions in positions_list:
+            positions = np.asarray(positions, np.int64)
+            row_idx = positions >> s.sigma
+            order = np.argsort(row_idx, kind="stable")
+            r_sorted = row_idx[order]
+            c_parts.append((positions & (cols - 1))[order])
+            n = len(positions)
+            heads = np.ones(n, np.uint32)
+            heads[1:] = (r_sorted[1:] != r_sorted[:-1]).astype(np.uint32)
+            head_parts.append(heads)
+            lasts = np.nonzero(np.concatenate([heads[1:], [1]]))[0]
+            metas.append((r_sorted[lasts], lasts, n))
+        G = self._gamma1_dev()
+        take = jnp.asarray(np.concatenate(c_parts).astype(np.int32))
+        P3 = tuple(jnp.take(a, take, axis=-1) for a in G)
+        heads_all = np.concatenate(head_parts)
+        scan = g1dev.segmented_scan_points(P3, jnp.asarray(heads_all[None]))
+        # gather every matrix's segment-total lanes in one slice
+        offs = np.cumsum([0] + [n for _, _, n in metas])[:-1]
+        idx_all = np.concatenate(
+            [lasts + off for (_, lasts, _), off in zip(metas, offs)])
+        il = jnp.asarray(idx_all.astype(np.int32))
+        totals = tuple(a[..., il] for a in scan)
+        pts = g1dev.unpack_points(totals)
+        out = []
+        pos = 0
+        for (rows_hit, lasts, _n) in metas:
+            rows: List[Optional[host.Point]] = [None] * (1 << s.nu)
+            for r, pt in zip(rows_hit.tolist(), pts[pos:pos + len(lasts)]):
+                rows[r] = pt
+            pos += len(lasts)
+            hint = DoryHint(rows=rows)
+            out.append((self._tier2(hint), hint))
+        return out
+
     def commit_onehot(self, positions) -> Tuple[DoryCommitment, DoryHint]:
         """Commit a sparse 0/1 vector given its nonzero POSITIONS (numpy
         int64, in [0, 2^num_vars)) -- O(T log T) device point adds for

@@ -112,6 +112,17 @@ class DoryScheme:
         self._hints[name] = hint
         return com
 
+    def commit_sparse_many(self, named_positions):
+        """Batched one-hot commits: one device dispatch for every matrix
+        (see Dory.commit_onehot_many)."""
+        names = [n for n, _ in named_positions]
+        results = self.dory.commit_onehot_many([p for _, p in named_positions])
+        out = {}
+        for name, (com, hint) in zip(names, results):
+            self._hints[name] = hint
+            out[name] = com
+        return out
+
     def absorb(self, transcript: Blake2bTranscript,
                comm: DoryCommitment) -> None:
         transcript.append_bytes(b"commitment", gt_to_bytes(comm.c))

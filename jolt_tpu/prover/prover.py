@@ -357,13 +357,19 @@ def prove(trace: Trace, setup=None, _transcript=None) -> JoltProof:
         for name, coeffs in dense_meta.items():
             vals = [int(v) % P for v in coeffs]
             committed_sparse[name] = (arange_T[:len(vals)], vals, len(vals))
-        for name in committed_poly_names(d_ram, d_bc):
-            positions, values, length = committed_sparse[name]
-            if values is None:
-                commitments[name] = pcs.commit_sparse(name, positions,
-                                                      length)
-            else:
-                commitments[name] = pcs.commit(name, values, bits=254)
+        names = committed_poly_names(d_ram, d_bc)
+        onehot_names = [n for n in names if committed_sparse[n][1] is None]
+        if hasattr(pcs, "commit_sparse_many"):
+            commitments.update(pcs.commit_sparse_many(
+                [(n, committed_sparse[n][0]) for n in onehot_names]))
+        else:
+            for n in onehot_names:
+                commitments[n] = pcs.commit_sparse(
+                    n, committed_sparse[n][0], committed_sparse[n][2])
+        for name in names:
+            if name not in commitments:
+                commitments[name] = pcs.commit(
+                    name, committed_sparse[name][1], bits=254)
             pcs.absorb(transcript, commitments[name])
 
     _mark("stage0-commit")
