@@ -33,7 +33,7 @@ from .prover.prover import JoltProof
 
 P = FR.modulus
 Q = host.Q if hasattr(host, "Q") else None
-VERSION = 4
+VERSION = 5
 
 
 class ProofDecodeError(ValueError):

@@ -75,6 +75,8 @@ class JoltProof:
     stage1_uniskip: List[int]          # uni-skip first-round poly (31 coeffs)
     stage1_polys: List[List[int]]      # compressed round polys
     r1cs_input_openings: List[int]     # 38 openings at r_cycle
+    shift_polys: List[List[int]]       # PC-chaining shift sumcheck
+    shift_opening: int                 # combined current-row cols at rho
     stage2_polys: List[List[int]]      # registers read/write checking
     stage2_openings: Dict[str, int]    # wa/ra1/ra2/val/inc at bound point
     stage3_polys: List[List[int]]      # registers Val evaluation
@@ -116,7 +118,8 @@ def committed_poly_names(d_ram: int = 1, d_bc: int = 1):
 # full-ra virtual claims consumed by the ra-virtualization stage, in order
 RAM_RA_SOURCES = [("ram", "ra"), ("ram_raf", "ra"),
                   ("ram_val_eval", "ra"), ("ram_output", "ra")]
-BC_RA_SOURCES = [("bytecode", "ra"), ("bytecode_flags", "ra")]
+BC_RA_SOURCES = [("bytecode", "ra"), ("bytecode_flags", "ra"),
+                 ("bytecode_shift", "ra")]
 
 
 def stage8_entry_ids(d_ram: int = 1, d_bc: int = 1):
@@ -385,9 +388,20 @@ def prove(trace: Trace, setup=None, _transcript=None) -> JoltProof:
     stage1_polys, _ = prove_scan([outer], accumulator, transcript)
 
     _mark("stage1-spartan")
+    # ---- Stage 1s: Spartan shift (PC chaining) --------------------------
+    # Binds the five next_* openings to the actual next row via the
+    # clamped-shift weight; output claim reduces to a public bytecode
+    # lookup in stage 6 (relations/shift.py; ref zkvm/spartan/shift.rs).
+    from ..relations.shift import ShiftSumcheck, shift_column_values
+    r_cycle = list(accumulator.get_point(("r1cs_input", "rs1_value")))
+    gamma_sh = transcript.challenge_scalar()
+    shift_cols = shift_column_values(bc_wit.table, bc_wit.pc_idx, gamma_sh)
+    shift_inst = ShiftSumcheck(shift_cols, r_cycle, gamma_sh)
+    shift_polys, _ = prove_scan([shift_inst], accumulator, transcript)
+
+    _mark("stage1s-shift")
     # ---- Stage 2: registers read/write checking ------------------------
     # r_cycle and the rd/rs1/rs2 claims are the stage-1 openings.
-    r_cycle = list(accumulator.get_point(("r1cs_input", "rs1_value")))
     claims = [accumulator.get_claim(("r1cs_input", "rd_write_value")),
               accumulator.get_claim(("r1cs_input", "rs1_value")),
               accumulator.get_claim(("r1cs_input", "rs2_value"))]
@@ -493,6 +507,16 @@ def prove(trace: Trace, setup=None, _transcript=None) -> JoltProof:
         combined_table_dev(bc_wit.table, bc_wit.entry, bc_wit.K, gamma_bc,
                            columns=LOOKUP_FLAG_COLUMNS),
         r_lk_cyc, _combine(flag_claims), ("bytecode_flags", "ra"))
+    # shift-output claim: the gamma_sh-combined current-row columns at the
+    # shift sumcheck's bound point reduce to the same public table
+    from ..relations.shift import SHIFT_COLUMNS
+    r_shift = list(accumulator.get_point(("shift", "cols")))
+    bc_shift = SparseOneHotTableEval(
+        bc_sched, bc_wit.log_K,
+        combined_table_dev(bc_wit.table, bc_wit.entry, bc_wit.K, gamma_sh,
+                           columns=SHIFT_COLUMNS),
+        r_shift, accumulator.get_claim(("shift", "cols")),
+        ("bytecode_shift", "ra"))
     reg_idx_tab = index_table(128)
     raf_insts = []
     for idx_stream, claim, name in ((rd_eff, idx_claims[0], "wa"),
@@ -504,7 +528,8 @@ def prove(trace: Trace, setup=None, _transcript=None) -> JoltProof:
             ("registers_raf", name), opening_key="m"))
     raf_rd, raf_rs1, raf_rs2 = raf_insts
     stage6_polys, _ = prove_scan(
-        [bc, bc_flags, raf_rd, raf_rs1, raf_rs2], accumulator, transcript)
+        [bc, bc_flags, bc_shift, raf_rd, raf_rs1, raf_rs2], accumulator,
+        transcript)
 
     _mark("stage6-bytecode")
     # ---- Stage 6v: RAM/bytecode ra virtualization -------------------------
@@ -675,6 +700,8 @@ def prove(trace: Trace, setup=None, _transcript=None) -> JoltProof:
         stage1_uniskip=list(s1_coeffs),
         stage1_polys=stage1_polys,
         r1cs_input_openings=list(outer.input_openings),
+        shift_polys=shift_polys,
+        shift_opening=shift_inst.final_openings["cols"],
         stage2_polys=stage2_polys,
         stage2_openings=dict(rw.final_openings),
         stage3_polys=stage3_polys,
@@ -692,6 +719,7 @@ def prove(trace: Trace, setup=None, _transcript=None) -> JoltProof:
         stage6_polys=stage6_polys,
         stage6_openings={"ra": bc.final_openings["ra"],
                          "flags_ra": bc_flags.final_openings["ra"],
+                         "shift_ra": bc_shift.final_openings["ra"],
                          "raf_wa": raf_rd.final_openings["m"],
                          "raf_ra1": raf_rs1.final_openings["m"],
                          "raf_ra2": raf_rs2.final_openings["m"]},

@@ -150,6 +150,21 @@ def verify(proof: JoltProof, io: PublicIO, setup=None,
                            proof.r1cs_input_openings[v])
     accumulator.flush_to_transcript(transcript)
 
+    # ---- Stage 1s: Spartan shift (PC chaining) --------------------------
+    # The five next_* openings are bound to the actual next row: the shift
+    # sumcheck's terminal is W'(rho) * COL(rho), and COL(rho) is proven
+    # against the public bytecode table in stage 6 (relations/shift.py).
+    from ..relations.shift import SHIFT_COLUMNS, ShiftVerifier
+    gamma_sh = transcript.challenge_scalar()
+    inst_sh = ShiftVerifier(log_T, gamma_sh, r_cycle, proof.shift_opening)
+    try:
+        r_sh = BatchedSumcheck.verify(proof.shift_polys, [inst_sh],
+                                      accumulator, transcript)
+    except SumcheckError as e:
+        raise VerificationError(f"shift: {e}") from e
+    accumulator.insert(("shift", "cols"), r_sh, proof.shift_opening)
+    accumulator.flush_to_transcript(transcript)
+
     # ---- Stage 2: registers read/write checking ------------------------
     gamma = transcript.challenge_scalar()
     claims = [proof.r1cs_input_openings[V_RD_WRITE_VALUE],
@@ -279,10 +294,14 @@ def verify(proof: JoltProof, io: PublicIO, setup=None,
         log_T, proof.bytecode_log_K, gamma_bc, r_lk_cyc, flag_claims,
         program, {"ra": o6["flags_ra"]},
         columns=LOOKUP_FLAG_COLUMNS)
+    inst6s = SparseBytecodeReadRafVerifier(
+        log_T, proof.bytecode_log_K, gamma_sh, list(r_sh),
+        [proof.shift_opening], program, {"ra": o6["shift_ra"]},
+        columns=SHIFT_COLUMNS)
     raf_insts = [SparseRegistersRafVerifier(log_T, r_cycle, idx_claims[i],
                                             o6[f"raf_{n}"])
                  for i, n in enumerate(("wa", "ra1", "ra2"))]
-    stage6_insts = [inst6, inst6f] + raf_insts
+    stage6_insts = [inst6, inst6f, inst6s] + raf_insts
     try:
         r6 = BatchedSumcheck.verify(proof.stage6_polys, stage6_insts,
                                     accumulator, transcript)
@@ -297,6 +316,8 @@ def verify(proof: JoltProof, io: PublicIO, setup=None,
     accumulator.insert(("bytecode", "ra"), _norm6(inst6), o6["ra"])
     accumulator.insert(("bytecode_flags", "ra"), _norm6(inst6f),
                        o6["flags_ra"])
+    accumulator.insert(("bytecode_shift", "ra"), _norm6(inst6s),
+                       o6["shift_ra"])
     for i, n in enumerate(("wa", "ra1", "ra2")):
         accumulator.insert(("registers_raf", n), _norm6(raf_insts[i]),
                            o6[f"raf_{n}"])

@@ -33,7 +33,7 @@ P = FR.modulus
 # index columns prove the register-raf virtual claims; lk_* columns prove
 # the instruction read-raf's lookup-table / raf flag claims)
 TABLE_COLUMNS = (
-    ["pc", "unexpanded_pc", "imm", "branch"]
+    ["pc", "unexpanded_pc", "imm", "branch", "is_noop"]
     + [f"flag_{name}" for name in F.CIRCUIT_FLAGS]
     + ["rd_idx", "rs1_idx", "rs2_idx"]
     + [f"lk_{name}" for name in LT.TABLE_NAMES] + ["lk_raf"]
@@ -87,6 +87,7 @@ def decode_table(program: Program, K: int) -> Dict[str, List[int]]:
             else halt_addr
         table["imm"][k] = imm % P
         table["branch"][k] = 1 if "Branch" in inf else 0
+        table["is_noop"][k] = 1 if kind == "NOOP" else 0
         for name in F.CIRCUIT_FLAGS:
             table[f"flag_{name}"][k] = 1 if name in cf else 0
         table["rd_idx"][k] = rd
