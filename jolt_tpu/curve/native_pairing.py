@@ -64,6 +64,9 @@ def load():
                 ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
                 ctypes.c_char_p, ctypes.c_char_p, ctypes.c_uint64,
                 ctypes.c_char_p, ctypes.c_char_p]
+            lib.jolt_g1_segment_sums.argtypes = [
+                ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+                ctypes.c_uint64, ctypes.c_char_p, ctypes.c_char_p]
             lib.jolt_g2_mul_batch.argtypes = [
                 ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
                 ctypes.c_uint64, ctypes.c_char_p, ctypes.c_char_p]
@@ -240,6 +243,37 @@ def g1_msm(points, scalars):
     oinf = ctypes.create_string_buffer(1)
     lib.jolt_g1_msm(buf, inf, sc, n, out, oinf)
     return (_g1_dec(out.raw, oinf.raw[0]),)
+
+
+def g1_enc_bases(points) -> bytes:
+    """64B-affine encoding of a generator list (no infinities); cache the
+    result across g1_segment_sums calls."""
+    buf, inf = _g1_enc_many(points)
+    assert not any(inf), "generator bases must be finite"
+    return buf
+
+
+def g1_segment_sums(base_buf: bytes, col, seg_off):
+    """out[s] = sum_{i in segment s} base[col[i]] over G1.
+
+    base_buf from `g1_enc_bases`; col uint32 numpy array of indices;
+    seg_off uint64 numpy array of ns+1 offsets.  Returns a list of affine
+    points (None = infinity), or None when the library is unavailable."""
+    import numpy as np
+    lib = load()
+    if lib is None:
+        return None
+    ns = len(seg_off) - 1
+    if ns <= 0:
+        return []
+    col = np.ascontiguousarray(col, np.uint32)
+    seg_off = np.ascontiguousarray(seg_off, np.uint64)
+    out = ctypes.create_string_buffer(64 * ns)
+    oinf = ctypes.create_string_buffer(ns)
+    lib.jolt_g1_segment_sums(base_buf, col.tobytes(), seg_off.tobytes(),
+                             ns, out, oinf)
+    return [_g1_dec(out.raw[64 * i:64 * (i + 1)], oinf.raw[i])
+            for i in range(ns)]
 
 
 def g1_fold_batch(a, b, scalars):

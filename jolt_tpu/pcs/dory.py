@@ -307,16 +307,25 @@ class Dory:
             self._g1_dev = g1dev.pack_points(self.setup.gamma1)
         return self._g1_dev
 
+    def _gamma1_buf(self):
+        from ..curve import native_pairing as npair
+        if getattr(self, "_g1_buf", None) is None and npair.available():
+            self._g1_buf = npair.g1_enc_bases(self.setup.gamma1)
+        return getattr(self, "_g1_buf", None)
+
     def commit_onehot_many(self, positions_list):
-        """Batched `commit_onehot`: ALL matrices' entries concatenate into
-        ONE device gather + segmented scan (per-matrix boundaries are
-        segment heads), then one tier-2 multi-pairing per matrix -- the
-        per-matrix dispatch/fetch round-trips collapse to one."""
+        """Batched `commit_onehot`: per-matrix row sums (sum of column
+        generators per hit row) then one tier-2 multi-pairing per matrix.
+
+        Tier 1 runs on the NATIVE G1 segment-sum kernel when available
+        (native/pairing.cpp jolt_g1_segment_sums -- threaded Jacobian
+        mixed-add chains; the device segmented scan's O(N log N) adds and
+        full-width compile blow up past ~2^17 lanes on the TPU compile
+        helper), falling back to the device segmented point-scan."""
         import numpy as np
 
         import jax.numpy as jnp
 
-        from ..curve import g1 as g1dev
         s = self.setup
         cols = 1 << s.sigma
         metas = []
@@ -333,18 +342,29 @@ class Dory:
             head_parts.append(heads)
             lasts = np.nonzero(np.concatenate([heads[1:], [1]]))[0]
             metas.append((r_sorted[lasts], lasts, n))
-        G = self._gamma1_dev()
-        take = jnp.asarray(np.concatenate(c_parts).astype(np.int32))
-        P3 = tuple(jnp.take(a, take, axis=-1) for a in G)
-        heads_all = np.concatenate(head_parts)
-        scan = g1dev.segmented_scan_points(P3, jnp.asarray(heads_all[None]))
-        # gather every matrix's segment-total lanes in one slice
-        offs = np.cumsum([0] + [n for _, _, n in metas])[:-1]
-        idx_all = np.concatenate(
-            [lasts + off for (_, lasts, _), off in zip(metas, offs)])
-        il = jnp.asarray(idx_all.astype(np.int32))
-        totals = tuple(a[..., il] for a in scan)
-        pts = g1dev.unpack_points(totals)
+
+        base_buf = self._gamma1_buf()
+        if base_buf is not None:
+            from ..curve import native_pairing as npair
+            col_all = np.concatenate(c_parts).astype(np.uint32)
+            heads_all = np.concatenate(head_parts)
+            seg_off = np.concatenate([np.nonzero(heads_all)[0],
+                                      [len(col_all)]]).astype(np.uint64)
+            pts = npair.g1_segment_sums(base_buf, col_all, seg_off)
+        else:
+            from ..curve import g1 as g1dev
+            G = self._gamma1_dev()
+            take = jnp.asarray(np.concatenate(c_parts).astype(np.int32))
+            P3 = tuple(jnp.take(a, take, axis=-1) for a in G)
+            heads_all = np.concatenate(head_parts)
+            scan = g1dev.segmented_scan_points(P3,
+                                               jnp.asarray(heads_all[None]))
+            offs = np.cumsum([0] + [n for _, _, n in metas])[:-1]
+            idx_all = np.concatenate(
+                [lasts + off for (_, lasts, _), off in zip(metas, offs)])
+            il = jnp.asarray(idx_all.astype(np.int32))
+            totals = tuple(a[..., il] for a in scan)
+            pts = g1dev.unpack_points(totals)
         out = []
         pos = 0
         for (rows_hit, lasts, _n) in metas:

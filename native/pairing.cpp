@@ -650,6 +650,41 @@ void jolt_g1_msm(const uint8_t* pts, const uint8_t* inf,
   g1j_to_affine(total, out, out_inf);
 }
 
+// Per-segment sums of base points selected by index:
+//   out[s] = sum_{i in [seg_off[s], seg_off[s+1])} base[col[i]]
+// base: nb 64-byte affine points (no infinities -- URS generators),
+// col: uint32 indices into base, seg_off: ns+1 offsets.  The tier-1
+// one-hot Dory commit (sum of column generators per matrix row,
+// reference `poly/one_hot_polynomial.rs:119` commit_rows); threaded
+// over segments.
+void jolt_g1_segment_sums(const uint8_t* base, const uint32_t* col,
+                          const uint64_t* seg_off, uint64_t ns,
+                          uint8_t* out, uint8_t* out_inf) {
+  unsigned hw = std::thread::hardware_concurrency();
+  uint64_t nt = hw ? (hw < 8 ? hw : 8) : 1;
+  if (nt > ns) nt = ns ? ns : 1;
+  auto work = [&](uint64_t lo, uint64_t hi) {
+    for (uint64_t s = lo; s < hi; ++s) {
+      G1J acc = g1j_inf();
+      for (uint64_t i = seg_off[s]; i < seg_off[s + 1]; ++i) {
+        const uint8_t* p = base + 64 * (uint64_t)col[i];
+        acc = g1j_madd(acc, fq_read(p), fq_read(p + 32));
+      }
+      g1j_to_affine(acc, out + 64 * s, out_inf + s);
+    }
+  };
+  if (nt <= 1) { work(0, ns); }
+  else {
+    std::vector<std::thread> ts;
+    uint64_t chunk = (ns + nt - 1) / nt;
+    for (uint64_t t = 0; t < nt; ++t) {
+      uint64_t lo = t * chunk, hi = lo + chunk > ns ? ns : lo + chunk;
+      if (lo < hi) ts.emplace_back(work, lo, hi);
+    }
+    for (auto& th : ts) th.join();
+  }
+}
+
 // out[i] = a_i + s_i * b_i over G1 (per-lane scalars), threaded lanes.
 void jolt_g1_fold_batch(const uint8_t* av, const uint8_t* a_inf,
                         const uint8_t* bv, const uint8_t* b_inf,

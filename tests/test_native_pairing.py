@@ -78,3 +78,23 @@ def test_dispatch_env_gate(pts):
         del os.environ["JOLT_TPU_NO_NATIVE_PAIRING"]
         npair._lib = saved
     assert got == want
+
+
+def test_g1_segment_sums_matches_oracle():
+    """Native per-segment generator sums == Python point-add oracle
+    (the tier-1 one-hot Dory commit kernel)."""
+    from jolt_tpu.curve.bn254_host import g1_add
+    rng = random.Random(3)
+    base = [hash_to_g1(b"seg" + bytes([i])) for i in range(16)]
+    buf = npair.g1_enc_bases(base)
+    import numpy as np
+    col = np.array([rng.randrange(16) for _ in range(64)], np.uint32)
+    cuts = sorted(rng.sample(range(1, 64), 7))
+    seg_off = np.array([0] + cuts + [64], np.uint64)
+    got = npair.g1_segment_sums(buf, col, seg_off)
+    assert got is not None
+    for s in range(len(seg_off) - 1):
+        acc = None
+        for i in range(int(seg_off[s]), int(seg_off[s + 1])):
+            acc = g1_add(acc, base[int(col[i])])
+        assert got[s] == acc
