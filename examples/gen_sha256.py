@@ -189,5 +189,86 @@ def emit(input_start=0x7fffff00, output_start=0x7fffff40,
     return "\n".join(out) + "\n"
 
 
+def emit_inline(input_start=0x7fffff00, output_start=0x7fffff40,
+                termination=0x7fffff88, chain=1):
+    """sha2-chain via the SHA256 INLINE custom opcode (the reference's
+    accelerated path, jolt-inlines/sha2): one `sha256init` instruction per
+    link expands to ~2.2k virtual rows vs ~12.7k software rows, mirroring
+    the reference's 5.9x guest-cycle reduction (inlines.md:132-140).
+
+    Message buffer layout: 16 u32 W-words (native u32 values = big-endian
+    block words, as the inline expects; sdk.rs swap_bytes contract).  A
+    chain step feeds digest words straight back as the next message --
+    digest bytes are the BE serialization of the state words, so
+    W[i] = state[i] with no swap."""
+    W = 0x80008100     # 16-word message buffer
+    S = 0x80008200     # 8-word state buffer
+    out = []
+    E = out.append
+    E(f"# SHA-256 chain (x{chain}) via the SHA256_INIT inline opcode")
+    E("# (generated; python examples/gen_sha256.py).")
+    E(f"    li   s0, 0x{W:x}          # W message words")
+    E(f"    li   s9, 0x{S:x}          # H state")
+    # W[0..8]: big-endian words of the 32-byte input (one-time byte swap)
+    E(f"    li   t1, 0x{input_start:x}          # input region")
+    E("    li   a4, 0")
+    E("in_head:")
+    E("    add  t5, t1, a4")
+    E("    lbu  t0, 0(t5)")
+    E("    slliw t2, t0, 24")
+    E("    lbu  t0, 1(t5)")
+    E("    slliw t3, t0, 16")
+    E("    or   t2, t2, t3")
+    E("    lbu  t0, 2(t5)")
+    E("    slliw t3, t0, 8")
+    E("    or   t2, t2, t3")
+    E("    lbu  t0, 3(t5)")
+    E("    or   t2, t2, t0")
+    E("    add  t5, s0, a4")
+    E("    sw   t2, 0(t5)")
+    E("    addi a4, a4, 4")
+    E("    li   t0, 32")
+    E("    bne  a4, t0, in_head")
+    # W[8..16]: FIPS padding for a 32-byte message (0x80... || bitlen 256)
+    E("    li   t0, 0x80000000")
+    E("    sw   t0, 32(s0)")
+    for off in (36, 40, 44, 48, 52, 56):
+        E(f"    sw   zero, {off}(s0)")
+    E("    li   t0, 256")
+    E("    sw   t0, 60(s0)")
+    E(f"    li   a6, {chain}                 # chain counter")
+    E("chain_head:")
+    E("    sha256init s9, s0                # compress W -> state at (s9)")
+    E("    addi a6, a6, -1")
+    E("    beq  a6, zero, chain_done")
+    # next link's message = digest words (state values, no swap)
+    for i in range(4):
+        E(f"    ld   t0, {8 * i}(s9)")
+        E(f"    sd   t0, {8 * i}(s0)")
+    E("    j    chain_head")
+    E("chain_done:")
+    # output: big-endian digest bytes of the 8 state words
+    E(f"    li   t3, 0x{output_start:x}          # output region")
+    E("    li   a4, 0")
+    E("out_head:")
+    E("    add  t5, s9, a4")
+    E("    lw   t0, 0(t5)")
+    E("    add  t5, t3, a4")
+    E("    srliw t1, t0, 24")
+    E("    sb   t1, 0(t5)")
+    E("    srliw t1, t0, 16")
+    E("    sb   t1, 1(t5)")
+    E("    srliw t1, t0, 8")
+    E("    sb   t1, 2(t5)")
+    E("    sb   t0, 3(t5)")
+    E("    addi a4, a4, 4")
+    E("    li   t0, 32")
+    E("    bne  a4, t0, out_head")
+    E(f"    li   t0, 0x{termination:x}          # termination bit")
+    E("    li   t1, 1")
+    E("    sd   t1, 0(t0)")
+    return "\n".join(out) + "\n"
+
+
 if __name__ == "__main__":
     print(emit(), end="")

@@ -61,6 +61,31 @@ def _sign_ext(ys: np.ndarray, pairs: int) -> np.ndarray:
     return acc
 
 
+def _lsh_fold(xs: np.ndarray, ys: np.ndarray, pairs: int) -> np.ndarray:
+    """Rotate wrap mass sum_p x_p*(1-y_p)*2^p*prod_{q>p}(1+y_q) over the
+    low `pairs` bit pairs (virtual_rotr.rs second_sum); every term is a
+    distinct power of two <= 2^63, fits u64."""
+    acc = _z(xs)
+    prod = np.ones_like(xs)
+    one = _U64(1)
+    for p in range(pairs - 1, -1, -1):
+        yp = (ys >> _U64(p)) & one
+        xp = (xs >> _U64(p)) & one
+        acc = acc + xp * (one - yp) * prod * (one << _U64(p))
+        prod = prod * (one + yp)
+    return acc
+
+
+def _xor_rot(v: np.ndarray, rot: int, pairs: int, xlen: int) -> np.ndarray:
+    """sum_{p < pairs} bit_p(v) * 2^((p - rot) mod xlen): the suffix part
+    of the xor-rotate tables (weights at GLOBAL target positions)."""
+    acc = _z(v)
+    one = _U64(1)
+    for p in range(pairs):
+        acc = acc + (((v >> _U64(p)) & one) << _U64((p - rot) % xlen))
+    return acc
+
+
 def eval_suffix(name: str, xs: np.ndarray, ys: np.ndarray,
                 s_lo: np.ndarray, s_hi: np.ndarray,
                 L: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -131,4 +156,32 @@ def eval_suffix(name: str, xs: np.ndarray, ys: np.ndarray,
         return s_lo & _U64(0xFFFFFFFF), _z(xs)
     if name == "bit31":
         return (s_lo >> _U64(31)) & one, _z(xs)
+    # ---- inline-extension families ------------------------------------
+    if name == "andn":
+        return xs & ~ys, _z(xs)   # xs/ys pre-masked to half bits
+    if name == "lsh":
+        return _lsh_fold(xs, ys, half), _z(xs)
+    if name == "lshw":
+        return _lsh_fold(xs, ys, min(half, 32)), _z(xs)
+    if name == "rshw":
+        return _rsh_fold(xs, ys, min(half, 32)), _z(xs)
+    if name == "rshw_helper":
+        return one << _popcount(ys & _U64(0xFFFFFFFF)), _z(xs)
+    if name == "rev8w":
+        out = _z(s_lo)
+        for k in range(8):
+            g0 = 8 * k
+            if g0 >= L:
+                break
+            kp = 3 - k if k < 4 else 11 - k
+            bmask = _U64(0xFF if L - g0 >= 8 else (1 << (L - g0)) - 1)
+            byte = (s_lo >> _U64(g0)) & bmask
+            out = out | (byte << _U64(8 * kp))
+        return out, _z(s_lo)
+    if name.startswith("xor_rotw"):
+        r = int(name[len("xor_rotw"):])
+        return _xor_rot(xs ^ ys, r, min(half, 32), 32), _z(xs)
+    if name.startswith("xor_rot"):
+        r = int(name[len("xor_rot"):])
+        return _xor_rot(xs ^ ys, r, half, 64), _z(xs)
     raise KeyError(f"unknown suffix family {name}")

@@ -155,6 +155,79 @@ class _RightShift(PrefixFamily):
         return (state * (1 + b) + a * b) % P
 
 
+class _WeightedBitwise(PrefixFamily):
+    """sum_t w(t) * op(x_t, y_t) with an arbitrary per-pair weight (0 to
+    skip a pair); the engine of the xor-rotate tables
+    (tables/virtual_xor_rot.rs, virtual_xor_rotw.rs)."""
+
+    def __init__(self, name, op, weight: Callable[[int], int]):
+        self.name = name
+        self._op = op
+        self._w = weight
+
+    def update(self, state, a, b, t):
+        w = self._w(t)
+        if w == 0:
+            return state
+        return (state + w * self._op(a, b)) % P
+
+
+class _RightShiftW(PrefixFamily):
+    """rshift fold restricted to the low 32 bit pairs
+    (tables/virtual_rotrw.rs first_sum: pairs >= 32 are ignored)."""
+
+    name = "rshiftw"
+
+    def update(self, state, a, b, t):
+        if t >= 32:
+            return state
+        return (state * (1 + b) + a * b) % P
+
+
+class _LeftShift(PrefixFamily):
+    """MSB-first fold of the rotate-right wrap mass
+    (tables/virtual_rotr.rs second_sum): at pair t,
+    acc += x_t*(1-y_t)*prod*2^t, then prod *= (1+y_t), where prod covers
+    the already-folded (more significant) pairs.  word=True restricts to
+    the low 32 pairs (virtual_rotrw.rs)."""
+
+    def __init__(self, name, word: bool = False):
+        self.name = name
+        self._word = word
+
+    def init(self):
+        return (0, 1)  # (acc, prod)
+
+    def update(self, state, a, b, t):
+        if self._word and t >= 32:
+            return state
+        acc, prod = state
+        acc = (acc + a * ((1 - b) % P) % P * prod % P * (1 << t)) % P
+        return (acc, prod * (1 + b) % P)
+
+    def value(self, state) -> int:
+        return state[0] % P
+
+
+def _xor_rot_w(rot: int, xlen: int) -> Callable[[int], int]:
+    """Weight of pair t for xor-then-rotate-right-by-rot over xlen bits:
+    bit t of (x^y) lands at bit (t-rot) mod xlen; pairs >= xlen ignored."""
+    def w(t: int) -> int:
+        if t >= xlen:
+            return 0
+        return 1 << ((t - rot) % xlen)
+    return w
+
+
+def _rev8w_target(g: int) -> int:
+    """Byte-reverse-within-words bit permutation: global bit g (< 64) of
+    the operand lands at this output bit (tracer virtual_rev8w.rs rev8w:
+    each 32-bit half's bytes are reversed in place)."""
+    k, j = g >> 3, g & 7
+    kp = 3 - k if k < 4 else 11 - k
+    return 8 * kp + j
+
+
 class _MsbX(PrefixFamily):
     """x_63 (the sign bit of the left operand)."""
 
@@ -298,6 +371,13 @@ for fam in [
     _Bitwise("and", lambda a, b: a * b % P),
     _Bitwise("or", lambda a, b: (a + b - a * b) % P),
     _Bitwise("xor", lambda a, b: (a + b - 2 * a * b) % P),
+    _Bitwise("andn", lambda a, b: a * ((1 - b) % P) % P),
+    _RightShiftW(),
+    _LeftShift("lsh"),
+    _LeftShift("lshw", word=True),
+    _PairProduct("lsh_helper", lambda a, b, t: (1 + b) % P),
+    _PairProduct("lshw_helper",
+                 lambda a, b, t: (1 + b) % P if t < 32 else 1),
     _Eq(),
     _Ltu(),
     _Lts(),
@@ -329,8 +409,21 @@ for fam in [
     _PairProduct("hizero", _f_hizero),
     _PairProduct("nbit0", _f_nbit0),
     _PairProduct("align4", _f_align4),
+    # sum_g bit_g * 2^rev8w_target(g): x_t at global bit 2t+1, y_t at 2t
+    _PositionWeighted(
+        "rev8w",
+        lambda t: (1 << _rev8w_target(2 * t + 1)) if 2 * t + 1 < 64 else 0,
+        lambda t: (1 << _rev8w_target(2 * t)) if 2 * t < 64 else 0),
 ]:
     PREFIXES[fam.name] = fam
+
+_XOR2 = lambda a, b: (a + b - 2 * a * b) % P
+for _rot in (16, 24, 32, 63):
+    _f = _WeightedBitwise(f"xor_rot{_rot}", _XOR2, _xor_rot_w(_rot, 64))
+    PREFIXES[_f.name] = _f
+for _rot in (7, 8, 12, 16):
+    _f = _WeightedBitwise(f"xor_rotw{_rot}", _XOR2, _xor_rot_w(_rot, 32))
+    PREFIXES[_f.name] = _f
 
 
 # ---------------------------------------------------------------------------
@@ -373,7 +466,24 @@ SUFFIXES: Dict[str, Callable[[int, int, int, int], int]] = {
     "align4": lambda xs, ys, s, L: int(L == 0 or (s & 3) == 0),
     "low32": lambda xs, ys, s, L: s & 0xFFFFFFFF,
     "bit31": lambda xs, ys, s, L: (s >> 31) & 1,
+    "andn": lambda xs, ys, s, L: xs & ((1 << (L // 2)) - 1 - ys),
+    "lsh": lambda xs, ys, s, L: _lsh_fold(xs, ys, L // 2),
+    "lshw": lambda xs, ys, s, L: _lsh_fold(xs, ys, min(L // 2, 32)),
+    "rshw": lambda xs, ys, s, L: _rsh_fold(xs, ys, min(L // 2, 32)),
+    "rshw_helper": lambda xs, ys, s, L: 1 << bin(
+        ys & 0xFFFFFFFF).count("1"),
+    "rev8w": lambda xs, ys, s, L: sum(
+        ((s >> g) & 1) << _rev8w_target(g) for g in range(min(L, 64))),
 }
+for _rot in (16, 24, 32, 63):
+    SUFFIXES[f"xor_rot{_rot}"] = (
+        lambda xs, ys, s, L, R=_rot: sum(
+            (((xs ^ ys) >> p) & 1) << ((p - R) % 64) for p in range(L // 2)))
+for _rot in (7, 8, 12, 16):
+    SUFFIXES[f"xor_rotw{_rot}"] = (
+        lambda xs, ys, s, L, R=_rot: sum(
+            (((xs ^ ys) >> p) & 1) << ((p - R) % 32)
+            for p in range(min(L // 2, 32))))
 
 
 def _rsh_fold(xs: int, ys: int, pairs: int) -> int:
@@ -383,6 +493,19 @@ def _rsh_fold(xs: int, ys: int, pairs: int) -> int:
         y = (ys >> p) & 1
         e = e * (1 + y) + ((xs >> p) & 1) * y
     return e
+
+
+def _lsh_fold(xs: int, ys: int, pairs: int) -> int:
+    """Rotate-right wrap mass over `pairs` bit pairs
+    (virtual_rotr.rs second_sum): sum_p x_p*(1-y_p)*2^p*prod_{q>p}(1+y_q).
+    On boolean inputs every term hits a distinct power of two <= 2^63,
+    so the value fits u64."""
+    acc, prod = 0, 1
+    for p in range(pairs - 1, -1, -1):
+        y = (ys >> p) & 1
+        acc += ((xs >> p) & 1) * (1 - y) * prod * (1 << p)
+        prod *= 1 + y
+    return acc
 
 
 # ---------------------------------------------------------------------------
@@ -530,7 +653,44 @@ TABLES: Dict[str, dict] = {
         "terms": [(1, "align4", "align4")],
         "entry": lambda idx: int(idx & 3 == 0),
     },
+    # ---- inline-extension tables (jolt-inlines/{sha2,keccak256,...}) ----
+    "Andn": {  # andn.rs: rd = x & ~y (Zbb ANDN)
+        "terms": [(1, "andn", "one"), (1, "one", "andn")],
+        "entry": _entry_split(lambda x, y: x & (M64 ^ y)),
+    },
+    "VirtualROTR": {  # virtual_rotr.rs: rotate-right by the y bitmask
+        "terms": [(1, "rshift", "rsh_helper"), (1, "one", "rsh"),
+                  (1, "lsh_helper", "lsh"), (1, "lsh", "one")],
+        "entry": _entry_split(
+            lambda x, y: _rsh_fold(x, y, 64) + _lsh_fold(x, y, 64)),
+    },
+    "VirtualROTRW": {  # virtual_rotrw.rs: word rotate (high pairs ignored)
+        "terms": [(1, "rshiftw", "rshw_helper"), (1, "one", "rshw"),
+                  (1, "lshw_helper", "lshw"), (1, "lshw", "one")],
+        "entry": _entry_split(
+            lambda x, y: _rsh_fold(x, y, 32) + _lsh_fold(x, y, 32)),
+    },
+    "VirtualRev8W": {  # virtual_rev8w.rs: byte-reverse each 32-bit half
+        "terms": [(1, "rev8w", "one"), (1, "one", "rev8w")],
+        "entry": lambda idx: sum(
+            ((idx >> g) & 1) << _rev8w_target(g) for g in range(64)),
+    },
 }
+for _rot in (16, 24, 32, 63):
+    TABLES[f"VirtualXORROT{_rot}"] = {  # virtual_xor_rot.rs
+        "terms": [(1, f"xor_rot{_rot}", "one"),
+                  (1, "one", f"xor_rot{_rot}")],
+        "entry": _entry_split(lambda x, y, R=_rot: (
+            (((x ^ y) >> R) | ((x ^ y) << (64 - R))) & M64)),
+    }
+for _rot in (7, 8, 12, 16):
+    TABLES[f"VirtualXORROTW{_rot}"] = {  # virtual_xor_rotw.rs
+        "terms": [(1, f"xor_rotw{_rot}", "one"),
+                  (1, "one", f"xor_rotw{_rot}")],
+        "entry": _entry_split(lambda x, y, R=_rot: (
+            ((((x ^ y) & 0xFFFFFFFF) >> R)
+             | (((x ^ y) & 0xFFFFFFFF) << (32 - R))) & 0xFFFFFFFF)),
+    }
 
 
 def right_shift_bitmask(shift: int, xlen: int = XLEN) -> int:
@@ -641,6 +801,19 @@ KIND_TABLE: Dict[str, Optional[str]] = {
     "VirtualAssertMulUNoOverflow": "MulUNoOverflow",
     "VirtualAssertHalfwordAlignment": "HalfwordAlignment",
     "VirtualAssertWordAlignment": "WordAlignment",
+    # inline-extension kinds (jolt-inlines): Zbb ANDN + virtual rotates
+    "ANDN": "Andn",
+    "VirtualROTRI": "VirtualROTR",
+    "VirtualROTRIW": "VirtualROTRW",
+    "VirtualRev8W": "VirtualRev8W",
+    "VirtualXORROT16": "VirtualXORROT16",
+    "VirtualXORROT24": "VirtualXORROT24",
+    "VirtualXORROT32": "VirtualXORROT32",
+    "VirtualXORROT63": "VirtualXORROT63",
+    "VirtualXORROTW7": "VirtualXORROTW7",
+    "VirtualXORROTW8": "VirtualXORROTW8",
+    "VirtualXORROTW12": "VirtualXORROTW12",
+    "VirtualXORROTW16": "VirtualXORROTW16",
 }
 
 

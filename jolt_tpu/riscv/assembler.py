@@ -65,6 +65,10 @@ _R_OPS = {
     "rem": (0x33, 6, 0x01), "remu": (0x33, 7, 0x01),
     "mulw": (0x3B, 0, 0x01), "divw": (0x3B, 4, 0x01), "divuw": (0x3B, 5, 0x01),
     "remw": (0x3B, 6, 0x01), "remuw": (0x3B, 7, 0x01),
+    "andn": (0x33, 7, 0x20),               # Zbb (inline sequences)
+    # INLINE custom-0 selectors (jolt-inlines/sha2/src/lib.rs):
+    # sha256 rs1, rs2 -- compress block at (rs2) into state at (rs1)
+    "sha256": (0x0B, 0, 0x00), "sha256init": (0x0B, 1, 0x00),
 }
 _I_OPS = {
     "addi": (0x13, 0), "slti": (0x13, 2), "sltiu": (0x13, 3), "xori": (0x13, 4),
@@ -185,6 +189,8 @@ def _encode(mnem: str, args: List[str], addr: int, labels: Dict[str, int]) -> Li
 
     if mnem in _R_OPS:
         op, f3, f7 = _R_OPS[mnem]
+        if len(args) == 2 and op == 0x0B:   # inline: rd unused
+            return [_enc_r(op, f3, f7, 0, _reg(args[0]), _reg(args[1]))]
         return [_enc_r(op, f3, f7, _reg(args[0]), _reg(args[1]), _reg(args[2]))]
     if mnem in _SHIFTS_I:
         op, f3, top = _SHIFTS_I[mnem]

@@ -30,6 +30,11 @@ _M64 = (1 << 64) - 1
 _M32 = (1 << 32) - 1
 
 
+def _tz64(v: int) -> int:
+    """Trailing zeros of a u64 (u64::trailing_zeros: 64 for v == 0)."""
+    return (v & -v).bit_length() - 1 if v else 64
+
+
 def _s64(x: int) -> int:
     x &= _M64
     return x - (1 << 64) if x >> 63 else x
@@ -260,7 +265,8 @@ class Emulator:
                       "SLLI", "SRLI", "SRAI", "ADDIW", "SLLIW", "SRLIW", "SRAIW"):
             rd_post = self._alu_imm(kind, rs1_val, imm)
         elif kind in ("ADD", "SUB", "SLL", "SLT", "SLTU", "XOR", "SRL", "SRA",
-                      "OR", "AND", "ADDW", "SUBW", "SLLW", "SRLW", "SRAW",
+                      "OR", "AND", "ANDN",
+                      "ADDW", "SUBW", "SLLW", "SRLW", "SRAW",
                       "MUL", "MULH", "MULHSU", "MULHU", "DIV", "DIVU", "REM",
                       "REMU", "MULW", "DIVW", "DIVUW", "REMW", "REMUW"):
             rd_post = self._alu_reg(kind, rs1_val, rs2_val)
@@ -386,6 +392,8 @@ class Emulator:
         sh6, sh5 = b & 0x3F, b & 0x1F
         if kind == "ADD":
             return (a + b) & _M64
+        if kind == "ANDN":   # Zbb: rd = rs1 & ~rs2 (instructions/i/andn.rs)
+            return a & (b ^ _M64)
         if kind == "SUB":
             return (a - b) & _M64
         if kind == "SLL":
@@ -517,6 +525,29 @@ class RowEmulator(Emulator):
             return (_rsh_fold(rs1_val, rs2_val, 64) + ext) & _M64
         if kind == "VirtualMULI":
             return (rs1_val * (row.imm & _M64)) & _M64
+        # inline-extension rotates (tracer virtual_rotri{,w}.rs,
+        # virtual_xor_rot{,w}.rs, virtual_rev8w.rs)
+        if kind == "VirtualROTRI":
+            sh = _tz64(row.imm & _M64)
+            return ((rs1_val >> sh) | (rs1_val << (64 - sh))) & _M64 \
+                if sh % 64 else rs1_val
+        if kind == "VirtualROTRIW":
+            sh = min(_tz64(row.imm & _M64), 32)
+            v = rs1_val & _M32
+            return ((v >> sh) | (v << (32 - sh))) & _M32 \
+                if sh % 32 else v
+        if kind == "VirtualRev8W":
+            lo = int.from_bytes((rs1_val & _M32).to_bytes(4, "little"), "big")
+            hi = int.from_bytes((rs1_val >> 32).to_bytes(4, "little"), "big")
+            return lo | (hi << 32)
+        if kind.startswith("VirtualXORROTW"):
+            r = int(kind[len("VirtualXORROTW"):])
+            v = (rs1_val ^ rs2_val) & _M32
+            return ((v >> r) | (v << (32 - r))) & _M32
+        if kind.startswith("VirtualXORROT"):
+            r = int(kind[len("VirtualXORROT"):])
+            v = rs1_val ^ rs2_val
+            return ((v >> r) | (v << (64 - r))) & _M64
         raise AssertionError(kind)
 
     @staticmethod
@@ -599,7 +630,7 @@ class RowEmulator(Emulator):
                       "SLLI", "SRLI", "SRAI"):
             rd_post = self._alu_imm(kind, rs1_val, imm)
         elif kind in ("ADD", "SUB", "SLT", "SLTU", "XOR", "OR", "AND",
-                      "MUL", "MULHU"):
+                      "ANDN", "MUL", "MULHU"):
             rd_post = self._alu_reg(kind, rs1_val, rs2_val)
         elif kind.startswith("VirtualAssert"):
             if self._assert_output(kind, rs1_val, rs2_val, imm) != 1:

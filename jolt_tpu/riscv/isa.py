@@ -53,6 +53,17 @@ KINDS = [
     "AMOANDW", "AMOANDD", "AMOORW", "AMOORD",
     "AMOMINW", "AMOMIND", "AMOMAXW", "AMOMAXD",
     "AMOMINUW", "AMOMINUD", "AMOMAXUW", "AMOMAXUD",
+    # inline-extension kinds (reference jolt-inlines/* + Zbb ANDN):
+    # ANDN is a real encodable instruction (Zbb, used inside inline
+    # sequences); the Virtual* rotates appear only as expansion targets.
+    # INLINE is the source-only custom opcode (0x0B/0x2B) expanded by
+    # riscv/program.py into the registered sequence (never a final row).
+    "ANDN", "VirtualROTRI", "VirtualROTRIW", "VirtualRev8W",
+    "VirtualXORROT16", "VirtualXORROT24", "VirtualXORROT32",
+    "VirtualXORROT63",
+    "VirtualXORROTW7", "VirtualXORROTW8", "VirtualXORROTW12",
+    "VirtualXORROTW16",
+    "INLINE",
 ]
 KIND_ID = {name: i for i, name in enumerate(KINDS)}
 
@@ -159,10 +170,19 @@ def decode(word: int) -> Decoded:
             return Decoded("SRAIW", rd=rd, rs1=rs1, imm=shamt)
         raise DecodeError("bad op-imm-32")
     if opcode == 0x33:
+        if (funct3, funct7) == (7, 0x20):     # Zbb ANDN (inline sequences)
+            return Decoded("ANDN", rd=rd, rs1=rs1, rs2=rs2)
         key = (funct3, funct7)
         if key not in _OP:
             raise DecodeError(f"bad op {key}")
         return Decoded(_OP[key], rd=rd, rs1=rs1, rs2=rs2)
+    if opcode in (0x0B, 0x2B):
+        # custom-0/custom-1 INLINE (reference jolt-inlines; sdk host.rs
+        # __submit_inline_op OPCODE check).  The (opcode, funct3, funct7)
+        # selector is packed into imm; riscv/program.py expands it into
+        # the registered virtual sequence -- never a final row.
+        return Decoded("INLINE", rd=rd, rs1=rs1, rs2=rs2,
+                       imm=(opcode << 10) | (funct7 << 3) | funct3)
     if opcode == 0x3B:
         key = (funct3, funct7)
         if key not in _OP32:

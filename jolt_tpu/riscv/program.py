@@ -464,7 +464,10 @@ def expand_decoded(d, address: int) -> List[Row]:
     b = _Builder(address)
     rd = d.rd
 
-    if k in _ATOMIC_KINDS:
+    if k == "INLINE":
+        from .inlines import expand_inline
+        expand_inline(b, d)
+    elif k in _ATOMIC_KINDS:
         _expand_atomic(b, d)
     elif k in ("LB", "LBU", "LH", "LHU", "LW", "LWU"):
         size = {"LB": 1, "LBU": 1, "LH": 2, "LHU": 2, "LW": 4, "LWU": 4}[k]
@@ -601,7 +604,7 @@ def expand_program(code: bytes, entry: int, start: int = None) -> Program:
         # and are reserved for trace padding).  Reference: expand/mod.rs
         # rd-zero rewrite; jumps keep their x32 rewrite instead.
         if (d.rd == 0 and d.kind not in _NO_RD
-                and d.kind not in ("JAL", "JALR")
+                and d.kind not in ("JAL", "JALR", "INLINE")
                 and d.kind not in _ATOMIC_KINDS):   # atomics keep side effects
             rows.append(Row(kind="ADDI", address=addr, rd=VTEMP_BASE - 1,
                             compressed=comp))

@@ -117,7 +117,17 @@ FLAGS: Dict[str, Tuple[Tuple[str, ...], Tuple[str, ...]]] = {
     "VirtualAssertMulUNoOverflow": (("MultiplyOperands", "Assert"), _RS1_RS2),
     "VirtualAssertHalfwordAlignment": (("AddOperands", "Assert"), _RS1_IMM),
     "VirtualAssertWordAlignment": (("AddOperands", "Assert"), _RS1_IMM),
+    # inline-extension kinds (jolt-riscv instructions/{i/andn,virt/*}.rs)
+    "ANDN": (_WR, _RS1_RS2),
+    "VirtualROTRI": (_WR, _RS1_IMM),
+    "VirtualROTRIW": (_WR, _RS1_IMM),
+    "VirtualRev8W": (("AddOperands",) + _WR, ("LeftOperandIsRs1Value",)),
+    "INLINE": ((), ()),   # source-only: always expanded, never a final row
 }
+for _rot in (16, 24, 32, 63):
+    FLAGS[f"VirtualXORROT{_rot}"] = (_WR, _RS1_RS2)
+for _rot in (7, 8, 12, 16):
+    FLAGS[f"VirtualXORROTW{_rot}"] = (_WR, _RS1_RS2)
 
 # RV64A source kinds: always expanded into final-row sequences
 # (riscv/program.py); entries exist only for the semantic oracle.
@@ -147,6 +157,11 @@ PROVABLE_KINDS: FrozenSet[str] = frozenset([
     "VirtualAssertEQ", "VirtualAssertLTE", "VirtualAssertValidDiv0",
     "VirtualAssertValidUnsignedRemainder", "VirtualAssertMulUNoOverflow",
     "VirtualAssertHalfwordAlignment", "VirtualAssertWordAlignment",
+    "ANDN", "VirtualROTRI", "VirtualROTRIW", "VirtualRev8W",
+    "VirtualXORROT16", "VirtualXORROT24", "VirtualXORROT32",
+    "VirtualXORROT63",
+    "VirtualXORROTW7", "VirtualXORROTW8", "VirtualXORROTW12",
+    "VirtualXORROTW16",
 ])
 
 

@@ -167,6 +167,45 @@ def _b(v):
     return v.astype(_U64)
 
 
+def _lsh_fold_vec(x, y, pairs=64):
+    """Rotate wrap mass (virtual_rotr.rs second_sum), vectorized."""
+    acc = np.zeros_like(x)
+    prod = np.ones_like(x)
+    one = _U64(1)
+    for p in range(pairs - 1, -1, -1):
+        yp = (y >> _U64(p)) & one
+        xp = (x >> _U64(p)) & one
+        acc = acc + xp * (one - yp) * prod * (one << _U64(p))
+        prod = prod * (one + yp)
+    return acc
+
+
+def _rsh_fold_w(x, y):
+    """rsh fold over the low 32 pairs only (virtual_rotrw.rs)."""
+    e = np.zeros_like(x)
+    one = _U64(1)
+    for p in range(31, -1, -1):
+        yp = (y >> _U64(p)) & one
+        xp = (x >> _U64(p)) & one
+        e = e * (one + yp) + xp * yp
+    return e
+
+
+def _rotr_vec(v, r, bits):
+    mask = _U64(M64 if bits == 64 else (1 << bits) - 1)
+    v = v & mask
+    return ((v >> _U64(r)) | (v << _U64(bits - r))) & mask
+
+
+def _rev8w_vec(lo, hi):
+    out = np.zeros_like(lo)
+    for k in range(8):
+        kp = 3 - k if k < 4 else 11 - k
+        byte = (lo >> _U64(8 * k)) & _U64(0xFF)
+        out = out | (byte << _U64(8 * kp))
+    return out
+
+
 _VEC_ENTRIES = {
     # raw: f(lo, hi)
     "RangeCheck": ("raw", lambda lo, hi: lo),
@@ -205,7 +244,20 @@ _VEC_ENTRIES = {
         (x == _U64(0xFFFFFFFF80000000)) & (y == _U64(M64)), _U64(1), y)),
     "VirtualSRL": ("split", _rsh_fold_vec),
     "VirtualSRA": ("split", lambda x, y: _rsh_fold_vec(x, y) + _sra_mass(x, y)),
+    # inline-extension tables
+    "Andn": ("split", lambda x, y: x & ~y),
+    "VirtualROTR": ("split",
+                    lambda x, y: _rsh_fold_vec(x, y) + _lsh_fold_vec(x, y)),
+    "VirtualROTRW": ("split",
+                     lambda x, y: _rsh_fold_w(x, y) + _lsh_fold_vec(x, y, 32)),
+    "VirtualRev8W": ("raw", _rev8w_vec),
 }
+for _rot in (16, 24, 32, 63):
+    _VEC_ENTRIES[f"VirtualXORROT{_rot}"] = (
+        "split", lambda x, y, R=_rot: _rotr_vec(x ^ y, R, 64))
+for _rot in (7, 8, 12, 16):
+    _VEC_ENTRIES[f"VirtualXORROTW{_rot}"] = (
+        "split", lambda x, y, R=_rot: _rotr_vec(x ^ y, R, 32))
 assert set(_VEC_ENTRIES) == set(LT.TABLE_NAMES)
 
 # per-kind static metadata indexed by numeric kind id

@@ -52,6 +52,18 @@ enum Kind : u16 {
   V_SRL, V_SRA, V_MULI,
   VA_EQ, VA_LTE, VA_VALID_DIV0, VA_VALID_UREM, VA_MULU_NO_OVF,
   VA_HALF_ALIGN, VA_WORD_ALIGN,
+  // RV64A source-only kinds (always expanded; never reach a final row --
+  // present only to keep numeric ids aligned with isa.py)
+  LRW_, LRD_, SCW_, SCD_,
+  AMOSWAPW_, AMOSWAPD_, AMOADDW_, AMOADDD_, AMOXORW_, AMOXORD_,
+  AMOANDW_, AMOANDD_, AMOORW_, AMOORD_,
+  AMOMINW_, AMOMIND_, AMOMAXW_, AMOMAXD_,
+  AMOMINUW_, AMOMINUD_, AMOMAXUW_, AMOMAXUD_,
+  // inline-extension kinds (jolt-inlines; final provable rows)
+  ANDN_, V_ROTRI, V_ROTRIW, V_REV8W,
+  V_XORROT16, V_XORROT24, V_XORROT32, V_XORROT63,
+  V_XORROTW7, V_XORROTW8, V_XORROTW12, V_XORROTW16,
+  INLINE_,  // source-only custom opcode
   KIND_COUNT
 };
 
@@ -322,6 +334,41 @@ static int step_row(Machine* m, const ProgRow* prog,
         break;
       }
       case V_MULI: rd_post = rs1v * (u64)imm; break;
+      case ANDN_: rd_post = rs1v & ~rs2v; break;
+      case V_ROTRI: {
+        u32 sh = imm ? (u32)__builtin_ctzll((u64)imm) : 64;
+        rd_post = (sh % 64) ? (rs1v >> (sh % 64)) | (rs1v << (64 - sh % 64))
+                            : rs1v;
+        break;
+      }
+      case V_ROTRIW: {
+        u32 sh = imm ? (u32)__builtin_ctzll((u64)imm) : 64;
+        if (sh > 32) sh = 32;
+        u32 v = (u32)rs1v;
+        rd_post = (u64)((sh % 32) ? (v >> (sh % 32)) | (v << (32 - sh % 32))
+                                  : v);
+        break;
+      }
+      case V_REV8W: {
+        u32 lo = __builtin_bswap32((u32)rs1v);
+        u32 hi = __builtin_bswap32((u32)(rs1v >> 32));
+        rd_post = (u64)lo | ((u64)hi << 32);
+        break;
+      }
+      case V_XORROT16: case V_XORROT24: case V_XORROT32: case V_XORROT63: {
+        u32 r = k == V_XORROT16 ? 16 : k == V_XORROT24 ? 24
+              : k == V_XORROT32 ? 32 : 63;
+        u64 v = rs1v ^ rs2v;
+        rd_post = (v >> r) | (v << (64 - r));
+        break;
+      }
+      case V_XORROTW7: case V_XORROTW8: case V_XORROTW12: case V_XORROTW16: {
+        u32 r = k == V_XORROTW7 ? 7 : k == V_XORROTW8 ? 8
+              : k == V_XORROTW12 ? 12 : 16;
+        u32 v = (u32)(rs1v ^ rs2v);
+        rd_post = (u64)((v >> r) | (v << (32 - r)));
+        break;
+      }
       case VA_EQ: case VA_LTE: case VA_VALID_DIV0: case VA_VALID_UREM:
       case VA_MULU_NO_OVF: case VA_HALF_ALIGN: case VA_WORD_ALIGN: {
         bool ok = false;

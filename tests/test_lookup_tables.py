@@ -71,6 +71,32 @@ def test_prefix_suffix_decomposition(name):
         assert got == want, f"{name} cut={cut_pairs} pairs"
 
 
+def test_suffix_vec_matches_scalar_oracle():
+    """Vectorized suffix evaluation (lookups/suffix_vec.py, the stage-5
+    device on-ramp) == scalar SUFFIXES closed forms, every family, every
+    phase suffix length."""
+    import numpy as np
+
+    from jolt_tpu.lookups.suffix_vec import eval_suffix
+    from jolt_tpu.lookups.tables import SUFFIXES
+
+    rng = random.Random(42)
+    for L in (0, 8, 16, 48, 64, 80, 120):
+        half = L // 2
+        n = 64
+        ss = [rng.randrange(1 << L) if L else 0 for _ in range(n)]
+        xs_l, ys_l = zip(*(uninterleave_bits(s, half) for s in ss))
+        xs = np.array(xs_l, dtype=np.uint64)
+        ys = np.array(ys_l, dtype=np.uint64)
+        s_lo = np.array([s & ((1 << 64) - 1) for s in ss], dtype=np.uint64)
+        s_hi = np.array([s >> 64 for s in ss], dtype=np.uint64)
+        for name, fn in SUFFIXES.items():
+            lo, hi = eval_suffix(name, xs, ys, s_lo, s_hi, L)
+            got = [(int(h) << 64) | int(l) for l, h in zip(lo, hi)]
+            want = [fn(x, y, s, L) for x, y, s in zip(xs_l, ys_l, ss)]
+            assert got == want, f"suffix {name} at L={L}"
+
+
 @pytest.mark.parametrize("name", list(TABLES))
 def test_incremental_fold_matches_onepass(name):
     """Checkpointing: folding pairs incrementally across phase boundaries

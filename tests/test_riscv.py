@@ -166,5 +166,9 @@ def test_decode_roundtrip_random():
     for mnem, (op, f3, f7) in _R_OPS.items():
         word = _enc_r(op, f3, f7, 11, 12, 13)
         dec = isa.decode(word)
-        assert dec.kind == mnem.upper()
+        if op == 0x0B:   # INLINE custom opcode: selector packed in imm
+            assert dec.kind == "INLINE"
+            assert dec.imm == (op << 10) | (f7 << 3) | f3
+        else:
+            assert dec.kind == mnem.upper()
         assert (dec.rd, dec.rs1, dec.rs2) == (11, 12, 13)
