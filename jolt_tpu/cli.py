@@ -30,7 +30,17 @@ def _read_guest(path: str):
 
 def _trace(args):
     from .riscv.emulator import MemoryLayout
-    layout = MemoryLayout(max_input_size=args.io_size, max_output_size=args.io_size)
+    ta = bytes.fromhex(getattr(args, "trusted_advice", "") or "")
+    ua = bytes.fromhex(getattr(args, "untrusted_advice", "") or "")
+    def _pow2(n):
+        k = 8
+        while k < n:
+            k *= 2
+        return k
+    layout = MemoryLayout(
+        max_input_size=args.io_size, max_output_size=args.io_size,
+        max_trusted_advice_size=_pow2(len(ta)) if ta else 0,
+        max_untrusted_advice_size=_pow2(len(ua)) if ua else 0)
     src = _read_guest(args.guest)
     inputs = bytes.fromhex(args.input) if args.input else b""
     t0 = time.time()
@@ -38,7 +48,8 @@ def _trace(args):
         from .tracer.native import trace_program_native as tp
     else:
         from .tracer import trace_program as tp
-    tr = tp(src, inputs=inputs, layout=layout)
+    tr = tp(src, inputs=inputs, layout=layout,
+            trusted_advice=ta, untrusted_advice=ua)
     dt = time.time() - t0
     return tr, dt
 
@@ -174,8 +185,17 @@ def cmd_verify(args):
     from .riscv.emulator import MemoryLayout
     from .verifier import VerificationError, verify
     from .verifier.verifier import PublicIO
-    layout = MemoryLayout(max_input_size=args.io_size,
-                          max_output_size=args.io_size)
+    ta = bytes.fromhex(getattr(args, "trusted_advice", "") or "")
+    ua = bytes.fromhex(getattr(args, "untrusted_advice", "") or "")
+    def _pow2(n):
+        k = 8
+        while k < n:
+            k *= 2
+        return k
+    layout = MemoryLayout(
+        max_input_size=args.io_size, max_output_size=args.io_size,
+        max_trusted_advice_size=_pow2(len(ta)) if ta else 0,
+        max_untrusted_advice_size=_pow2(len(ua)) if ua else 0)
     guest = _read_guest(args.guest)
     entry = start = 0x80000000
     if isinstance(guest, bytes):
@@ -232,6 +252,11 @@ def main(argv=None):
         sp = sub.add_parser(name)
         sp.add_argument("guest", help="guest assembly or ELF file")
         sp.add_argument("--input", default="", help="input bytes as hex")
+        sp.add_argument("--trusted-advice", dest="trusted_advice",
+                        default="", help="trusted advice bytes as hex "
+                        "(region sized to the next power of two)")
+        sp.add_argument("--untrusted-advice", dest="untrusted_advice",
+                        default="", help="untrusted advice bytes as hex")
         sp.add_argument("--io-size", type=int, default=64,
                         help="max input/output region size")
         sp.add_argument("--native", action="store_true",

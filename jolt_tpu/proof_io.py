@@ -33,7 +33,7 @@ from .prover.prover import JoltProof
 
 P = FR.modulus
 Q = host.Q if hasattr(host, "Q") else None
-VERSION = 5
+VERSION = 6
 
 
 class ProofDecodeError(ValueError):

@@ -100,19 +100,24 @@ class JoltProof:
     stage8_openings: List[int]         # per-entry P_i(r*) terminal values
     commitments: Dict[str, object]     # committed polys (G1 points)
     opening_proofs: Dict[str, object]  # "joint" -> DoryProof|HyperKZGProof
+    advice_openings: Dict[str, int] = None   # trusted/untrusted Init openings
 
 
-def committed_poly_names(d_ram: int = 1, d_bc: int = 1):
+def committed_poly_names(d_ram: int = 1, d_bc: int = 1,
+                         advice_kinds=()):
     """Canonical commitment absorb order, shared by prover and verifier
     (one-hot access matrices then dense increment columns).  RAM and
     bytecode access matrices are committed as d 8-bit chunk selectors
     (reference RamRa(i)/BytecodeRa(i), `zkvm/witness.rs:24-74`) so no
-    committed one-hot exceeds 256 rows."""
+    committed one-hot exceeds 256 rows.  `advice_kinds` (derived from the
+    public MemoryLayout advice sizes) appends the trusted/untrusted advice
+    polynomials (`zkvm/prover.rs:806-860`)."""
     return (["wa", "ra1", "ra2"]
             + [f"ram_ra{i}" for i in range(d_ram)]
             + [f"bc_ra{i}" for i in range(d_bc)]
             + [f"lk_ra{i}" for i in range(LK_D)]
-            + ["inc", "ram_inc"])
+            + ["inc", "ram_inc"]
+            + [f"{k}_advice" for k in advice_kinds])
 
 
 # full-ra virtual claims consumed by the ra-virtualization stage, in order
@@ -122,7 +127,14 @@ BC_RA_SOURCES = [("bytecode", "ra"), ("bytecode_flags", "ra"),
                  ("bytecode_shift", "ra")]
 
 
-def stage8_entry_ids(d_ram: int = 1, d_bc: int = 1):
+def advice_kinds_of(layout) -> tuple:
+    """('trusted'?, 'untrusted'?) in canonical order, from the PUBLIC
+    memory layout (both sides derive the same commitment/entry lists)."""
+    return tuple(k for k in ("trusted", "untrusted")
+                 if layout.advice_region(k)[1] > 0)
+
+
+def stage8_entry_ids(d_ram: int = 1, d_bc: int = 1, advice_kinds=()):
     """Ordered (accumulator_id, commitment_name) pairs covering EVERY
     committed-polynomial opening produced by stages 1-7.  Shared by prover
     and verifier so the joint reduction is built identically on both sides;
@@ -158,6 +170,8 @@ def stage8_entry_ids(d_ram: int = 1, d_bc: int = 1):
     for label, cname in zip(onehot_labels, cnames):
         ids.append(((("booleanity"), label), cname))
         ids.append(((("hamming"), label), cname))
+    for kind in advice_kinds:
+        ids.append((("advice", kind), f"{kind}_advice"))
     return ids
 
 
@@ -181,6 +195,8 @@ def preprocessing_digest(code: bytes, entry: int, start: int, memory_layout,
         (b"max_output", memory_layout.max_output_size),
         (b"stack", memory_layout.stack_size),
         (b"heap", memory_layout.heap_size),
+        (b"max_trusted_advice", memory_layout.max_trusted_advice_size),
+        (b"max_untrusted_advice", memory_layout.max_untrusted_advice_size),
         (b"bytecode_log_K", bytecode_log_K),
         (b"padded_T", padded_length),
     ):
@@ -325,6 +341,17 @@ def prove(trace: Trace, setup=None, _transcript=None) -> JoltProof:
     for i in range(LK_D):
         onehot_meta[f"lk_ra{i}"] = (lk_wit.chunks[i], 256)
     dense_meta = {"inc": reg_wit.inc, "ram_inc": ram_wit.inc}
+    # advice polynomials (zkvm/prover.rs:806-860): dense dword vectors over
+    # the full advice regions, committed alongside the witness and reduced
+    # through the stage-8 joint opening via zero-padding embedding
+    from ..witness.ram import advice_poly_coeffs, advice_subcube
+    layout = trace.memory_layout
+    advice_kinds = advice_kinds_of(layout)
+    advice_coeffs: Dict[str, List[int]] = {}
+    for kind in advice_kinds:
+        data = bytes(getattr(trace.device, f"{kind}_advice", b""))
+        advice_coeffs[kind] = advice_poly_coeffs(layout, kind, data)
+        dense_meta[f"{kind}_advice"] = advice_coeffs[kind]
     _mark("witness-extraction")
 
     transcript = _transcript or Blake2bTranscript(b"Jolt")
@@ -360,7 +387,7 @@ def prove(trace: Trace, setup=None, _transcript=None) -> JoltProof:
         for name, coeffs in dense_meta.items():
             vals = [int(v) % P for v in coeffs]
             committed_sparse[name] = (arange_T[:len(vals)], vals, len(vals))
-        names = committed_poly_names(d_ram, d_bc)
+        names = committed_poly_names(d_ram, d_bc, advice_kinds)
         onehot_names = [n for n in names if committed_sparse[n][1] is None]
         if hasattr(pcs, "commit_sparse_many"):
             commitments.update(pcs.commit_sparse_many(
@@ -441,6 +468,19 @@ def prove(trace: Trace, setup=None, _transcript=None) -> JoltProof:
     val_pt = accumulator.get_point(("ram", "val"))  # normalized (cyc, addr)
     r4_cyc, r4_addr = list(val_pt[:log_T]), list(val_pt[log_T:])
     ram_val_claim = accumulator.get_claim(("ram", "val"))
+    # advice openings: each advice region is a size-aligned subcube of the
+    # address space, so its contribution to Init(r4_addr) factors as
+    # selector(high vars) * AdviceMLE(low vars); the MLE opening joins the
+    # stage-8 joint reduction (ref compute_advice_init_contributions)
+    advice_openings: Dict[str, int] = {}
+    if advice_kinds:
+        from ..blindfold.hyrax import mle_eval_host
+        for kind in advice_kinds:
+            a_vars, _pfx = advice_subcube(layout, kind, ram_wit.log_K)
+            r_low = r4_addr[len(r4_addr) - a_vars:]
+            v = mle_eval_host(advice_coeffs[kind], r_low)
+            advice_openings[kind] = v
+            accumulator.insert(("advice", kind), tuple(r_low), v)
     ram_ve = SparseRamValEvaluation(ram_sched, ram_wit.log_K,
                                     ram_wit.init_vals, ram_wit.inc,
                                     r4_addr, r4_cyc, ram_val_claim)
@@ -609,7 +649,7 @@ def prove(trace: Trace, setup=None, _transcript=None) -> JoltProof:
     # (prove_packed_openings, zkvm/prover.rs:2097-2260).
     entries = []          # (commitment_name, cycle-major point, claim)
     seen: Dict[object, int] = {}
-    for oid, cname in stage8_entry_ids(d_ram, d_bc):
+    for oid, cname in stage8_entry_ids(d_ram, d_bc, advice_kinds):
         pt, cl = accumulator.openings[oid]
         key = (cname, pt)
         if key in seen:
@@ -733,4 +773,5 @@ def prove(trace: Trace, setup=None, _transcript=None) -> JoltProof:
         stage8_openings=stage8_openings,
         commitments=commitments,
         opening_proofs=opening_proofs,
+        advice_openings=advice_openings,
     )

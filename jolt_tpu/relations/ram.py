@@ -323,11 +323,15 @@ class RamValEvaluation(SumcheckInstance):
 class RamValEvaluationVerifier(SumcheckInstance):
     def __init__(self, log_T: int, log_K: int, r_addr: Sequence[int],
                  r_cyc: Sequence[int], val_claim: int,
-                 init_vals: Dict[int, int], openings: dict):
+                 init_vals: Dict[int, int], openings: dict,
+                 extra_init: int = 0):
+        # extra_init: selector-scaled advice-opening contributions to
+        # Init(r_addr) (zkvm/ram/mod.rs reconstruct_full_eval)
         self.log_T, self.log_K = log_T, log_K
         self.r_addr = list(r_addr)
         self.r_cyc = list(r_cyc)
-        self._input_claim = (val_claim - init_mle_eval(init_vals, r_addr)) % P
+        self._input_claim = (val_claim - init_mle_eval(init_vals, r_addr)
+                             - extra_init) % P
         self.openings = openings
 
     @property
@@ -484,7 +488,7 @@ def outputs_as_words(outputs: bytes, layout) -> Dict[int, int]:
     """Public outputs -> {cell index: dword value} (zero-padded region)."""
     from ..witness.ram import remap_address
     out = {}
-    wb = layout.input_start
+    wb = getattr(layout, "witness_base", layout.input_start)
     for off in range(0, layout.output_end - layout.output_start, 8):
         word = int.from_bytes(outputs[off:off + 8].ljust(8, b"\x00"), "little") \
             if off < len(outputs) else 0

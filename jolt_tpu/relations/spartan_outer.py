@@ -70,10 +70,7 @@ def num_stage1_rounds(log_T: int) -> int:
 # device evaluation of sparse row combos
 # ---------------------------------------------------------------------------
 
-@jax.jit
-def _lift_columns_kernel(lo32a, lo32b, hi32a, hi32b, sign_mask):
-    """(lo, hi) u64 columns (as u32 word pairs) -> Montgomery limb array;
-    value = hi*2^64 + lo - sign_mask*2^128 (exact signed semantics)."""
+def _lift_body(lo32a, lo32b, hi32a, hi32b, sign_mask):
     vlo = ops.from_u64(lo32a, lo32b)
     vhi = ops.from_u64(hi32a, hi32b)
     two64 = ops.const_mont(1 << 64, batch_shape=vlo.shape[1:])
@@ -82,6 +79,13 @@ def _lift_columns_kernel(lo32a, lo32b, hi32a, hi32b, sign_mask):
     corr = jnp.where(sign_mask[None], jnp.broadcast_to(two128, val.shape),
                      jnp.zeros_like(val))
     return ops.sub(val, corr)
+
+
+@jax.jit
+def _lift_columns_kernel(lo32a, lo32b, hi32a, hi32b, sign_mask):
+    """(lo, hi) u64 columns (as u32 word pairs) -> Montgomery limb array;
+    value = hi*2^64 + lo - sign_mask*2^128 (exact signed semantics)."""
+    return _lift_body(lo32a, lo32b, hi32a, hi32b, sign_mask)
 
 
 def pack_input_columns(inputs: R1CSCycleInputs) -> jnp.ndarray:
@@ -118,13 +122,7 @@ def _combo_terms(w_rows: Sequence[Tuple[int, Dict[int, int]]]):
             jnp.asarray(oi or [0], dtype=jnp.int32))
 
 
-@partial(jax.jit, static_argnames=("n_out", "fp"))
-def _combo_kernel(cols, Wvals, v_idx, out_idx, n_out, fp=FR):
-    """out[:, o, :] = sum_{t: out_idx[t]=o} Wvals[t] * cols[:, v_idx[t], :]
-
-    One lax.scan over terms; Montgomery products accumulate as raw uint32
-    limb sums (<= 38 terms per output << the 2^18 lazy budget), then one
-    wide reduction."""
+def _combo_body(cols, Wvals, v_idx, out_idx, n_out, fp=FR):
     L_, _, T = cols.shape
     acc0 = jnp.zeros((n_out, L_, T), dtype=jnp.uint32)
 
@@ -138,6 +136,112 @@ def _combo_kernel(cols, Wvals, v_idx, out_idx, n_out, fp=FR):
 
     acc, _ = jax.lax.scan(body, acc0, (Wvals, v_idx, out_idx))
     return ops.reduce_lazy_cols(jnp.moveaxis(acc, 0, 1), fp)   # (L, n_out, T)
+
+
+@partial(jax.jit, static_argnames=("n_out", "fp"))
+def _combo_kernel(cols, Wvals, v_idx, out_idx, n_out, fp=FR):
+    """out[:, o, :] = sum_{t: out_idx[t]=o} Wvals[t] * cols[:, v_idx[t], :]
+
+    One lax.scan over terms; Montgomery products accumulate as raw uint32
+    limb sums (<= 38 terms per output << the 2^18 lazy budget), then one
+    wide reduction."""
+    return _combo_body(cols, Wvals, v_idx, out_idx, n_out, fp)
+
+
+# ---------------------------------------------------------------------------
+# streaming (chunked) tier: the stage-1 column stack never materializes in
+# Montgomery form.  The u64 (lo, hi) columns stay device-resident (16 bytes
+# per value vs 80 for limbs); every consumer -- the uni-skip extended
+# evaluations, the Y=r0 bound matrices, and the final input openings --
+# lifts and combines one cycle-chunk at a time under a sequential lax.map.
+# This is the analog of the reference's windowed first rounds
+# (`subprotocols/streaming_schedule.rs`): peak HBM for stage 1 drops from
+# O(38 * T * limbs) (12.7 GB at 2^22) to O(38 * T * 16B + chunk), and the
+# 2^22 reference-scale trace cap fits a single chip.
+# ---------------------------------------------------------------------------
+
+# chunk length for the streaming tier (power of two)
+STREAM_CHUNK = 1 << 16
+# materialized-tier threshold: stream when T exceeds this
+STREAM_THRESHOLD = 1 << 19
+
+
+def pack_u64_columns(inputs: R1CSCycleInputs):
+    """Device-resident u64 column stack: (lo32a, lo32b, hi32a, hi32b,
+    sign_mask), each (38, T)."""
+    from ..witness.r1cs_inputs import SIGNED_COLS
+    lo, hi = inputs.lo, inputs.hi
+    m32 = np.uint64(0xFFFFFFFF)
+    signed_rows = np.zeros(NUM_VARS, bool)
+    for v in SIGNED_COLS:
+        signed_rows[v] = True
+    sign_mask = signed_rows[:, None] & ((hi >> np.uint64(63)) == 1)
+    return (jnp.asarray((lo & m32).astype(np.uint32)),
+            jnp.asarray((lo >> np.uint64(32)).astype(np.uint32)),
+            jnp.asarray((hi & m32).astype(np.uint32)),
+            jnp.asarray((hi >> np.uint64(32)).astype(np.uint32)),
+            jnp.asarray(sign_mask))
+
+
+def _chunk_slice(u64cols, ci, C):
+    return [jax.lax.dynamic_slice_in_dim(x, ci * C, C, axis=1)
+            for x in u64cols]
+
+
+@partial(jax.jit, static_argnames=("n_out", "C", "fp"))
+def _uniskip_sums_chunked(u64cols, E_cyc, tA, tB, tC, n_out, C, fp=FR):
+    """sum_j E(j) * (Az*Bz - Cz)(out, j) for the uni-skip extended targets,
+    streamed: (L, n_out) raw-u32 lazy partials accumulated over chunks."""
+    T = u64cols[0].shape[1]
+    n_chunks = T // C
+
+    def chunk_fn(acc, ci):
+        cols = _lift_body(*_chunk_slice(u64cols, ci, C))
+        AZ = _combo_body(cols, *tA, n_out, fp)
+        BZ = _combo_body(cols, *tB, n_out, fp)
+        CZ = _combo_body(cols, *tC, n_out, fp)
+        inner = ops.sub(ops.mont_mul(AZ, BZ, fp), CZ, fp)
+        Ec = jax.lax.dynamic_slice_in_dim(E_cyc, ci * C, C, axis=1)
+        part = ops.dot(inner, Ec[:, None, :], fp)        # (L, n_out, 1)
+        return acc + part[..., 0], None
+
+    acc0 = jnp.zeros((fp.num_limbs, n_out), jnp.uint32)
+    acc, _ = jax.lax.scan(chunk_fn, acc0,
+                          jnp.arange(n_chunks, dtype=jnp.int32))
+    return ops.reduce_lazy_cols(acc, fp)
+
+
+@partial(jax.jit, static_argnames=("n_out", "C", "fp"))
+def _combo_chunked(u64cols, tW, n_out, C, fp=FR):
+    """Full-length combo output (L, n_out, T), built chunk-by-chunk."""
+    T = u64cols[0].shape[1]
+    n_chunks = T // C
+
+    def chunk_fn(ci):
+        cols = _lift_body(*_chunk_slice(u64cols, ci, C))
+        return _combo_body(cols, *tW, n_out, fp)         # (L, n_out, C)
+
+    parts = jax.lax.map(chunk_fn, jnp.arange(n_chunks, dtype=jnp.int32))
+    return jnp.moveaxis(parts, 0, 2).reshape(
+        (fp.num_limbs, n_out, T))
+
+
+@partial(jax.jit, static_argnames=("C", "fp"))
+def _openings_chunked(u64cols, E, C, fp=FR):
+    """All 38 input-MLE evaluations sum_j eq(r,j)*col(j), streamed."""
+    T = u64cols[0].shape[1]
+    n_chunks = T // C
+
+    def chunk_fn(acc, ci):
+        cols = _lift_body(*_chunk_slice(u64cols, ci, C))
+        Ec = jax.lax.dynamic_slice_in_dim(E, ci * C, C, axis=1)
+        part = ops.dot(cols, Ec[:, None, :], fp)         # (L, 38, 1)
+        return acc + part[..., 0], None
+
+    acc0 = jnp.zeros((fp.num_limbs, NUM_VARS), jnp.uint32)
+    acc, _ = jax.lax.scan(chunk_fn, acc0,
+                          jnp.arange(n_chunks, dtype=jnp.int32))
+    return ops.reduce_lazy_cols(acc, fp)
 
 
 def _group_w_rows(y_basis: Sequence[int]):
@@ -163,9 +267,16 @@ def prove_uniskip(inputs: R1CSCycleInputs, tau: Sequence[int], transcript):
     """Compute + absorb the uni-skip first-round polynomial; returns
     (cols_dev, s1_coeffs, r0, claim1, l_scale).
 
-    tau = [tau_high, tau_g, *tau_cyc]  (1 + 1 + log_T challenges)."""
+    tau = [tau_high, tau_g, *tau_cyc]  (1 + 1 + log_T challenges).
+
+    Streaming tier (T >= STREAM_THRESHOLD or JOLT_TPU_STREAM_STAGE1=1):
+    the Montgomery column stack never materializes; the extended
+    evaluations stream over cycle chunks and the returned handle keeps the
+    u64 columns for the bound-matrix / openings consumers."""
+    import os as _os
     tau_high, tau_g, tau_cyc = tau[0], tau[1], list(tau[2:])
-    cols_dev = pack_input_columns(inputs)
+    stream = (inputs.T >= STREAM_THRESHOLD
+              or _os.environ.get("JOLT_TPU_STREAM_STAGE1") == "1")
     E_cyc = eq.evals(tau_cyc)                            # (L, T)
 
     base = lag.symmetric_domain(UNISKIP_DOMAIN)
@@ -180,12 +291,22 @@ def prove_uniskip(inputs: R1CSCycleInputs, tau: Sequence[int], transcript):
             for m in range(3):
                 w_rows[m].append((zi * NUM_GROUPS + g, Wz[g][m]))
     n_out = UNISKIP_DEGREE * NUM_GROUPS
-    AZ = _combo_kernel(cols_dev, *_combo_terms(w_rows[0]), n_out)
-    BZ = _combo_kernel(cols_dev, *_combo_terms(w_rows[1]), n_out)
-    CZ = _combo_kernel(cols_dev, *_combo_terms(w_rows[2]), n_out)
-    inner = ops.sub(ops.mont_mul(AZ, BZ), CZ)            # (L, n_out, T)
-    sums = ops.dot(inner, E_cyc[:, None, :])             # (L, n_out, 1)
-    zg = ops.unpack_ints(sums.reshape(sums.shape[0], n_out))
+    if stream:
+        u64cols = pack_u64_columns(inputs)
+        C = min(STREAM_CHUNK, inputs.T)
+        sums = _uniskip_sums_chunked(
+            u64cols, E_cyc, _combo_terms(w_rows[0]),
+            _combo_terms(w_rows[1]), _combo_terms(w_rows[2]), n_out, C)
+        zg = ops.unpack_ints(sums)
+        cols_dev = ("stream", u64cols)
+    else:
+        cols_dev = pack_input_columns(inputs)
+        AZ = _combo_kernel(cols_dev, *_combo_terms(w_rows[0]), n_out)
+        BZ = _combo_kernel(cols_dev, *_combo_terms(w_rows[1]), n_out)
+        CZ = _combo_kernel(cols_dev, *_combo_terms(w_rows[2]), n_out)
+        inner = ops.sub(ops.mont_mul(AZ, BZ), CZ)        # (L, n_out, T)
+        sums = ops.dot(inner, E_cyc[:, None, :])         # (L, n_out, 1)
+        zg = ops.unpack_ints(sums.reshape(sums.shape[0], n_out))
 
     eq_g = [(1 - tau_g) % P, tau_g % P]
     t1_ext = [(eq_g[0] * zg[zi * NUM_GROUPS] +
@@ -259,6 +380,8 @@ class SpartanOuterProver(scan.ScanFusedInstance):
         tau_g, tau_cyc = tau[0], list(tau[1:])
         self.cols_dev = (cols_dev if cols_dev is not None
                          else pack_input_columns(inputs))
+        self._stream = (isinstance(self.cols_dev, tuple)
+                        and self.cols_dev[0] == "stream")
         self._claim = claim % P
 
         # Az/Bz/Cz bound to Y=r0: (L, 2, T) -> (L, 2T)
@@ -268,8 +391,12 @@ class SpartanOuterProver(scan.ScanFusedInstance):
         mats = []
         for m in range(3):
             rows = [(g, Wr[g][m]) for g in range(NUM_GROUPS)]
-            out = _combo_kernel(self.cols_dev, *_combo_terms(rows),
-                                NUM_GROUPS)
+            if self._stream:
+                out = _combo_chunked(self.cols_dev[1], _combo_terms(rows),
+                                     NUM_GROUPS, min(STREAM_CHUNK, T))
+            else:
+                out = _combo_kernel(self.cols_dev, *_combo_terms(rows),
+                                    NUM_GROUPS)
             mats.append(out.reshape(out.shape[0], NUM_GROUPS * T))
         self.AZ, self.BZ, self.CZ = mats
 
@@ -354,8 +481,14 @@ class SpartanOuterProver(scan.ScanFusedInstance):
         (these feed later stages / the PCS opening)."""
         r_cycle = list(r_slice[1:])
         Ecyc = eq.evals(r_cycle)
-        sums = ops.dot(self.cols_dev, Ecyc[:, None, :])   # (L, 38, 1)
-        vals = ops.unpack_ints(sums.reshape(sums.shape[0], NUM_VARS))
+        if self._stream:
+            T = self.inputs.T
+            sums = _openings_chunked(self.cols_dev[1], Ecyc,
+                                     min(STREAM_CHUNK, T))
+            vals = ops.unpack_ints(sums)
+        else:
+            sums = ops.dot(self.cols_dev, Ecyc[:, None, :])   # (L, 38, 1)
+            vals = ops.unpack_ints(sums.reshape(sums.shape[0], NUM_VARS))
         openings = []
         for v in range(NUM_VARS):
             val = vals[v]

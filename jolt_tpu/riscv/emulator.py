@@ -51,17 +51,30 @@ def _sext32(x: int) -> int:
 
 @dataclasses.dataclass
 class MemoryLayout:
-    """Mirror of `common/src/jolt_device.rs:230` MemoryLayout::new, with
-    advice sizes zero (advice support lands with the advice claim
-    reductions)."""
+    """Mirror of `common/src/jolt_device.rs:230` MemoryLayout::new.
+
+    Advice regions (trusted/untrusted, `jolt_device.rs:354-388`): placed
+    immediately below the input region, larger region first, each a
+    power-of-two byte size.  `witness_base` is chosen so each advice
+    region occupies a SIZE-ALIGNED subcube of the remapped RAM address
+    space k = (addr - witness_base)/8 + 1 (our k=0 is the no-access
+    dummy, so the base backs off by 2^a_max - 1 dead dwords); the
+    RamValCheck init then splits as public + selector * advice-MLE
+    openings (`zkvm/ram/mod.rs compute_advice_selector`)."""
     max_input_size: int = DEFAULT_MAX_INPUT
     max_output_size: int = DEFAULT_MAX_OUTPUT
     stack_size: int = DEFAULT_STACK
     heap_size: int = DEFAULT_HEAP
+    max_trusted_advice_size: int = 0
+    max_untrusted_advice_size: int = 0
 
     def __post_init__(self):
         def align8(v):
             return (v + 7) // 8 * 8
+        for sz in (self.max_trusted_advice_size,
+                   self.max_untrusted_advice_size):
+            assert sz == 0 or (sz >= 8 and sz & (sz - 1) == 0), \
+                f"advice size must be 0 or a power of two >= 8: {sz}"
         inp = align8(self.max_input_size)
         out = align8(self.max_output_size)
         io_bytes = inp + out + 16
@@ -76,6 +89,34 @@ class MemoryLayout:
         self.panic = self.output_end
         self.termination = self.panic + 8
         self.io_end = self.termination + 8
+        # advice regions below the input region, larger first
+        ta, ua = self.max_trusted_advice_size, self.max_untrusted_advice_size
+        adv_lo = self.input_start - ta - ua
+        if ta >= ua:
+            self.trusted_advice_start = adv_lo
+            self.trusted_advice_end = adv_lo + ta
+            self.untrusted_advice_start = self.trusted_advice_end
+            self.untrusted_advice_end = self.untrusted_advice_start + ua
+        else:
+            self.untrusted_advice_start = adv_lo
+            self.untrusted_advice_end = adv_lo + ua
+            self.trusted_advice_start = self.untrusted_advice_end
+            self.trusted_advice_end = self.trusted_advice_start + ta
+        if ta or ua:
+            a_max = max(ta, ua) // 8      # dwords, power of two
+            self.witness_base = adv_lo - 8 * (a_max - 1)
+        else:
+            self.witness_base = self.input_start
+
+    def advice_region(self, kind: str):
+        """(start_addr, size_bytes) of an advice region ('trusted' /
+        'untrusted'); size 0 when absent."""
+        if kind == "trusted":
+            return self.trusted_advice_start, self.max_trusted_advice_size
+        if kind == "untrusted":
+            return (self.untrusted_advice_start,
+                    self.max_untrusted_advice_size)
+        raise ValueError(kind)
 
 
 class JoltDevice:
@@ -83,10 +124,15 @@ class JoltDevice:
     (`common/src/jolt_device.rs:49-56`).  The contents are the public
     statement of the proof."""
 
-    def __init__(self, layout: MemoryLayout, inputs: bytes = b""):
+    def __init__(self, layout: MemoryLayout, inputs: bytes = b"",
+                 trusted_advice: bytes = b"", untrusted_advice: bytes = b""):
         assert len(inputs) <= layout.max_input_size
+        assert len(trusted_advice) <= layout.max_trusted_advice_size
+        assert len(untrusted_advice) <= layout.max_untrusted_advice_size
         self.layout = layout
         self.inputs = inputs
+        self.trusted_advice = trusted_advice
+        self.untrusted_advice = untrusted_advice
         self.outputs = bytearray()
         self.panic = False
         self.terminated = False
@@ -105,6 +151,14 @@ class JoltDevice:
         if l.output_start <= addr < l.output_end:
             off = addr - l.output_start
             return self.outputs[off] if off < len(self.outputs) else 0
+        if l.trusted_advice_start <= addr < l.trusted_advice_end:
+            off = addr - l.trusted_advice_start
+            return (self.trusted_advice[off]
+                    if off < len(self.trusted_advice) else 0)
+        if l.untrusted_advice_start <= addr < l.untrusted_advice_end:
+            off = addr - l.untrusted_advice_start
+            return (self.untrusted_advice[off]
+                    if off < len(self.untrusted_advice) else 0)
         return 0
 
     def store(self, addr: int, value: int) -> None:

@@ -68,11 +68,16 @@ class Guest:
 
     def __init__(self, source, max_input_size: int = 64,
                  max_output_size: int = 64, stack_size: int = 4096,
-                 heap_size: int = 1 << 25, max_trace_length: int = 1 << 24):
-        self.layout = MemoryLayout(max_input_size=max_input_size,
-                                   max_output_size=max_output_size,
-                                   stack_size=stack_size,
-                                   heap_size=heap_size)
+                 heap_size: int = 1 << 25, max_trace_length: int = 1 << 24,
+                 max_trusted_advice_size: int = 0,
+                 max_untrusted_advice_size: int = 0):
+        self.layout = MemoryLayout(
+            max_input_size=max_input_size,
+            max_output_size=max_output_size,
+            stack_size=stack_size,
+            heap_size=heap_size,
+            max_trusted_advice_size=max_trusted_advice_size,
+            max_untrusted_advice_size=max_untrusted_advice_size)
         self.max_trace_length = max_trace_length
         # ---- compile_X: source -> machine image -------------------------
         if isinstance(source, str) and os.path.exists(source):
@@ -110,10 +115,13 @@ class Guest:
         return self._digest
 
     # ---- trace_X / analyze_X ---------------------------------------------
-    def trace(self, inputs: bytes = b"") -> Trace:
+    def trace(self, inputs: bytes = b"", trusted_advice: bytes = b"",
+              untrusted_advice: bytes = b"") -> Trace:
         return trace_program(self.code, inputs=inputs, layout=self.layout,
                              entry=self.entry,
-                             max_cycles=self.max_trace_length)
+                             max_cycles=self.max_trace_length,
+                             trusted_advice=trusted_advice,
+                             untrusted_advice=untrusted_advice)
 
     def analyze(self, inputs: bytes = b"") -> ProgramSummary:
         tr = self.trace(inputs)
@@ -135,8 +143,9 @@ class Guest:
         prove(): None (sumcheck-only), 'dory', 'hyperkzg', or a setup."""
         self.preprocess()
 
-        def prove_fn(inputs: bytes = b""):
-            tr = self.trace(inputs)
+        def prove_fn(inputs: bytes = b"", trusted_advice: bytes = b"",
+                     untrusted_advice: bytes = b""):
+            tr = self.trace(inputs, trusted_advice, untrusted_advice)
             proof = prove(tr, setup=pcs)
             return GuestOutput(bytes(tr.device.outputs), tr.device.panic,
                                tr.length), proof

@@ -64,7 +64,11 @@ def _load() -> ctypes.CDLL:
         ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64,
         ctypes.c_char_p, ctypes.c_uint64,
         ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64,
-        ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64,
+        ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64,
+        # trusted / untrusted advice: (bytes, len, start, end) each
+        ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64,
+        ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64,
+        ctypes.c_uint64,
     ]
     lib.jolt_trace_rows_parallel.restype = ctypes.POINTER(_TraceResult)
     lib.jolt_trace_rows_parallel.argtypes = (
@@ -105,7 +109,9 @@ def trace_program_native(code: bytes | str, inputs: bytes = b"",
                          max_cycles: int = 1 << 24,
                          entry: int = RAM_START_ADDRESS,
                          parallel: Optional[int] = None,
-                         chunk_rows: Optional[int] = None) -> Trace:
+                         chunk_rows: Optional[int] = None,
+                         trusted_advice: bytes = b"",
+                         untrusted_advice: bytes = b"") -> Trace:
     """Native-tracer twin of `trace_program` (same Trace output).
 
     parallel > 1 (or JOLT_TRACER_PARALLEL=n) enables two-pass chunked
@@ -131,6 +137,10 @@ def trace_program_native(code: bytes | str, inputs: bytes = b"",
               layout.input_start, layout.input_end,
               layout.output_start, layout.output_end,
               layout.panic, layout.termination, layout.io_end,
+              trusted_advice, len(trusted_advice),
+              layout.trusted_advice_start, layout.trusted_advice_end,
+              untrusted_advice, len(untrusted_advice),
+              layout.untrusted_advice_start, layout.untrusted_advice_end,
               max_cycles)
     if parallel and parallel > 1:
         res_p = lib.jolt_trace_rows_parallel(*common, chunk_rows, parallel)
@@ -182,7 +192,7 @@ def trace_program_native(code: bytes | str, inputs: bytes = b"",
         cols["next_pc_idx_hi"][T:] = final_idx >> 32
         cols["rd"][T:] = 255
 
-    device = JoltDevice(layout, inputs)
+    device = JoltDevice(layout, inputs, trusted_advice, untrusted_advice)
     device.outputs = bytearray(outputs)
     device.panic = panic
     device.terminated = True

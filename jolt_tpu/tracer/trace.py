@@ -114,7 +114,9 @@ def trace_program(code: bytes | str, inputs: bytes = b"",
                   layout: Optional[MemoryLayout] = None,
                   max_cycles: int = 1 << 24,
                   entry: int = RAM_START_ADDRESS,
-                  min_padded: int = 256) -> Trace:
+                  min_padded: int = 256,
+                  trusted_advice: bytes = b"",
+                  untrusted_advice: bytes = b"") -> Trace:
     """Assemble (if given source) and execute a guest, returning the padded
     SoA trace.  The guest signals completion by storing to the termination
     address (see `MemoryLayout`)."""
@@ -125,7 +127,7 @@ def trace_program(code: bytes | str, inputs: bytes = b"",
         loaded = load_elf(code)
         code, entry, start = loaded.image, loaded.base, loaded.entry
     layout = layout or MemoryLayout()
-    device = JoltDevice(layout, inputs)
+    device = JoltDevice(layout, inputs, trusted_advice, untrusted_advice)
     program = expand_program(code, entry, start)
     emu = RowEmulator(device, program)
     rows = emu.run(max_cycles=max_cycles)

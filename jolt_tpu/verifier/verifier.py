@@ -21,7 +21,8 @@ from ..field.params import FR
 from ..lookups import tables as LT
 from ..pcs.scheme import make_scheme
 from ..prover.prover import (BC_RA_SOURCES, LOOKUP_FLAG_COLUMNS, JoltProof,
-                             RAM_RA_SOURCES, committed_poly_names,
+                             RAM_RA_SOURCES, advice_kinds_of,
+                             committed_poly_names,
                              fiat_shamir_preamble, stage8_entry_ids)
 from ..relations.ra_virtual import (RaVirtualVerifier, block_point,
                                     block_widths, d_chunks)
@@ -112,9 +113,10 @@ def verify(proof: JoltProof, io: PublicIO, setup=None,
 
     d_ram = d_chunks(proof.ram_log_K)
     d_bc = d_chunks(proof.bytecode_log_K)
+    advice_kinds = advice_kinds_of(io.memory_layout)
     pcs = make_scheme(setup)
     if pcs is not None:
-        for name in committed_poly_names(d_ram, d_bc):
+        for name in committed_poly_names(d_ram, d_bc, advice_kinds):
             if name not in proof.commitments:
                 raise VerificationError(f"missing commitment {name}")
             pcs.absorb(transcript, proof.commitments[name])
@@ -213,7 +215,7 @@ def verify(proof: JoltProof, io: PublicIO, setup=None,
         {"ra": o4["rw_ra"], "val": o4["rw_val"], "inc": o4["rw_inc"]})
     inst4b = SparseRamRafEvaluationVerifier(
         log_T, proof.ram_log_K, r_cycle, addr_claim,
-        io.memory_layout.input_start, {"ra": o4["raf_ra"]})
+        io.memory_layout.witness_base, {"ra": o4["raf_ra"]})
     try:
         r4 = BatchedSumcheck.verify(proof.stage4_polys, [inst4a, inst4b],
                                     accumulator, transcript)
@@ -233,14 +235,40 @@ def verify(proof: JoltProof, io: PublicIO, setup=None,
     # the proof's RAM address space (same rule as the prover witness)
     init_vals = initial_memory_vals(io.inputs, io.memory_layout, io.code,
                                     io.entry, K=1 << proof.ram_log_K)
+    # advice contribution to Init(r4_addr): selector-scaled openings of
+    # the committed advice polynomials (the regions are size-aligned
+    # subcubes; ref zkvm/ram/mod.rs compute_advice_init_contributions).
+    # Claims are proof-carried, accumulated here and proven by stage 8.
+    adv_extra = 0
+    if advice_kinds:
+        from ..witness.ram import advice_subcube
+        adv_open = proof.advice_openings or {}
+        for kind in advice_kinds:
+            if kind not in adv_open:
+                raise VerificationError(f"missing {kind} advice opening")
+            try:
+                a_vars, pfx = advice_subcube(io.memory_layout, kind,
+                                             proof.ram_log_K)
+            except AssertionError as e:
+                raise VerificationError(f"advice region: {e}") from e
+            claim = adv_open[kind] % P
+            n_hi = proof.ram_log_K - a_vars
+            sel = 1
+            for i in range(n_hi):
+                bit = (pfx >> (n_hi - 1 - i)) & 1
+                rj = r4_addr[i] % P
+                sel = sel * (rj if bit else (1 - rj) % P) % P
+            adv_extra = (adv_extra + sel * claim) % P
+            accumulator.insert(("advice", kind),
+                               tuple(r4_addr[len(r4_addr) - a_vars:]), claim)
     o5 = proof.stage5_openings
     inst5 = SparseRamValEvaluationVerifier(
         log_T, proof.ram_log_K, r4_addr, r4_cyc, o4["rw_val"], init_vals,
-        {"ra": o5["ra"], "inc": o5["inc"]})
+        {"ra": o5["ra"], "inc": o5["inc"]}, extra_init=adv_extra)
     z_out = transcript.challenge_scalar()
     inst5b = SparseRamOutputCheckVerifier(
         log_T, proof.ram_log_K, z_out, io.outputs, io.memory_layout,
-        io.memory_layout.input_start, init_vals,
+        io.memory_layout.witness_base, init_vals,
         {"ra": o5["oc_ra"], "inc": o5["oc_inc"]})
     try:
         r5 = BatchedSumcheck.verify(proof.stage5_polys, [inst5, inst5b],
@@ -424,7 +452,7 @@ def verify(proof: JoltProof, io: PublicIO, setup=None,
         onehot_logK[f"lk_ra{i}"] = 8
     entries = []
     seen = {}
-    for oid, cname in stage8_entry_ids(d_ram, d_bc):
+    for oid, cname in stage8_entry_ids(d_ram, d_bc, advice_kinds):
         if oid not in accumulator.openings:
             raise VerificationError(f"missing stage output claim {oid}")
         pt, cl = accumulator.openings[oid]

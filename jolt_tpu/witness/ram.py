@@ -51,13 +51,55 @@ def address_of_index(k: int, witness_base: int) -> int:
 def input_init_vals(inputs: bytes, layout) -> Dict[int, int]:
     """Public initial-image cells implied by the inputs region (shared by
     prover witness-gen and verifier)."""
-    wb = layout.input_start
+    wb = getattr(layout, "witness_base", layout.input_start)
     out: Dict[int, int] = {}
     for off in range(0, len(inputs), 8):
         word = int.from_bytes(inputs[off:off + 8].ljust(8, b"\x00"), "little")
         if word:
             out[remap_address(layout.input_start + off, wb)] = word
     return out
+
+
+def advice_init_vals(layout, trusted_advice: bytes,
+                     untrusted_advice: bytes) -> Dict[int, int]:
+    """PROVER-side initial cells for the advice regions.  NOT public: the
+    verifier replaces these with selector-scaled openings of the committed
+    advice polynomials (zkvm/ram/mod.rs compute_advice_init_contributions)."""
+    wb = getattr(layout, "witness_base", layout.input_start)
+    out: Dict[int, int] = {}
+    for start, data in ((layout.trusted_advice_start, trusted_advice),
+                        (layout.untrusted_advice_start, untrusted_advice)):
+        for off in range(0, len(data), 8):
+            word = int.from_bytes(data[off:off + 8].ljust(8, b"\x00"),
+                                  "little")
+            if word:
+                out[remap_address(start + off, wb)] = word
+    return out
+
+
+def advice_poly_coeffs(layout, kind: str, data: bytes):
+    """The committed advice polynomial: one coefficient per dword of the
+    full advice region (length = region size / 8, a power of two)."""
+    _, size = layout.advice_region(kind)
+    n = size // 8
+    return [int.from_bytes(data[8 * i:8 * i + 8].ljust(8, b"\x00"),
+                           "little") for i in range(n)]
+
+
+def advice_subcube(layout, kind: str, log_K: int):
+    """(num_vars a, high-bit prefix) of an advice region in the remapped
+    address space: the region occupies k in [k0, k0 + 2^a) with k0 a
+    multiple of 2^a (guaranteed by MemoryLayout.witness_base), so its
+    selector is eq(r_addr[:log_K - a], bits(k0 >> a))."""
+    start, size = layout.advice_region(kind)
+    if size == 0:
+        return None
+    a = (size // 8).bit_length() - 1
+    wb = layout.witness_base
+    k0 = remap_address(start, wb)
+    assert k0 % (1 << a) == 0, "advice region not subcube-aligned"
+    assert k0 + (1 << a) <= (1 << log_K), "advice region outside ram K"
+    return a, k0 >> a
 
 
 def initial_memory_vals(inputs: bytes, layout, code: bytes = b"",
@@ -69,7 +111,7 @@ def initial_memory_vals(inputs: bytes, layout, code: bytes = b"",
     outside the proof's 2^log_K address space are dropped identically on
     both sides (they are unreachable by any in-range access)."""
     out = input_init_vals(inputs, layout)
-    wb = layout.input_start
+    wb = getattr(layout, "witness_base", layout.input_start)
     assert base % 8 == 0
     for off in range(0, len(code), 8):
         dword = int.from_bytes(code[off:off + 8].ljust(8, b"\x00"), "little")
@@ -99,7 +141,8 @@ def extract_ram_log(trace: Trace) -> RamLog:
     """O(T) sparse RAM witness (replay without materializing K x T)."""
     import numpy as np
     T = trace.padded_length
-    wb = trace.memory_layout.input_start
+    layout = trace.memory_layout
+    wb = getattr(layout, "witness_base", layout.input_start)
 
     def u64(name):
         lo, hi = trace.u64_col(name)
@@ -111,14 +154,22 @@ def extract_ram_log(trace: Trace) -> RamLog:
 
     ks = [remap_address(a, wb) for a in ram_addr]
     max_k = max(ks) if ks else 0
+    # advice regions must lie fully inside the address space (the verifier
+    # reconstructs their init contribution as whole-subcube selectors)
+    for kind in ("trusted", "untrusted"):
+        start, size = layout.advice_region(kind)
+        if size:
+            max_k = max(max_k, remap_address(start, wb) + size // 8 - 1)
     K = 1
     while K < max_k + 1:
         K *= 2
     K = max(K, 2)
 
     init_vals = initial_memory_vals(bytes(trace.device.inputs),
-                                    trace.memory_layout, trace.code,
-                                    trace.entry)
+                                    layout, trace.code, trace.entry)
+    init_vals.update(advice_init_vals(
+        layout, bytes(getattr(trace.device, "trusted_advice", b"")),
+        bytes(getattr(trace.device, "untrusted_advice", b""))))
 
     cols = np.asarray(ks, dtype=np.int64)
     pre = np.zeros(T, dtype=np.uint64)
@@ -153,7 +204,8 @@ def extract_ram_log(trace: Trace) -> RamLog:
 
 def extract_ram_witness(trace: Trace) -> RamWitness:
     T = trace.padded_length
-    wb = trace.memory_layout.input_start
+    wb = getattr(trace.memory_layout, "witness_base",
+                 trace.memory_layout.input_start)
 
     import numpy as np
     def u64(name):

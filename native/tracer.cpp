@@ -106,6 +106,7 @@ static inline i64 sext(u64 v, int bits) {
 
 struct Layout {
   u64 input_start, input_end, output_start, output_end, panic, termination, io_end;
+  u64 tadv_start, tadv_end, uadv_start, uadv_end;
 };
 
 struct Machine {
@@ -114,6 +115,10 @@ struct Machine {
   Layout lay;
   const u8* inputs;
   u64 inputs_len;
+  const u8* tadv = nullptr;
+  u64 tadv_len = 0;
+  const u8* uadv = nullptr;
+  u64 uadv_len = 0;
   std::vector<u8> outputs;
   bool panic_flag = false, terminated = false;
 
@@ -138,6 +143,14 @@ struct Machine {
     if (a >= lay.output_start && a < lay.output_end) {
       u64 off = a - lay.output_start;
       return off < outputs.size() ? outputs[off] : 0;
+    }
+    if (a >= lay.tadv_start && a < lay.tadv_end) {
+      u64 off = a - lay.tadv_start;
+      return off < tadv_len ? tadv[off] : 0;
+    }
+    if (a >= lay.uadv_start && a < lay.uadv_end) {
+      u64 off = a - lay.uadv_start;
+      return off < uadv_len ? uadv[off] : 0;
     }
     return 0;
   }
@@ -453,13 +466,20 @@ TraceResult* jolt_trace_rows(const ProgRow* prog, u64 n_prog,
                              u64 input_start, u64 input_end,
                              u64 output_start, u64 output_end,
                              u64 panic_addr, u64 termination, u64 io_end,
+                             const u8* tadv, u64 tadv_len,
+                             u64 tadv_start, u64 tadv_end,
+                             const u8* uadv, u64 uadv_len,
+                             u64 uadv_start, u64 uadv_end,
                              u64 max_cycles) {
   auto* m = new Machine();
   std::memset(m->regs, 0, sizeof(m->regs));
   m->lay = {input_start, input_end, output_start, output_end,
-            panic_addr, termination, io_end};
+            panic_addr, termination, io_end,
+            tadv_start, tadv_end, uadv_start, uadv_end};
   m->inputs = inputs;
   m->inputs_len = inputs_len;
+  m->tadv = tadv; m->tadv_len = tadv_len;
+  m->uadv = uadv; m->uadv_len = uadv_len;
   for (u64 i = 0; i < code_len; i++) m->wr8(entry + i, code[i]);
 
   // source address -> first row index (riscv/program.py addr2row)
@@ -551,13 +571,18 @@ TraceResult* jolt_trace_rows_parallel(
     u64 input_start, u64 input_end,
     u64 output_start, u64 output_end,
     u64 panic_addr, u64 termination, u64 io_end,
+    const u8* tadv, u64 tadv_len, u64 tadv_start, u64 tadv_end,
+    const u8* uadv, u64 uadv_len, u64 uadv_start, u64 uadv_end,
     u64 max_cycles, u64 chunk_rows, u64 n_threads) {
   auto* m = new Machine();
   std::memset(m->regs, 0, sizeof(m->regs));
   m->lay = {input_start, input_end, output_start, output_end,
-            panic_addr, termination, io_end};
+            panic_addr, termination, io_end,
+            tadv_start, tadv_end, uadv_start, uadv_end};
   m->inputs = inputs;
   m->inputs_len = inputs_len;
+  m->tadv = tadv; m->tadv_len = tadv_len;
+  m->uadv = uadv; m->uadv_len = uadv_len;
   for (u64 i = 0; i < code_len; i++) m->wr8(entry + i, code[i]);
 
   std::unordered_map<u64, u64> addr2row;
@@ -579,6 +604,8 @@ TraceResult* jolt_trace_rows_parallel(
     c->lay = src->lay;
     c->inputs = src->inputs;
     c->inputs_len = src->inputs_len;
+    c->tadv = src->tadv; c->tadv_len = src->tadv_len;
+    c->uadv = src->uadv; c->uadv_len = src->uadv_len;
     c->outputs = src->outputs;
     c->panic_flag = src->panic_flag;
     c->terminated = src->terminated;
