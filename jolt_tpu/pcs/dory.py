@@ -598,11 +598,16 @@ class Dory:
             return False
 
         # ---- phase B verifier ------------------------------------------
-        R = _eq_tensor(r_col)
+        # Succinct form: the per-round generator/tensor folds are never
+        # materialized.  The folded eq tensor has the closed form
+        # prod_j (ainv_j*(1-r_j) + r_j) (eq tensors stay scaled tensors
+        # under the fold), and the folded generator vector is ONE Pippenger
+        # MSM over Gamma1 with tensor weights w_m = prod_{i: bit_i(m)=0}
+        # ainv_i -- O(sigma) field work in the loop, a single O(2^sigma /
+        # log) MSM at the end (vs sigma full-length G1 fold passes).
         E = proof.e1
         y = value % P
-        gam = list(s.gamma1)
-        Rv = list(R)
+        alphas, ainvs = [], []
         for j in range(s.sigma):
             xl, xr = proof.b_xl[j], proof.b_xr[j]
             if xl is not None and not host.g1_is_on_curve(xl):
@@ -616,20 +621,25 @@ class Dory:
             transcript.append_scalar(b"dory_b", yr)
             alpha = transcript.challenge_scalar()
             ainv = pow(alpha, -1, P)
-            h = len(gam) // 2
-            from ..curve import native_pairing as _np
+            alphas.append(alpha)
+            ainvs.append(ainv)
             E = host.g1_add(E, host.g1_add(host.g1_mul(xl, alpha),
                                            host.g1_mul(xr, ainv)))
             y = (y + alpha * yl + ainv * yr) % P
-            gamn = _np.g1_fold_batch(gam[h:], gam[:h], [ainv] * h)
-            gam = (gamn if gamn is not None
-                   else [host.g1_add(host.g1_mul(a, ainv), b)
-                         for a, b in zip(gam[:h], gam[h:])])
-            Rv = [(ainv * a + b) % P for a, b in zip(Rv[:h], Rv[h:])]
         transcript.append_scalar(b"dory_bs", proof.b_final_s)
         sf = proof.b_final_s % P
-        if host.g1_mul(gam[0], sf) != E:
+        # folded eq tensor: closed form over the column variables
+        r_eq = 1
+        for ainv, rj in zip(ainvs, r_col):
+            r_eq = r_eq * ((ainv * ((1 - rj) % P) + rj) % P) % P
+        if sf * r_eq % P != y:
             return False
-        if sf * Rv[0] % P != y:
+        # folded generators: tensor-weight MSM, w_m = prod over the bits
+        # of m (MSB-first) of ainv_i when bit_i(m) = 0 (round i halves on
+        # the then-top bit, so round 0's challenge rides the MSB)
+        w = [1]
+        for ainv in reversed(ainvs):
+            w = [x * ainv % P for x in w] + w
+        if host.g1_msm_pippenger(s.gamma1, [sf * x % P for x in w]) != E:
             return False
         return True
