@@ -2,29 +2,36 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Headline metric: e2e proving throughput in RISC-V cycles/second on the
-reference's own bench workload class -- sha2-chain (chained SHA-256
-compressions, `benches/e2e_profiling.rs:78-85`), here the generated RV64IM
-guest examples/gen_sha256.py at chain=4 (~51k cycles, padded 2^16).
-Measured on the SECOND prove in-process -- the first warms the jit caches,
-mirroring the reference's steady-state "Proved in Xs (Y kHz)" log metric
-(`zkvm/prover.rs:588-592`).  All sumcheck stages run (Spartan uni-skip,
-registers/RAM Twist, instruction + bytecode Shout, booleanity, joint
-opening reduction); the PCS commit/open phase is excluded until the
-streaming one-hot commitment lands (building dense K*T commitment vectors
-host-side does not scale past toy traces -- tracked gap).
+Headline metric: e2e proving throughput in RISC-V cycles/second,
+trace -> proof INCLUSIVE: witness extraction, Dory witness commitments
+(sparse one-hot tier-1 + tier-2 pairings), all sumcheck stages (Spartan
+uni-skip, shift, registers/RAM Twist, instruction + bytecode Shout,
+booleanity, joint opening reduction) and the final Dory RLC opening --
+the same scope as the reference's "Proved in Xs (Y kHz)" log metric
+(`zkvm/prover.rs:588-592`).
+
+Workload: the reference's own bench class, sha2-chain
+(`benches/e2e_profiling.rs:78-85`), built on the SHA256 INLINE custom
+opcode (jolt-inlines/sha2 analog, examples/gen_sha256.py emit_inline,
+~2.3k provable cycles per compression).  Default chain=114 lands the
+trace at ~2^18 cycles; JOLT_BENCH_CHAIN overrides.
+
+Measured on the SECOND prove in-process -- the first warms the jit
+caches, mirroring the reference's steady-state measurement.
 
 vs_baseline: ratio against the reference's 500,000 cycles/s e2e prover
 throughput (MacBook M4 Max 16-core figure, BASELINE.md; the 32-core
 Threadripper figure is 1.5 MHz).
 
-Measurement note: on this axon-relay platform `block_until_ready` does not
-force execution; prove() is self-forcing (every sumcheck round fetches the
-message evaluations to the host transcript).
+Measurement note: on this axon-relay platform `block_until_ready` does
+not force execution; prove() is self-forcing (every sumcheck round
+fetches the message evaluations to the host transcript, and the Dory
+opening runs host-side pairings).
 """
 
 import importlib.util
 import json
+import os
 import pathlib
 import time
 
@@ -35,41 +42,47 @@ import jax
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-CHAIN = 4  # sha2-chain links: ~51k cycles -> padded 2^16
+CHAIN = int(os.environ.get("JOLT_BENCH_CHAIN", "114"))  # ~2^18 cycles
 
 
-def _guest(layout, chain: int = CHAIN) -> str:
+def _guest(layout, chain: int) -> str:
     spec = importlib.util.spec_from_file_location(
         "gen_sha256", pathlib.Path(__file__).parent / "examples"
         / "gen_sha256.py")
     gen = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(gen)
-    return gen.emit(input_start=layout.input_start,
-                    output_start=layout.output_start,
-                    termination=layout.termination, chain=chain)
+    return gen.emit_inline(input_start=layout.input_start,
+                           output_start=layout.output_start,
+                           termination=layout.termination, chain=chain)
 
 
 def main():
     import hashlib
 
+    from jolt_tpu.pcs.dory import DorySetup
     from jolt_tpu.prover.prover import prove
     from jolt_tpu.riscv.emulator import MemoryLayout
-    from jolt_tpu.tracer.trace import trace_program
+    from jolt_tpu.tracer.native import trace_program_native
     from jolt_tpu.utils.env import ensure_map_count
 
     ensure_map_count()
     layout = MemoryLayout(max_input_size=64, max_output_size=64)
     msg = bytes(range(32))
-    tr = trace_program(_guest(layout), layout=layout, inputs=msg)
+    tr = trace_program_native(_guest(layout, CHAIN), layout=layout,
+                              inputs=msg)
     want = msg
     for _ in range(CHAIN):
         want = hashlib.sha256(want).digest()
     assert bytes(tr.device.outputs[:32]) == want, "sha2-chain output wrong"
 
-    prove(tr)  # warm the jit/compile caches (steady-state measurement)
+    # production PCS, transparent URS (disk-cached per shape)
+    n_max = 256 * tr.padded_length
+    setup = DorySetup.generate(n_max.bit_length() - 1)
+
+    prove(tr, setup=setup)  # warm the jit/compile caches (steady state)
 
     t0 = time.perf_counter()
-    prove(tr)
+    prove(tr, setup=setup)
     dt = time.perf_counter() - t0
 
     cycles_per_s = tr.length / dt
