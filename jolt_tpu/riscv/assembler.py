@@ -69,6 +69,8 @@ _R_OPS = {
     # INLINE custom-0 selectors (jolt-inlines/sha2/src/lib.rs):
     # sha256 rs1, rs2 -- compress block at (rs2) into state at (rs1)
     "sha256": (0x0B, 0, 0x00), "sha256init": (0x0B, 1, 0x00),
+    # keccak256 rs1 -- permute the 25-lane Keccak state at (rs1)
+    "keccak256": (0x0B, 0, 0x01),
 }
 _I_OPS = {
     "addi": (0x13, 0), "slti": (0x13, 2), "sltiu": (0x13, 3), "xori": (0x13, 4),
@@ -189,6 +191,8 @@ def _encode(mnem: str, args: List[str], addr: int, labels: Dict[str, int]) -> Li
 
     if mnem in _R_OPS:
         op, f3, f7 = _R_OPS[mnem]
+        if len(args) == 1 and op == 0x0B:   # inline: rd/rs2 unused
+            return [_enc_r(op, f3, f7, 0, _reg(args[0]), 0)]
         if len(args) == 2 and op == 0x0B:   # inline: rd unused
             return [_enc_r(op, f3, f7, 0, _reg(args[0]), _reg(args[1]))]
         return [_enc_r(op, f3, f7, _reg(args[0]), _reg(args[1]), _reg(args[2]))]

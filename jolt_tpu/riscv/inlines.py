@@ -336,10 +336,107 @@ def _expand_sha256(b, d, initial: bool) -> None:
     _Sha256Builder(asm, d.rs1, d.rs2, initial).build()
 
 
+# ---------------------------------------------------------------------------
+# Keccak-f[1600] permutation (jolt-inlines/keccak256/src/sequence_builder.rs)
+# ---------------------------------------------------------------------------
+
+KECCAK256_SEL = (INLINE_OPCODE, 0x00, 0x01)
+
+KECCAK_RC = [
+    0x0000000000000001, 0x0000000000008082, 0x800000000000808a,
+    0x8000000080008000, 0x000000000000808b, 0x0000000080000001,
+    0x8000000080008081, 0x8000000000008009, 0x000000000000008a,
+    0x0000000000000088, 0x0000000080008009, 0x000000008000000a,
+    0x000000008000808b, 0x800000000000008b, 0x8000000000008089,
+    0x8000000000008003, 0x8000000000008002, 0x8000000000000080,
+    0x000000000000800a, 0x800000008000000a, 0x8000000080008081,
+    0x8000000000008080, 0x0000000080000001, 0x8000000080008008,
+]
+# ROTATION_OFFSETS[x][y] of the rho step
+KECCAK_ROT = [
+    [0, 36, 3, 41, 18],
+    [1, 44, 10, 45, 2],
+    [62, 6, 43, 15, 61],
+    [28, 55, 25, 21, 56],
+    [27, 20, 39, 8, 14],
+]
+
+
+class _KeccakBuilder:
+    """One Keccak-f[1600] permutation of the 25-lane state at (rs1):
+    theta -> rho+pi -> chi -> iota x24, in-register (66 virtual regs)."""
+
+    def __init__(self, asm: InlineAsm, rs1: int):
+        self.asm = asm
+        self.rs1 = rs1
+        self.vr = [asm.tmp() for _ in range(66)]
+
+    def lane(self, x: int, y: int) -> int:
+        return self.vr[5 * y + x]
+
+    def build(self) -> None:
+        asm = self.asm
+        for i in range(25):
+            asm.b.emit("LD", rd=self.vr[i], rs1=self.rs1, imm=8 * i)
+        for rnd in range(24):
+            self._theta()
+            self._rho_pi()
+            self._chi()
+            asm.xor(Reg(self.lane(0, 0)), Imm(KECCAK_RC[rnd]),
+                    self.lane(0, 0))
+        for i in range(25):
+            asm.b.emit("SD", rs1=self.rs1, rs2=self.vr[i], imm=8 * i)
+
+    def _rotl64(self, src, amount: int, rd: int):
+        return self.asm.rotri64(src, (64 - amount) % 64, rd)
+
+    def _theta(self) -> None:
+        asm = self.asm
+        C = self.vr[50:55]
+        D = self.vr[55:60]
+        scratch = self.vr[65]
+        for x in range(5):
+            asm.xor(Reg(self.lane(x, 0)), Reg(self.lane(x, 1)), C[x])
+            for y in range(2, 5):
+                asm.xor(Reg(C[x]), Reg(self.lane(x, y)), C[x])
+        for x in range(5):
+            self._rotl64(Reg(C[(x + 1) % 5]), 1, scratch)
+            asm.xor(Reg(C[(x + 4) % 5]), Reg(scratch), D[x])
+        for x in range(5):
+            for y in range(5):
+                a = self.lane(x, y)
+                asm.xor(Reg(a), Reg(D[x]), a)
+
+    def _rho_pi(self) -> None:
+        # B[y, 2x+3y] = ROTL(A[x,y], offset); B lives in vr[25..50]
+        for x in range(5):
+            for y in range(5):
+                nx, ny = y, (2 * x + 3 * y) % 5
+                dest = self.vr[25 + 5 * ny + nx]
+                self._rotl64(Reg(self.lane(x, y)), KECCAK_ROT[x][y], dest)
+
+    def _chi(self) -> None:
+        # A[x,y] = B[x,y] ^ (~B[x+1,y] & B[x+2,y])
+        asm = self.asm
+        scratch = self.vr[65]
+        for y in range(5):
+            for x in range(5):
+                cur = 25 + 5 * y + x
+                nxt = 25 + 5 * y + (x + 1) % 5
+                nxt2 = 25 + 5 * y + (x + 2) % 5
+                asm.andn(Reg(self.vr[nxt2]), Reg(self.vr[nxt]), scratch)
+                asm.xor(Reg(self.vr[cur]), Reg(scratch), self.lane(x, y))
+
+
+def _expand_keccak(b, d) -> None:
+    _KeccakBuilder(InlineAsm(b), d.rs1).build()
+
+
 # registry: (opcode, funct3, funct7) -> expansion fn(builder, decoded)
 INLINE_REGISTRY: Dict[Tuple[int, int, int], object] = {
     SHA256_SEL: lambda b, d: _expand_sha256(b, d, initial=False),
     SHA256_INIT_SEL: lambda b, d: _expand_sha256(b, d, initial=True),
+    KECCAK256_SEL: lambda b, d: _expand_keccak(b, d),
 }
 
 
