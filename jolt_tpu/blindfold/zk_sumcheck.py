@@ -74,13 +74,33 @@ def zk_prove_stage(instances: Sequence[SumcheckInstance],
     r_sumcheck: List[int] = []
 
     for rnd in range(max_rounds):
+        # device message path first (the production instances' per-round
+        # kernels, mirroring BatchedSumcheck.prove); compute_message is
+        # the host fallback
         polys: List[Optional[UniPoly]] = [None] * len(instances)
+        dev_batch = []
+        dev_arrays = []
         for i, (inst, claim) in enumerate(zip(instances, claims)):
             off = inst.round_offset(max_rounds)
             if off <= rnd < off + inst.num_rounds:
-                polys[i] = inst.compute_message(rnd - off, claim)
+                md = inst.message_evals_dev(rnd - off)
+                if md is not None:
+                    dev_batch.append((i, md[1]))
+                    dev_arrays.append(md[0])
+                else:
+                    polys[i] = inst.compute_message(rnd - off, claim)
             else:
                 polys[i] = UniPoly([claim * two_inv % P])
+        if dev_arrays:
+            import jax as _jax
+
+            from ..field import ops as _ops
+            fetched = _jax.device_get(dev_arrays)
+            for (i, post), arr in zip(dev_batch, fetched):
+                evals = _ops.np_unpack_ints(arr)
+                if post is not None:
+                    evals = post(evals)
+                polys[i] = UniPoly.from_evals_and_hint(claims[i], evals, P)
         batched = UniPoly([0])
         for poly, c in zip(polys, coeffs):
             batched = batched.add(poly.scale(c))

@@ -152,7 +152,8 @@ def cmd_prove(args):
     else:
         tr, _ = _trace(args)
     t0 = time.time()
-    proof = prove(tr, setup=(None if args.pcs == "none" else args.pcs))
+    proof = prove(tr, setup=(None if args.pcs == "none" else args.pcs),
+                  zk=getattr(args, "zk", False))
     dt = time.time() - t0
     khz = tr.length / dt / 1e3
     print(f"proved {tr.length} cycles in {dt:.1f}s ({khz:.2f} kHz)")
@@ -273,6 +274,9 @@ def main(argv=None):
                         "TPU tunnel)")
         if name == "prove":
             sp.add_argument("-o", "--output", default="proof.bin")
+            sp.add_argument("--zk", action="store_true",
+                            help="zero-knowledge mode: BlindFold-committed "
+                            "round polynomials (prove(zk=True))")
             sp.add_argument("--profile", action="store_true",
                             help="record per-stage spans + HBM watermarks; "
                             "writes <output>.profile.json")

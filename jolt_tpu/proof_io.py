@@ -27,6 +27,7 @@ from typing import List
 from .curve import bn254_host as host
 from .curve.fq_tower import Fq2, Fq6, Fq12
 from .field.params import FR
+from .blindfold.prove import BlindFoldProof
 from .pcs.dory import DoryCommitment, DoryProof
 from .pcs.hyperkzg import HyperKZGProof
 from .prover.prover import JoltProof
@@ -202,6 +203,7 @@ def enc_u64(n: int) -> bytes:
 _TAG_SCALAR, _TAG_LIST, _TAG_DICT, _TAG_G1, _TAG_GT, _TAG_G2 = range(6)
 _TAG_INT64, _TAG_DORY_COMM, _TAG_DORY_PROOF, _TAG_HKZG_PROOF = range(6, 10)
 _TAG_NONE, _TAG_STR, _TAG_BYTES = 10, 11, 12
+_TAG_BLINDFOLD = 13
 
 
 def _enc_value(v, out: bytearray) -> None:
@@ -249,6 +251,9 @@ def _enc_value(v, out: bytearray) -> None:
         _enc_fields(v, out)
     elif isinstance(v, HyperKZGProof):
         out.append(_TAG_HKZG_PROOF)
+        _enc_fields(v, out)
+    elif isinstance(v, BlindFoldProof):
+        out.append(_TAG_BLINDFOLD)
         _enc_fields(v, out)
     else:
         raise TypeError(f"unencodable proof field type {type(v)}")
@@ -348,6 +353,12 @@ def _dec_value(b: memoryview, off: int):
             v, off = _dec_value(b, off)
             vals.append(v)
         return HyperKZGProof(*vals), off
+    if tag == _TAG_BLINDFOLD:
+        vals = []
+        for f in dataclasses.fields(BlindFoldProof):
+            v, off = _dec_value(b, off)
+            vals.append(v)
+        return BlindFoldProof(*vals), off
     raise ProofDecodeError(f"unknown tag {tag}")
 
 

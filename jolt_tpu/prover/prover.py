@@ -101,6 +101,10 @@ class JoltProof:
     commitments: Dict[str, object]     # committed polys (G1 points)
     opening_proofs: Dict[str, object]  # "joint" -> DoryProof|HyperKZGProof
     advice_openings: Dict[str, int] = None   # trusted/untrusted Init openings
+    # zk mode (BlindFold): per-stage Pedersen round commitments replace the
+    # stageN_polys coefficient lists, plus one BlindFoldProof
+    zk_commitments: Dict[str, List[bytes]] = None
+    zk_blindfold: object = None
 
 
 def committed_poly_names(d_ram: int = 1, d_bc: int = 1,
@@ -274,12 +278,23 @@ def _resolve_setup(setup, padded_length, ram_log_K, bytecode_log_K):
     return setup
 
 
-def prove(trace: Trace, setup=None, _transcript=None) -> JoltProof:
+def prove(trace: Trace, setup=None, _transcript=None, zk: bool = False,
+          zk_rng=None) -> JoltProof:
     """Prove the trace.  `setup` enables the commitment layer (a `DorySetup`
     -- production, transparent -- or `KZGSetup`/scheme instance, or the
     strings 'dory'/'hyperkzg' to size + build one from the trace; see
     pcs/scheme.py); without it the proof carries bare opening claims
-    (sumcheck-only mode for tests)."""
+    (sumcheck-only mode for tests).
+
+    zk=True routes every batched sumcheck stage through the BlindFold
+    committed-round recorder (`blindfold/zk_sumcheck.py`): round
+    polynomials are Pedersen-committed instead of sent in clear, and one
+    BlindFold proof (Nova fold + Spartan over the verifier R1CS) attests
+    every round check (ref `zkvm/prover.rs:1564-1610`).  v1 scope: all
+    standard stage round polys are hidden; the stage-1 uni-skip first
+    round and the opening CLAIMS remain clear (full witness-hiding of
+    openings via the hiding PCS tier is tracked follow-up work).
+    `zk_rng` (default SystemRandom) supplies the blinding randomness."""
     import os as _os
     import time as _time
 
@@ -354,6 +369,47 @@ def prove(trace: Trace, setup=None, _transcript=None) -> JoltProof:
         dense_meta[f"{kind}_advice"] = advice_coeffs[kind]
     _mark("witness-extraction")
 
+    # ZK committed-round seam: _stage() routes every batched sumcheck
+    # through zk_prove_stage when zk=True, recording ZkStageData
+    zk_stages: List[object] = []
+    zk_commit_bytes: Dict[str, List[bytes]] = {}
+    if zk:
+        import random as _random
+
+        from ..blindfold.pedersen import PedersenBasis
+        from ..blindfold.pedersen import point_bytes as _pt_bytes
+        from ..blindfold.zk_sumcheck import zk_prove_stage
+        zk_basis = PedersenBasis.create(8)
+        zk_rng = zk_rng or _random.SystemRandom()
+
+    def _drop(*objs):
+        """Release a finished stage's device arrays (final openings are
+        host ints by now).  Without this every stage's bound tables stay
+        live until prove() returns and peak HBM is the SUM of all stages
+        -- the 2^18 sha2-chain bench exhausts a 16 GB chip at stage 7."""
+        import jax as _jax
+        for obj in objs:
+            if obj is None:
+                continue
+            for k, v in list(vars(obj).items()):
+                if k in ("final_openings", "input_openings"):
+                    continue
+                if isinstance(v, _jax.Array):
+                    setattr(obj, k, None)
+                elif (isinstance(v, (list, tuple)) and v
+                      and all(isinstance(x, _jax.Array) for x in v)):
+                    setattr(obj, k, None)
+
+    def _stage(insts, label):
+        if not zk:
+            return prove_scan(insts, accumulator, transcript)
+        data, rs = zk_prove_stage(insts, accumulator, transcript,
+                                  zk_basis, zk_rng, label)
+        data.final_expected = data.claims[-1]
+        zk_stages.append(data)
+        zk_commit_bytes[label] = [_pt_bytes(c) for c in data.commitments]
+        return [], rs
+
     transcript = _transcript or Blake2bTranscript(b"Jolt")
     fiat_shamir_preamble(
         transcript, trace.length, trace.padded_length,
@@ -412,8 +468,11 @@ def prove(trace: Trace, setup=None, _transcript=None) -> JoltProof:
                                cols_dev)
     # fused device-transcript stage (one dispatch for all rounds); falls
     # back to the host engine under a device mesh
-    stage1_polys, _ = prove_scan([outer], accumulator, transcript)
+    stage1_polys, _ = _stage([outer], "s1")
 
+    outer.cols_dev = None
+    _drop(outer)
+    del cols_dev
     _mark("stage1-spartan")
     # ---- Stage 1s: Spartan shift (PC chaining) --------------------------
     # Binds the five next_* openings to the actual next row via the
@@ -424,8 +483,9 @@ def prove(trace: Trace, setup=None, _transcript=None) -> JoltProof:
     gamma_sh = transcript.challenge_scalar()
     shift_cols = shift_column_values(bc_wit.table, bc_wit.pc_idx, gamma_sh)
     shift_inst = ShiftSumcheck(shift_cols, r_cycle, gamma_sh)
-    shift_polys, _ = prove_scan([shift_inst], accumulator, transcript)
+    shift_polys, _ = _stage([shift_inst], "s1s")
 
+    _drop(shift_inst)
     _mark("stage1s-shift")
     # ---- Stage 2: registers read/write checking ------------------------
     # r_cycle and the rd/rs1/rs2 claims are the stage-1 openings.
@@ -434,17 +494,19 @@ def prove(trace: Trace, setup=None, _transcript=None) -> JoltProof:
               accumulator.get_claim(("r1cs_input", "rs2_value"))]
     gamma = transcript.challenge_scalar()
     rw = SparseRegistersReadWriteChecking(reg_wit, gamma, r_cycle, claims)
-    stage2_polys, r2 = prove_scan([rw], accumulator, transcript)
+    stage2_polys, r2 = _stage([rw], "s2")
 
+    _drop(rw)
     _mark("stage2-reg-rw")
     # ---- Stage 3: registers Val evaluation -----------------------------
     val_pt2 = accumulator.get_point(("registers", "val"))
     r2_cyc, r2_addr = list(val_pt2[:log_T]), list(val_pt2[log_T:])
     val_claim = accumulator.get_claim(("registers", "val"))
     ve = SparseRegistersValEvaluation(reg_wit, r2_addr, r2_cyc, val_claim)
-    stage3_polys, r3 = prove_scan([ve], accumulator, transcript)
+    stage3_polys, r3 = _stage([ve], "s3")
     r3_cyc = list(accumulator.get_point(("registers_val_eval", "inc")))
 
+    _drop(ve)
     _mark("stage3-reg-val")
     # ---- Stage 4: RAM read/write checking + raf evaluation (batched) ----
     # Sparse Twist tier: O(T + K) memory (relations/ram_sparse.py), no
@@ -461,8 +523,7 @@ def prove(trace: Trace, setup=None, _transcript=None) -> JoltProof:
     ram_raf = SparseRamRafEvaluation(ram_sched, ram_wit.log_K,
                                      ram_wit.witness_base, r_cycle,
                                      addr_claim)
-    stage4_polys, r4 = prove_scan([ram_rw, ram_raf], accumulator,
-                                             transcript)
+    stage4_polys, r4 = _stage([ram_rw, ram_raf], "s4")
 
     # ---- Stage 5: RAM Val evaluation + output check (batched) ------------
     val_pt = accumulator.get_point(("ram", "val"))  # normalized (cyc, addr)
@@ -489,9 +550,9 @@ def prove(trace: Trace, setup=None, _transcript=None) -> JoltProof:
                                   ram_wit.init_vals, ram_wit.inc,
                                   trace.memory_layout, ram_wit.witness_base,
                                   z_out, bytes(trace.device.outputs))
-    stage5_polys, _ = prove_scan([ram_ve, ram_oc], accumulator,
-                                            transcript)
+    stage5_polys, _ = _stage([ram_ve, ram_oc], "s5")
 
+    _drop(ram_rw, ram_raf, ram_ve, ram_oc, ram_sched)
     _mark("stage4-5-ram")
     # ---- Stage 5i: instruction-execution read-raf Shout ------------------
     # Binds LookupOutput / lookup operands to the table MLEs over the
@@ -502,7 +563,7 @@ def prove(trace: Trace, setup=None, _transcript=None) -> JoltProof:
         accumulator.get_claim(("r1cs_input", "lookup_output")),
         accumulator.get_claim(("r1cs_input", "left_lookup_operand")),
         accumulator.get_claim(("r1cs_input", "right_lookup_operand")))
-    stage5i_polys, r5i = prove_scan([lk], accumulator, transcript)
+    stage5i_polys, r5i = _stage([lk], "s5i")
     r_lk_cyc = r5i[LT.LOG_K:]
     stage5i_openings = {f"ra{i}": lk.final_openings[f"ra{i}"]
                         for i in range(LK_D)}
@@ -510,6 +571,7 @@ def prove(trace: Trace, setup=None, _transcript=None) -> JoltProof:
         stage5i_openings[f"flag_{tname}"] = lk.flag_claims[t]
     stage5i_openings["raf_flag"] = lk.raf_flag_claim
 
+    _drop(lk)
     _mark("stage5i-instr-lookups")
     # ---- Stage 6: bytecode read-raf + register index rafs (batched) ------
     # The rd/rs1/rs2 index streams are proven from BOTH sides against the
@@ -567,10 +629,11 @@ def prove(trace: Trace, setup=None, _transcript=None) -> JoltProof:
             sched_p, 7, reg_idx_tab, r_cycle, claim,
             ("registers_raf", name), opening_key="m"))
     raf_rd, raf_rs1, raf_rs2 = raf_insts
-    stage6_polys, _ = prove_scan(
-        [bc, bc_flags, bc_shift, raf_rd, raf_rs1, raf_rs2], accumulator,
-        transcript)
+    stage6_polys, _ = _stage(
+        [bc, bc_flags, bc_shift, raf_rd, raf_rs1, raf_rs2], "s6")
 
+    _drop(bc, bc_flags, bc_shift, raf_rd, raf_rs1, raf_rs2, bc_sched)
+    del E_cyc_dev
     _mark("stage6-bytecode")
     # ---- Stage 6v: RAM/bytecode ra virtualization -------------------------
     # Every full-ra opening accumulated by stages 4-6 reduces to openings of
@@ -594,12 +657,13 @@ def prove(trace: Trace, setup=None, _transcript=None) -> JoltProof:
     stage6v_polys: List[List[int]] = []
     stage6v_openings: Dict[str, int] = {}
     if insts6v:
-        stage6v_polys, _ = prove_scan(insts6v, accumulator, transcript)
+        stage6v_polys, _ = _stage(insts6v, "s6v")
         for inst in insts6v:
             prefix, t = inst.tag
             for i, v in enumerate(inst.final_openings):
                 stage6v_openings[f"{prefix}_{t}_{i}"] = v
 
+    _drop(*insts6v)
     _mark("stage6v-ra-virtual")
     # ---- Stage 7: one-hot booleanity + Hamming weight (all matrices) -----
     # Sparse index-stream formulation: O(T) per matrix per round.
@@ -635,13 +699,15 @@ def prove(trace: Trace, setup=None, _transcript=None) -> JoltProof:
         insts7.append(GroupedOneHot(
             streams7, Km, [E_h] * m7, [None] * m7, [1] * m7, gamma7,
             labels7, booleanity=False, opening_kind="hamming"))
-    stage7_polys, _ = prove_scan(insts7, accumulator, transcript)
+    stage7_polys, _ = _stage(insts7, "s7")
     stage7_openings = {}
     for inst in insts7:
         kind7 = "bool" if inst.booleanity else "ham"
         for lab, v in zip(inst.labels, inst.final_openings):
             stage7_openings[f"{kind7}_{lab}"] = v
 
+    _drop(*insts7)
+    del E_bcyc, E_h
     _mark("stage7-booleanity")
     # ---- Stage 8: joint batched opening ---------------------------------
     # Reduce EVERY committed-poly claim from stages 1-7 to openings at one
@@ -691,7 +757,7 @@ def prove(trace: Trace, setup=None, _transcript=None) -> JoltProof:
         insts8.append(DenseOpening(dense_meta[cname], pt, cl,
                                    f"{n8}_{cname}"))
         n8 += 1
-    stage8_polys, r8 = prove_scan(insts8, accumulator, transcript)
+    stage8_polys, r8 = _stage(insts8, "s8")
     stage8_openings = []
     for inst in insts8:
         if isinstance(inst, GroupedOneHot):
@@ -699,6 +765,7 @@ def prove(trace: Trace, setup=None, _transcript=None) -> JoltProof:
         else:
             stage8_openings.append(inst.final_openings["p"])
 
+    _drop(*insts8)
     _mark("stage8-reduction")
     # single RLC opening of  sum_i mu^i * P~_i  at r*
     opening_proofs: Dict[str, object] = {}
@@ -730,6 +797,12 @@ def prove(trace: Trace, setup=None, _transcript=None) -> JoltProof:
                                                value, transcript)
 
     _mark("stage8-openings")
+    zk_blindfold = None
+    if zk:
+        from ..blindfold.prove import blindfold_prove
+        zk_blindfold = blindfold_prove(zk_stages, zk_basis, transcript,
+                                       zk_rng)
+        _mark("blindfold")
     if _fs_trace:
         import json as _json
         with open(_fs_trace, "w") as _f:
@@ -774,4 +847,6 @@ def prove(trace: Trace, setup=None, _transcript=None) -> JoltProof:
         commitments=commitments,
         opening_proofs=opening_proofs,
         advice_openings=advice_openings,
+        zk_commitments=zk_commit_bytes if zk else None,
+        zk_blindfold=zk_blindfold,
     )

@@ -113,6 +113,51 @@ def verify(proof: JoltProof, io: PublicIO, setup=None,
 
     d_ram = d_chunks(proof.ram_log_K)
     d_bc = d_chunks(proof.bytecode_log_K)
+    # ---- zk (BlindFold) seam: committed rounds replace clear polys ------
+    zk = bool(proof.zk_commitments)
+    _pub_stages: List[object] = []
+
+    def _pt_from_bytes(b):
+        from ..curve import bn254_host as _host
+        if b == b"\x00" * 64:
+            return None
+        if len(b) != 64:
+            raise VerificationError("bad zk commitment encoding")
+        pt = (int.from_bytes(b[:32], "big"), int.from_bytes(b[32:], "big"))
+        if not _host.g1_is_on_curve(pt):
+            raise VerificationError("zk commitment off curve")
+        return pt
+
+    def _stage_verify(polys, insts, label):
+        if not zk:
+            return BatchedSumcheck.verify(polys, insts, accumulator,
+                                          transcript)
+        from ..blindfold.zk_sumcheck import ZkStageData, zk_replay_challenges
+        comm_bytes = proof.zk_commitments.get(label)
+        if comm_bytes is None:
+            raise VerificationError(f"missing zk round commitments {label}")
+        max_rounds = max(i.num_rounds for i in insts)
+        if len(comm_bytes) != max_rounds:
+            raise VerificationError(f"stage {label}: zk round count")
+        input_claims = [i.input_claim(accumulator) for i in insts]
+        coeffs, rs = zk_replay_challenges(comm_bytes, input_claims,
+                                          len(insts), transcript)
+        claim0 = sum(
+            c * ((ic << (max_rounds - i.num_rounds)) % P)
+            for c, ic, i in zip(coeffs, input_claims, insts)) % P
+        expected = 0
+        for inst, c in zip(insts, coeffs):
+            off = max_rounds - inst.num_rounds
+            expected = (expected + c * inst.expected_output_claim(
+                accumulator, rs[off:off + inst.num_rounds])) % P
+        _pub_stages.append(ZkStageData(
+            label=label, max_rounds=max_rounds,
+            max_degree=max(getattr(i, "degree", 3) for i in insts),
+            input_claim0=claim0, round_coeffs=[], blinds=[],
+            commitments=[_pt_from_bytes(cb) for cb in comm_bytes],
+            challenges=rs, claims=[], final_expected=expected))
+        return rs
+
     advice_kinds = advice_kinds_of(io.memory_layout)
     pcs = make_scheme(setup)
     if pcs is not None:
@@ -141,8 +186,7 @@ def verify(proof: JoltProof, io: PublicIO, setup=None,
     inst1 = SpartanOuterVerifier(num_rounds, tau, r0_skip,
                                  proof.r1cs_input_openings, claim1)
     try:
-        r1 = BatchedSumcheck.verify(proof.stage1_polys, [inst1], accumulator,
-                                    transcript)
+        r1 = _stage_verify(proof.stage1_polys, [inst1], "s1")  #
     except SumcheckError as e:
         raise VerificationError(f"stage1: {e}") from e
 
@@ -160,8 +204,7 @@ def verify(proof: JoltProof, io: PublicIO, setup=None,
     gamma_sh = transcript.challenge_scalar()
     inst_sh = ShiftVerifier(log_T, gamma_sh, r_cycle, proof.shift_opening)
     try:
-        r_sh = BatchedSumcheck.verify(proof.shift_polys, [inst_sh],
-                                      accumulator, transcript)
+        r_sh = _stage_verify(proof.shift_polys, [inst_sh], "s1s")  #
     except SumcheckError as e:
         raise VerificationError(f"shift: {e}") from e
     accumulator.insert(("shift", "cols"), r_sh, proof.shift_opening)
@@ -175,8 +218,7 @@ def verify(proof: JoltProof, io: PublicIO, setup=None,
     inst2 = SparseRegistersReadWriteCheckingVerifier(
         log_T, gamma, r_cycle, claims, proof.stage2_openings)
     try:
-        r2 = BatchedSumcheck.verify(proof.stage2_polys, [inst2], accumulator,
-                                    transcript)
+        r2 = _stage_verify(proof.stage2_polys, [inst2], "s2")  #
     except SumcheckError as e:
         raise VerificationError(f"stage2: {e}") from e
     r2_cyc, r2_addr = inst2._split(r2)
@@ -193,8 +235,7 @@ def verify(proof: JoltProof, io: PublicIO, setup=None,
     inst3 = SparseRegistersValEvaluationVerifier(
         log_T, r2_addr, r2_cyc, val_claim, proof.stage3_openings)
     try:
-        r3 = BatchedSumcheck.verify(proof.stage3_polys, [inst3], accumulator,
-                                    transcript)
+        r3 = _stage_verify(proof.stage3_polys, [inst3], "s3")  #
     except SumcheckError as e:
         raise VerificationError(f"stage3: {e}") from e
     r3_cyc, r3_addr = inst3._split(r3)
@@ -217,8 +258,7 @@ def verify(proof: JoltProof, io: PublicIO, setup=None,
         log_T, proof.ram_log_K, r_cycle, addr_claim,
         io.memory_layout.witness_base, {"ra": o4["raf_ra"]})
     try:
-        r4 = BatchedSumcheck.verify(proof.stage4_polys, [inst4a, inst4b],
-                                    accumulator, transcript)
+        r4 = _stage_verify(proof.stage4_polys, [inst4a, inst4b], "s4")  #
     except SumcheckError as e:
         raise VerificationError(f"stage4: {e}") from e
     # sparse tier: cycle vars bound LSB-first -> normalize to big-endian
@@ -271,8 +311,7 @@ def verify(proof: JoltProof, io: PublicIO, setup=None,
         io.memory_layout.witness_base, init_vals,
         {"ra": o5["oc_ra"], "inc": o5["oc_inc"]})
     try:
-        r5 = BatchedSumcheck.verify(proof.stage5_polys, [inst5, inst5b],
-                                    accumulator, transcript)
+        r5 = _stage_verify(proof.stage5_polys, [inst5, inst5b], "s5")  #
     except SumcheckError as e:
         raise VerificationError(f"stage5: {e}") from e
     r5_cyc, r5_addr = inst5._split(r5)
@@ -292,8 +331,7 @@ def verify(proof: JoltProof, io: PublicIO, setup=None,
         proof.r1cs_input_openings[V_LEFT_LOOKUP_OPERAND],
         proof.r1cs_input_openings[V_RIGHT_LOOKUP_OPERAND], o5i)
     try:
-        r5i = BatchedSumcheck.verify(proof.stage5i_polys, [inst5i],
-                                     accumulator, transcript)
+        r5i = _stage_verify(proof.stage5i_polys, [inst5i], "s5i")  #
     except SumcheckError as e:
         raise VerificationError(f"stage5i: {e}") from e
     r_lk_addr, r_lk_cyc = r5i[:LT.LOG_K], r5i[LT.LOG_K:]
@@ -331,8 +369,7 @@ def verify(proof: JoltProof, io: PublicIO, setup=None,
                  for i, n in enumerate(("wa", "ra1", "ra2"))]
     stage6_insts = [inst6, inst6f, inst6s] + raf_insts
     try:
-        r6 = BatchedSumcheck.verify(proof.stage6_polys, stage6_insts,
-                                    accumulator, transcript)
+        r6 = _stage_verify(proof.stage6_polys, stage6_insts, "s6")  #
     except SumcheckError as e:
         raise VerificationError(f"stage6: {e}") from e
     max6 = max(i.num_rounds for i in stage6_insts)
@@ -378,8 +415,7 @@ def verify(proof: JoltProof, io: PublicIO, setup=None,
                 meta6v.append((prefix, t, d, r_addr_v, log_Kv))
     if insts6v:
         try:
-            r6v = BatchedSumcheck.verify(proof.stage6v_polys, insts6v,
-                                         accumulator, transcript)
+            r6v = _stage_verify(proof.stage6v_polys, insts6v, "s6v")  #
         except SumcheckError as e:
             raise VerificationError(f"stage6v: {e}") from e
         for inst, (prefix, t, d, r_addr_v, log_Kv) in zip(insts6v, meta6v):
@@ -425,8 +461,7 @@ def verify(proof: JoltProof, io: PublicIO, setup=None,
             [o7[f"ham_{lab}"] for lab in labels], booleanity=False))
         group_meta7.append(("ham", lk_m, labels))
     try:
-        r7 = BatchedSumcheck.verify(proof.stage7_polys, insts7, accumulator,
-                                    transcript)
+        r7 = _stage_verify(proof.stage7_polys, insts7, "s7")  #
     except SumcheckError as e:
         raise VerificationError(f"stage7: {e}") from e
     max7 = max(i.num_rounds for i in insts7)
@@ -504,8 +539,7 @@ def verify(proof: JoltProof, io: PublicIO, setup=None,
         group_slices8.append((pos, 1, None))
         pos += 1
     try:
-        r8 = BatchedSumcheck.verify(proof.stage8_polys, insts8, accumulator,
-                                    transcript)
+        r8 = _stage_verify(proof.stage8_polys, insts8, "s8")  #
     except SumcheckError as e:
         raise VerificationError(f"stage8: {e}") from e
     max8 = max(i.num_rounds for i in insts8)
@@ -531,5 +565,21 @@ def verify(proof: JoltProof, io: PublicIO, setup=None,
             raise VerificationError("missing joint opening proof")
         if not pcs.verify_rlc(joint_comm, r8, value, op, transcript):
             raise VerificationError("joint opening proof invalid")
+
+    if zk:
+        # BlindFold attests every committed round check (Nova fold +
+        # Spartan over the verifier R1CS; ref zkvm/prover.rs:1564-1610)
+        from ..blindfold.pedersen import PedersenBasis
+        from ..blindfold.verify import BlindFoldError, blindfold_verify
+        if proof.zk_blindfold is None:
+            raise VerificationError("zk proof missing BlindFold proof")
+        basis = PedersenBasis.create(8)
+        try:
+            ok = blindfold_verify(_pub_stages, proof.zk_blindfold, basis,
+                                  transcript)
+        except BlindFoldError as e:
+            raise VerificationError(f"blindfold: {e}") from e
+        if not ok:
+            raise VerificationError("blindfold verification failed")
 
     return True
