@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import collections
+import json
 import sys
 import time
 
@@ -290,6 +291,32 @@ def main(argv=None):
         if name == "verify":
             sp.add_argument("proof", help="canonical proof bytes from `prove`")
         sp.set_defaults(fn=fn)
+    sp_sweep = sub.add_parser(
+        "sweep", help="benchmark sweep: workload x size grid with "
+        "run-dir JSON artifacts (profile.rs:199-330 analog)")
+    sp_sweep.add_argument("--workloads", default="fib",
+                          help="comma list: fib,sha2-chain,keccak-chain")
+    sp_sweep.add_argument("--min-log2", type=int, default=12)
+    sp_sweep.add_argument("--max-log2", type=int, default=16)
+    sp_sweep.add_argument("--pcs", choices=("none", "dory", "hyperkzg"),
+                          default="none")
+    sp_sweep.add_argument("--out", default="runs")
+    sp_sweep.add_argument("--warm", action="store_true",
+                          help="one warm-up prove per point (steady state)")
+    sp_sweep.add_argument("--platform", choices=("default", "cpu"),
+                          default="default")
+
+    def cmd_sweep(args):
+        from .eval.sweep import run_sweep
+        summary = run_sweep(
+            [w.strip() for w in args.workloads.split(",") if w.strip()],
+            args.min_log2, args.max_log2,
+            pcs=None if args.pcs == "none" else args.pcs,
+            out_dir=args.out, warm=args.warm)
+        print(json.dumps(summary))
+        return 0
+
+    sp_sweep.set_defaults(fn=cmd_sweep)
     args = p.parse_args(argv)
     from .utils.env import ensure_map_count
     ensure_map_count()

@@ -34,7 +34,7 @@ from .prover.prover import JoltProof
 
 P = FR.modulus
 Q = host.Q if hasattr(host, "Q") else None
-VERSION = 6
+VERSION = 7
 
 
 class ProofDecodeError(ValueError):

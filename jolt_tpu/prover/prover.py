@@ -105,6 +105,9 @@ class JoltProof:
     # stageN_polys coefficient lists, plus one BlindFoldProof
     zk_commitments: Dict[str, List[bytes]] = None
     zk_blindfold: object = None
+    # prover-chosen protocol configuration, re-validated by the verifier
+    # (config.ProofConfig wire dict; ref zkvm/config.rs:95-210)
+    config: Dict[str, int] = None
 
 
 def committed_poly_names(d_ram: int = 1, d_bc: int = 1,
@@ -209,19 +212,19 @@ def preprocessing_digest(code: bytes, entry: int, start: int, memory_layout,
     return h.digest()
 
 
-# our RW-checking sumchecks bind all log T cycle rounds, then all log K
-# address rounds (no two-phase streaming split yet) -- the phase-round
-# counts absorbed below reflect that schedule
-REGISTERS_LOG_K = 7     # 128 registers (64 arch + virtual)
-LOG_K_CHUNK = 8         # OneHotParams: d = 128/8 = 16 committed ra chunks
-DORY_LAYOUT = 0         # DoryLayout::default() discriminant
+# proof-carried, verifier-validated protocol configuration lives in
+# config.py (ReadWriteConfig / OneHotConfig ladder, zkvm/config.rs:95-210);
+# the constants are re-exported here for the witness/relation layers
+from ..config import (DORY_LAYOUT, LOG_K_CHUNK, REGISTERS_LOG_K,  # noqa: F401
+                      ProofConfig)
 
 
 def fiat_shamir_preamble(transcript: Blake2bTranscript, trace_length: int,
                          padded_length: int, inputs: bytes, outputs: bytes,
                          panic: bool, code: bytes, entry: int, start: int,
                          memory_layout, ram_log_K: int,
-                         bytecode_log_K: int) -> None:
+                         bytecode_log_K: int,
+                         config: "ProofConfig" = None) -> None:
     """Preamble binding the full public statement.
 
     Byte-parity absorb sequence with the reference's `fiat_shamir_preamble`
@@ -244,13 +247,21 @@ def fiat_shamir_preamble(transcript: Blake2bTranscript, trace_length: int,
     transcript.append_u64(b"trace_length", trace_length)
     transcript.append_u64(b"entry_address", entry)
     log_T = padded_length.bit_length() - 1
-    transcript.append_u64(b"ram_rw_phase1_num_rounds", log_T)
-    transcript.append_u64(b"ram_rw_phase2_num_rounds", ram_log_K)
-    transcript.append_u64(b"registers_rw_phase1_num_rounds", log_T)
-    transcript.append_u64(b"registers_rw_phase2_num_rounds", REGISTERS_LOG_K)
-    transcript.append_u64(b"log_k_chunk", LOG_K_CHUNK)
-    transcript.append_u64(b"lookups_ra_virtual_log_k_chunk", LOG_K_CHUNK)
-    transcript.append_u64(b"dory_layout", DORY_LAYOUT)
+    if config is None:
+        config = ProofConfig.new(log_T, ram_log_K)
+    rw, oh = config.read_write, config.one_hot
+    transcript.append_u64(b"ram_rw_phase1_num_rounds",
+                          rw.ram_rw_phase1_num_rounds)
+    transcript.append_u64(b"ram_rw_phase2_num_rounds",
+                          rw.ram_rw_phase2_num_rounds)
+    transcript.append_u64(b"registers_rw_phase1_num_rounds",
+                          rw.registers_rw_phase1_num_rounds)
+    transcript.append_u64(b"registers_rw_phase2_num_rounds",
+                          rw.registers_rw_phase2_num_rounds)
+    transcript.append_u64(b"log_k_chunk", oh.log_k_chunk)
+    transcript.append_u64(b"lookups_ra_virtual_log_k_chunk",
+                          oh.lookups_ra_virtual_log_k_chunk)
+    transcript.append_u64(b"dory_layout", config.dory_layout)
 
 
 def required_num_vars(padded_length: int, ram_log_K: int,
@@ -411,11 +422,13 @@ def prove(trace: Trace, setup=None, _transcript=None, zk: bool = False,
         return [], rs
 
     transcript = _transcript or Blake2bTranscript(b"Jolt")
+    proof_config = ProofConfig.new(log_T, ram_wit.log_K)
     fiat_shamir_preamble(
         transcript, trace.length, trace.padded_length,
         bytes(trace.device.inputs), bytes(trace.device.outputs),
         trace.device.panic, trace.code, trace.entry, trace.program.start,
-        trace.memory_layout, ram_wit.log_K, bc_wit.log_K)
+        trace.memory_layout, ram_wit.log_K, bc_wit.log_K,
+        config=proof_config)
 
     accumulator = OpeningAccumulator()
 
@@ -849,4 +862,5 @@ def prove(trace: Trace, setup=None, _transcript=None, zk: bool = False,
         advice_openings=advice_openings,
         zk_commitments=zk_commit_bytes if zk else None,
         zk_blindfold=zk_blindfold,
+        config=proof_config.as_dict(),
     )

@@ -105,11 +105,21 @@ def verify(proof: JoltProof, io: PublicIO, setup=None,
     program = expand_program(io.code, io.entry, io.start)
     if proof.bytecode_log_K != expected_bytecode_log_K(program):
         raise VerificationError("bytecode_log_K inconsistent with program")
+    # prover-chosen protocol config: re-validate EVERY field against the
+    # public trace parameters before deriving any expectation from it
+    # (zkvm/config.rs:95-210 validate(); never trust a prover config)
+    from ..config import ConfigError, ProofConfig
+    log_T_pre = io.padded_length.bit_length() - 1
+    try:
+        proof_config = ProofConfig.from_dict(proof.config or {})
+        proof_config.validate(log_T_pre, proof.ram_log_K)
+    except ConfigError as e:
+        raise VerificationError(f"invalid proof config: {e}") from e
     transcript = _transcript or Blake2bTranscript(b"Jolt")
     fiat_shamir_preamble(transcript, io.trace_length, io.padded_length,
                          io.inputs, io.outputs, io.panic, io.code, io.entry,
                          io.start, io.memory_layout, proof.ram_log_K,
-                         proof.bytecode_log_K)
+                         proof.bytecode_log_K, config=proof_config)
 
     d_ram = d_chunks(proof.ram_log_K)
     d_bc = d_chunks(proof.bytecode_log_K)
