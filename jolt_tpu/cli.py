@@ -122,8 +122,15 @@ def cmd_run(args):
     tr, dt = _trace(args)
     rate = tr.length / dt / 1e6 if dt else 0
     print(f"executed {tr.length} cycles in {dt:.3f}s ({rate:.2f} MHz)")
+    if tr.device.console:
+        sys.stdout.write(tr.device.console.decode("utf-8", "replace"))
+        if not tr.device.console.endswith(b"\n"):
+            print()
     print(f"outputs: {bytes(tr.device.outputs).hex() or '(empty)'}")
     print(f"panic: {tr.device.panic}")
+    spans = tr.device.cycle_spans()
+    for label, s in spans.items():
+        print(f"cycles[{label}]: {s['cycles']} over {s['count']} span(s)")
     return 0
 
 

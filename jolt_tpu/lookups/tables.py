@@ -779,6 +779,7 @@ KIND_TABLE: Dict[str, Optional[str]] = {
     # shift-table lookups; the transformed immediate is effective_imm().
     "SLLI": "RangeCheck", "SRLI": "VirtualSRL", "SRAI": "VirtualSRA",
     "LD": None, "SD": None, "FENCE": None, "ECALL": None, "EBREAK": None,
+    "HOSTIO": None,
     "NOOP": None,
     # virtual (final) instructions -> their dedicated tables
     # (crates/jolt-lookup-tables/src/instructions/virt/*.rs)

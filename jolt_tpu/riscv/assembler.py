@@ -254,6 +254,10 @@ def _encode(mnem: str, args: List[str], addr: int, labels: Dict[str, int]) -> Li
         lo = off - (hi << 12)
         return [_enc_u(0x17, _reg(args[0]), hi),
                 _enc_i(0x13, 0, _reg(args[0]), _reg(args[0]), lo)]
+    if mnem == "hostio":
+        # VirtualHostIO: opcode 0x5B funct3=2, all operand fields zero
+        # (call id / ptr / len / event ride a0-a3)
+        return [0x5B | (2 << 12)]
     if mnem == "ecall":
         return [0x00000073]
     if mnem == "ebreak":

@@ -136,6 +136,26 @@ class JoltDevice:
         self.outputs = bytearray()
         self.panic = False
         self.terminated = False
+        # guest intrinsics (VirtualHostIO): print output + cycle-tracking
+        # marker events (label, event 1=start/2=end, cycle index)
+        self.console = bytearray()
+        self.cycle_markers: List[tuple] = []
+
+    def cycle_spans(self) -> Dict[str, dict]:
+        """Aggregate start/end cycle-tracking markers into per-label span
+        stats (`jolt-platform/src/cycle_tracking.rs` semantics: nested /
+        repeated spans sum)."""
+        open_at: Dict[str, List[int]] = {}
+        spans: Dict[str, dict] = {}
+        for label, event, cycle in self.cycle_markers:
+            if event == 1:
+                open_at.setdefault(label, []).append(cycle)
+            elif event == 2 and open_at.get(label):
+                start = open_at[label].pop()
+                s = spans.setdefault(label, {"cycles": 0, "count": 0})
+                s["cycles"] += cycle - start
+                s["count"] += 1
+        return spans
 
     def load(self, addr: int) -> int:
         l = self.layout
@@ -235,6 +255,30 @@ class Emulator:
         argument sees it (one witness cell per 8-byte word)."""
         return self.read_mem(addr8, 8)
 
+    # ---- guest intrinsics (VirtualHostIO) -------------------------------
+
+    JOLT_PRINT_CALL_ID = 0x505249        # "PRI" (jolt-platform print.rs)
+    JOLT_CYCLE_TRACK_CALL_ID = 0xC7C1E   # "CYCLE" (cycle_tracking.rs)
+
+    def _hostio(self) -> None:
+        """VirtualHostIO dispatch (virtual_host_io.rs exec): call id in
+        x10, buffer ptr/len in x11/x12, event in x13.  Pure host-side side
+        effects -- the trace row is a no-op."""
+        call = self.regs[10] & _M32
+        ptr = self.regs[11]
+        ln = self.regs[12] & _M32
+        event = self.regs[13] & _M32
+        if call == self.JOLT_PRINT_CALL_ID:
+            data = bytes(self.read_u8(ptr + i) for i in range(ln))
+            self.device.console += data
+            if event == 2:                       # JOLT_PRINT_LINE
+                self.device.console += b"\n"
+        elif call == self.JOLT_CYCLE_TRACK_CALL_ID:
+            label = bytes(self.read_u8(ptr + i)
+                          for i in range(ln)).decode("utf-8", "replace")
+            self.device.cycle_markers.append(
+                (label, int(event), self.instret))
+
     # ---- execution -----------------------------------------------------
 
     def fetch(self) -> isa.Decoded:
@@ -324,6 +368,8 @@ class Emulator:
                       "MUL", "MULH", "MULHSU", "MULHU", "DIV", "DIVU", "REM",
                       "REMU", "MULW", "DIVW", "DIVUW", "REMW", "REMUW"):
             rd_post = self._alu_reg(kind, rs1_val, rs2_val)
+        elif kind == "HOSTIO":
+            self._hostio()   # trace-time intrinsics; architectural no-op
         elif kind in ("FENCE", "ECALL", "EBREAK"):
             pass  # no-ops at the architectural level used here
         elif kind in ("LRW", "LRD"):
@@ -395,7 +441,8 @@ class Emulator:
             raise isa.DecodeError(f"unhandled kind {kind}")
 
         has_rd = kind not in ("SB", "SH", "SW", "SD", "BEQ", "BNE", "BLT",
-                              "BGE", "BLTU", "BGEU", "FENCE", "ECALL", "EBREAK")
+                              "BGE", "BLTU", "BGEU", "FENCE", "ECALL",
+                              "EBREAK", "HOSTIO")
         if has_rd and rd != 0:
             regs[rd] = rd_post & _M64
         if rd == 0:
@@ -646,6 +693,8 @@ class RowEmulator(Emulator):
 
         if kind in ("NOOP", "FENCE", "ECALL", "EBREAK"):
             pass
+        elif kind == "HOSTIO":
+            self._hostio()   # host-side intrinsics; provable no-op row
         elif kind == "LUI":
             rd_post = imm & _M64
         elif kind == "AUIPC":
@@ -709,7 +758,8 @@ class RowEmulator(Emulator):
                 self.device.terminated = True
 
         has_rd = (kind not in ("SD", "BEQ", "BNE", "BLT", "BGE", "BLTU",
-                               "BGEU", "FENCE", "ECALL", "EBREAK", "NOOP")
+                               "BGEU", "FENCE", "ECALL", "EBREAK", "NOOP",
+                               "HOSTIO")
                   and not kind.startswith("VirtualAssert"))
         if has_rd and rd != 0:
             regs[rd] = rd_post & _M64

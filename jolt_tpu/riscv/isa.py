@@ -64,6 +64,11 @@ KINDS = [
     "VirtualXORROTW7", "VirtualXORROTW8", "VirtualXORROTW12",
     "VirtualXORROTW16",
     "INLINE",
+    # VirtualHostIO (reference tracer/src/instruction/virtual_host_io.rs,
+    # opcode 0x5B funct3=2): guest intrinsics -- print, cycle-tracking
+    # markers -- dispatched on x10 call id at TRACE time; a provable no-op
+    # row (FENCE class) in the circuit.
+    "HOSTIO",
 ]
 KIND_ID = {name: i for i, name in enumerate(KINDS)}
 
@@ -200,6 +205,10 @@ def decode(word: int) -> Decoded:
         if amo == "LR" and rs2 != 0:
             raise DecodeError("LR with rs2 != 0")
         return Decoded(amo + width, rd=rd, rs1=rs1, rs2=rs2)
+    if opcode == 0x5B and funct3 == 2:
+        # VirtualHostIO (jolt-platform print/cycle-tracking intrinsics;
+        # `.insn i 0x5B, 2, x0, x0, 0` -- args ride x10-x13 at runtime)
+        return Decoded("HOSTIO")
     if opcode == 0x0F:
         return Decoded("FENCE")
     if opcode == 0x73:

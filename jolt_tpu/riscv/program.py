@@ -557,7 +557,7 @@ def expand_decoded(d, address: int) -> List[Row]:
 # kinds with no rd destination (rd field decodes as 0 but means nothing)
 _NO_RD = frozenset([
     "NOOP", "SB", "SH", "SW", "SD", "BEQ", "BNE", "BLT", "BGE", "BLTU",
-    "BGEU", "FENCE", "ECALL", "EBREAK"])
+    "BGEU", "FENCE", "ECALL", "EBREAK", "HOSTIO"])
 
 
 def expand_program(code: bytes, entry: int, start: int = None) -> Program:

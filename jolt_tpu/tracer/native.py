@@ -43,6 +43,8 @@ class _TraceResult(ctypes.Structure):
         ("outputs", ctypes.c_void_p), ("outputs_len", ctypes.c_uint64),
         ("panic_flag", ctypes.c_int32), ("status", ctypes.c_int32),
         ("rows_owner", ctypes.c_void_p), ("machine_owner", ctypes.c_void_p),
+        ("console", ctypes.c_void_p), ("console_len", ctypes.c_uint64),
+        ("markers", ctypes.c_void_p), ("markers_len", ctypes.c_uint64),
     ]
 
 
@@ -170,8 +172,26 @@ def trace_program_native(code: bytes | str, inputs: bytes = b"",
             ctypes.cast(res.outputs, ctypes.POINTER(ctypes.c_uint8)),
             shape=(int(res.outputs_len),))) if res.outputs_len else b""
         panic = bool(res.panic_flag)
+        console = bytes(np.ctypeslib.as_array(
+            ctypes.cast(res.console, ctypes.POINTER(ctypes.c_uint8)),
+            shape=(int(res.console_len),))) if res.console_len else b""
+        marker_blob = bytes(np.ctypeslib.as_array(
+            ctypes.cast(res.markers, ctypes.POINTER(ctypes.c_uint8)),
+            shape=(int(res.markers_len),))) if res.markers_len else b""
     finally:
         lib.jolt_trace_free(res_p)
+
+    # decode cycle-marker records: [u32 event][u64 cycle][u32 len][label]
+    cycle_markers = []
+    off = 0
+    while off + 16 <= len(marker_blob):
+        event = int.from_bytes(marker_blob[off:off + 4], "little")
+        cyc = int.from_bytes(marker_blob[off + 4:off + 12], "little")
+        ln = int.from_bytes(marker_blob[off + 12:off + 16], "little")
+        label = marker_blob[off + 16:off + 16 + ln].decode("utf-8",
+                                                           "replace")
+        cycle_markers.append((label, event, cyc))
+        off += 16 + ln
 
     if T and padded > T:
         from .trace import padding_target
@@ -196,6 +216,8 @@ def trace_program_native(code: bytes | str, inputs: bytes = b"",
     device.outputs = bytearray(outputs)
     device.panic = panic
     device.terminated = True
+    device.console = bytearray(console)
+    device.cycle_markers = cycle_markers
     return Trace(columns=cols, length=T, padded_length=padded,
                  device=device, memory_layout=layout, code=code, entry=entry,
                  program=program)

@@ -41,7 +41,7 @@ TABLE_COLUMNS = (
 
 _NO_RD_KINDS = frozenset(
     ["NOOP", "SD", "BEQ", "BNE", "BLT", "BGE", "BLTU",
-     "BGEU", "FENCE", "ECALL", "EBREAK"])
+     "BGEU", "FENCE", "ECALL", "EBREAK", "HOSTIO"])
 
 
 @dataclasses.dataclass

@@ -81,6 +81,7 @@ FLAGS: Dict[str, Tuple[Tuple[str, ...], Tuple[str, ...]]] = {
     "FENCE": ((), ()),
     "ECALL": ((), ()),
     "EBREAK": ((), ()),
+    "HOSTIO": ((), ()),
     "MUL": (("MultiplyOperands",) + _WR, _RS1_RS2),
     "MULHU": (("MultiplyOperands",) + _WR, _RS1_RS2),
     "MULW": (("MultiplyOperands",) + _WR, _RS1_RS2),
@@ -149,7 +150,7 @@ PROVABLE_KINDS: FrozenSet[str] = frozenset([
     "ADDI", "SLTI", "SLTIU", "XORI", "ORI", "ANDI",
     "ADD", "SUB", "SLT", "SLTU", "XOR", "OR", "AND",
     "SLLI", "SRLI", "SRAI",
-    "FENCE", "ECALL", "EBREAK", "MUL", "MULHU",
+    "FENCE", "ECALL", "EBREAK", "HOSTIO", "MUL", "MULHU",
     "VirtualAdvice", "VirtualMovsign", "VirtualPow2", "VirtualPow2W",
     "VirtualShiftRightBitmask", "VirtualSignExtendWord",
     "VirtualZeroExtendWord", "VirtualChangeDivisor", "VirtualChangeDivisorW",

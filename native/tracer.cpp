@@ -64,6 +64,8 @@ enum Kind : u16 {
   V_XORROT16, V_XORROT24, V_XORROT32, V_XORROT63,
   V_XORROTW7, V_XORROTW8, V_XORROTW12, V_XORROTW16,
   INLINE_,  // source-only custom opcode
+  // VirtualHostIO (print / cycle-tracking intrinsics; provable no-op row)
+  HOSTIO_,
   KIND_COUNT
 };
 
@@ -121,6 +123,11 @@ struct Machine {
   u64 uadv_len = 0;
   std::vector<u8> outputs;
   bool panic_flag = false, terminated = false;
+  // guest intrinsics (VirtualHostIO): print bytes + cycle-marker records
+  // ([u32 event][u64 cycle][u32 len][label bytes] each)
+  std::vector<u8> console;
+  std::vector<u8> markers;
+  u64 cycle = 0;
 
   u8* page(u64 addr) {
     u64 pg = addr >> 12;
@@ -277,6 +284,27 @@ static int step_row(Machine* m, const ProgRow* prog,
       case NOOP: case FENCE: case ECALL: case EBREAK:
         has_rd = false;
         break;
+      case HOSTIO_: {
+        // virtual_host_io.rs exec: call id x10, ptr x11, len x12, event x13
+        has_rd = false;
+        u32 call = (u32)m->regs[10];
+        u64 ptr = m->regs[11];
+        u32 len = (u32)m->regs[12];
+        u32 event = (u32)m->regs[13];
+        if (call == 0x505249u) {                 // JOLT_PRINT_CALL_ID
+          for (u32 i = 0; i < len; i++) m->console.push_back(m->rd8(ptr + i));
+          if (event == 2) m->console.push_back('\n');
+        } else if (call == 0xC7C1Eu) {           // JOLT_CYCLE_TRACK_CALL_ID
+          auto put32 = [&](u32 v) {
+            for (int b = 0; b < 4; b++) m->markers.push_back((v >> (8 * b)) & 0xFF);
+          };
+          put32(event);
+          for (int b = 0; b < 8; b++) m->markers.push_back((m->cycle >> (8 * b)) & 0xFF);
+          put32(len);
+          for (u32 i = 0; i < len; i++) m->markers.push_back(m->rd8(ptr + i));
+        }
+        break;
+      }
       case LUI: rd_post = (u64)imm; break;
       case AUIPC: rd_post = pc + (u64)imm; break;
       case JAL: rd_post = pc + ilen; target = pc + (u64)imm; has_target = true; break;
@@ -440,6 +468,7 @@ static int step_row(Machine* m, const ProgRow* prog,
       *out = row;
     }
     row_idx = next_row;
+    m->cycle++;
     return 0;
 }
 
@@ -456,6 +485,11 @@ struct TraceResult {
   i32 status;  // 0 ok, 1 unmapped jump/assert failure, 2 max cycles exceeded
   void* rows_owner;     // std::vector<TraceRow>*
   void* machine_owner;  // Machine*
+  // guest intrinsics: console bytes + cycle-marker records
+  u8* console;
+  u64 console_len;
+  u8* markers;
+  u64 markers_len;
 };
 
 // Execute the expanded program (prog[0..n_prog)) from the entry row.
@@ -512,6 +546,10 @@ TraceResult* jolt_trace_rows(const ProgRow* prog, u64 n_prog,
   res->panic_flag = m->panic_flag ? 1 : 0;
   res->rows_owner = rows;
   res->machine_owner = m;
+  res->console = m->console.data();
+  res->console_len = m->console.size();
+  res->markers = m->markers.data();
+  res->markers_len = m->markers.size();
   return res;
 }
 
@@ -609,6 +647,9 @@ TraceResult* jolt_trace_rows_parallel(
     c->outputs = src->outputs;
     c->panic_flag = src->panic_flag;
     c->terminated = src->terminated;
+    c->console = src->console;
+    c->markers = src->markers;
+    c->cycle = src->cycle;
     return c;
   };
 
@@ -674,6 +715,10 @@ TraceResult* jolt_trace_rows_parallel(
   res->panic_flag = m->panic_flag ? 1 : 0;
   res->rows_owner = rows;
   res->machine_owner = m;
+  res->console = m->console.data();
+  res->console_len = m->console.size();
+  res->markers = m->markers.data();
+  res->markers_len = m->markers.size();
   return res;
 }
 
