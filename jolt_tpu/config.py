@@ -147,11 +147,18 @@ class ProofConfig:
     read_write: ReadWriteConfig
     one_hot: OneHotConfig
     dory_layout: int = DORY_LAYOUT
+    # committed-bytecode mode (zkvm/prover.rs:2633): 1 = the program
+    # image's Val_init contribution is a prover claim reduced to an
+    # opening of the committed image polynomial; 0 = the verifier
+    # evaluates the public sparse image directly
+    committed_program_image: int = 0
 
     @classmethod
-    def new(cls, log_T: int, ram_log_K: int) -> "ProofConfig":
+    def new(cls, log_T: int, ram_log_K: int,
+            committed_image: bool = False) -> "ProofConfig":
         return cls(read_write=ReadWriteConfig.new(log_T, ram_log_K),
-                   one_hot=OneHotConfig.new(log_T))
+                   one_hot=OneHotConfig.new(log_T),
+                   committed_program_image=1 if committed_image else 0)
 
     def validate(self, log_T: int, ram_log_K: int) -> None:
         """Verifier-side: every constraint from `zkvm/config.rs`, then the
@@ -160,6 +167,8 @@ class ProofConfig:
         self.one_hot.validate()
         if self.dory_layout != DORY_LAYOUT:
             raise ConfigError(f"unknown dory_layout {self.dory_layout}")
+        if self.committed_program_image not in (0, 1):
+            raise ConfigError("committed_program_image must be 0 or 1")
         self.read_write.supported(log_T, ram_log_K)
         self.one_hot.supported()
 
@@ -175,6 +184,7 @@ class ProofConfig:
             "log_k_chunk": oh.log_k_chunk,
             "lookups_ra_virtual_log_k_chunk": oh.lookups_ra_virtual_log_k_chunk,
             "dory_layout": self.dory_layout,
+            "committed_program_image": self.committed_program_image,
         }
 
     @classmethod
@@ -192,6 +202,8 @@ class ProofConfig:
                 lookups_ra_virtual_log_k_chunk=int(
                     d["lookups_ra_virtual_log_k_chunk"]))
             return cls(read_write=rw, one_hot=oh,
-                       dory_layout=int(d["dory_layout"]))
+                       dory_layout=int(d["dory_layout"]),
+                       committed_program_image=int(
+                           d.get("committed_program_image", 0)))
         except KeyError as e:
             raise ConfigError(f"proof config missing field {e}") from e

@@ -34,7 +34,7 @@ from .prover.prover import JoltProof
 
 P = FR.modulus
 Q = host.Q if hasattr(host, "Q") else None
-VERSION = 7
+VERSION = 8
 
 
 class ProofDecodeError(ValueError):

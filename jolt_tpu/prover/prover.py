@@ -108,10 +108,13 @@ class JoltProof:
     # prover-chosen protocol configuration, re-validated by the verifier
     # (config.ProofConfig wire dict; ref zkvm/config.rs:95-210)
     config: Dict[str, int] = None
+    # committed-bytecode mode: the program image's contribution to
+    # Val_init(r4_addr) (claim_reductions/program_image.rs)
+    program_image_claim: int = None
 
 
 def committed_poly_names(d_ram: int = 1, d_bc: int = 1,
-                         advice_kinds=()):
+                         advice_kinds=(), committed_image: bool = False):
     """Canonical commitment absorb order, shared by prover and verifier
     (one-hot access matrices then dense increment columns).  RAM and
     bytecode access matrices are committed as d 8-bit chunk selectors
@@ -124,7 +127,8 @@ def committed_poly_names(d_ram: int = 1, d_bc: int = 1,
             + [f"bc_ra{i}" for i in range(d_bc)]
             + [f"lk_ra{i}" for i in range(LK_D)]
             + ["inc", "ram_inc"]
-            + [f"{k}_advice" for k in advice_kinds])
+            + [f"{k}_advice" for k in advice_kinds]
+            + (["program_image"] if committed_image else []))
 
 
 # full-ra virtual claims consumed by the ra-virtualization stage, in order
@@ -141,7 +145,8 @@ def advice_kinds_of(layout) -> tuple:
                  if layout.advice_region(k)[1] > 0)
 
 
-def stage8_entry_ids(d_ram: int = 1, d_bc: int = 1, advice_kinds=()):
+def stage8_entry_ids(d_ram: int = 1, d_bc: int = 1, advice_kinds=(),
+                     committed_image: bool = False):
     """Ordered (accumulator_id, commitment_name) pairs covering EVERY
     committed-polynomial opening produced by stages 1-7.  Shared by prover
     and verifier so the joint reduction is built identically on both sides;
@@ -179,6 +184,8 @@ def stage8_entry_ids(d_ram: int = 1, d_bc: int = 1, advice_kinds=()):
         ids.append(((("hamming"), label), cname))
     for kind in advice_kinds:
         ids.append((("advice", kind), f"{kind}_advice"))
+    if committed_image:
+        ids.append((("program_image", "init"), "program_image"))
     return ids
 
 
@@ -262,6 +269,8 @@ def fiat_shamir_preamble(transcript: Blake2bTranscript, trace_length: int,
     transcript.append_u64(b"lookups_ra_virtual_log_k_chunk",
                           oh.lookups_ra_virtual_log_k_chunk)
     transcript.append_u64(b"dory_layout", config.dory_layout)
+    transcript.append_u64(b"committed_program_image",
+                          config.committed_program_image)
 
 
 def required_num_vars(padded_length: int, ram_log_K: int,
@@ -290,7 +299,7 @@ def _resolve_setup(setup, padded_length, ram_log_K, bytecode_log_K):
 
 
 def prove(trace: Trace, setup=None, _transcript=None, zk: bool = False,
-          zk_rng=None) -> JoltProof:
+          zk_rng=None, committed_image: bool = False) -> JoltProof:
     """Prove the trace.  `setup` enables the commitment layer (a `DorySetup`
     -- production, transparent -- or `KZGSetup`/scheme instance, or the
     strings 'dory'/'hyperkzg' to size + build one from the trace; see
@@ -378,6 +387,16 @@ def prove(trace: Trace, setup=None, _transcript=None, zk: bool = False,
         data = bytes(getattr(trace.device, f"{kind}_advice", b""))
         advice_coeffs[kind] = advice_poly_coeffs(layout, kind, data)
         dense_meta[f"{kind}_advice"] = advice_coeffs[kind]
+    # committed-bytecode mode: commit the program-image words polynomial
+    # (claim_reductions/program_image.rs; verifier recomputes+caches the
+    # trusted commitment from the public program)
+    pi_words = pi_start = None
+    if committed_image:
+        from ..relations.program_image import image_words
+        from ..witness.ram import remap_address
+        pi_words = image_words(trace.code)
+        pi_start = remap_address(trace.entry, ram_wit.witness_base)
+        dense_meta["program_image"] = pi_words
     _mark("witness-extraction")
 
     # ZK committed-round seam: _stage() routes every batched sumcheck
@@ -422,7 +441,8 @@ def prove(trace: Trace, setup=None, _transcript=None, zk: bool = False,
         return [], rs
 
     transcript = _transcript or Blake2bTranscript(b"Jolt")
-    proof_config = ProofConfig.new(log_T, ram_wit.log_K)
+    proof_config = ProofConfig.new(log_T, ram_wit.log_K,
+                                   committed_image=committed_image)
     fiat_shamir_preamble(
         transcript, trace.length, trace.padded_length,
         bytes(trace.device.inputs), bytes(trace.device.outputs),
@@ -455,8 +475,10 @@ def prove(trace: Trace, setup=None, _transcript=None, zk: bool = False,
                                       Km * T_pad)
         for name, coeffs in dense_meta.items():
             vals = [int(v) % P for v in coeffs]
-            committed_sparse[name] = (arange_T[:len(vals)], vals, len(vals))
-        names = committed_poly_names(d_ram, d_bc, advice_kinds)
+            committed_sparse[name] = (
+                _np.arange(len(vals), dtype=_np.int64), vals, len(vals))
+        names = committed_poly_names(d_ram, d_bc, advice_kinds,
+                                     committed_image)
         onehot_names = [n for n in names if committed_sparse[n][1] is None]
         if hasattr(pcs, "commit_sparse_many"):
             commitments.update(pcs.commit_sparse_many(
@@ -555,6 +577,18 @@ def prove(trace: Trace, setup=None, _transcript=None, zk: bool = False,
             v = mle_eval_host(advice_coeffs[kind], r_low)
             advice_openings[kind] = v
             accumulator.insert(("advice", kind), tuple(r_low), v)
+    # committed-bytecode mode: the program image's Init(r4_addr)
+    # contribution as a scalar claim, bound to the committed image
+    # polynomial by the stage-7 reduction sumcheck
+    image_claim = None
+    if committed_image:
+        from ..relations.program_image import shifted_eq_table
+        _pi_table = shifted_eq_table(r4_addr, pi_start,
+                                     (len(pi_words) - 1).bit_length()
+                                     if len(pi_words) > 1 else 0)
+        image_claim = sum(t * w for t, w in zip(_pi_table, pi_words)) % P
+        accumulator.insert(("program_image", "claim"), tuple(r4_addr),
+                           image_claim)
     ram_ve = SparseRamValEvaluation(ram_sched, ram_wit.log_K,
                                     ram_wit.init_vals, ram_wit.inc,
                                     r4_addr, r4_cyc, ram_val_claim)
@@ -712,9 +746,19 @@ def prove(trace: Trace, setup=None, _transcript=None, zk: bool = False,
         insts7.append(GroupedOneHot(
             streams7, Km, [E_h] * m7, [None] * m7, [1] * m7, gamma7,
             labels7, booleanity=False, opening_kind="hamming"))
+    pi_inst = None
+    if committed_image:
+        from ..relations.program_image import ProgramImageReduction
+        pi_inst = ProgramImageReduction(pi_words, r4_addr, pi_start,
+                                        image_claim)
+        insts7.append(pi_inst)
     stage7_polys, _ = _stage(insts7, "s7")
     stage7_openings = {}
     for inst in insts7:
+        if inst is pi_inst:
+            stage7_openings["program_image_init"] = \
+                inst.final_openings["p"]
+            continue
         kind7 = "bool" if inst.booleanity else "ham"
         for lab, v in zip(inst.labels, inst.final_openings):
             stage7_openings[f"{kind7}_{lab}"] = v
@@ -728,7 +772,8 @@ def prove(trace: Trace, setup=None, _transcript=None, zk: bool = False,
     # (prove_packed_openings, zkvm/prover.rs:2097-2260).
     entries = []          # (commitment_name, cycle-major point, claim)
     seen: Dict[object, int] = {}
-    for oid, cname in stage8_entry_ids(d_ram, d_bc, advice_kinds):
+    for oid, cname in stage8_entry_ids(d_ram, d_bc, advice_kinds,
+                                       committed_image):
         pt, cl = accumulator.openings[oid]
         key = (cname, pt)
         if key in seen:
@@ -740,26 +785,31 @@ def prove(trace: Trace, setup=None, _transcript=None, zk: bool = False,
     # dense entries stay singletons.  Entries are REORDERED group-first so
     # stage8_openings aligns with the flattened instance outputs.
     gamma8 = transcript.challenge_scalar()
-    groups8: Dict[int, list] = {}
+    # group key = (K, opening point): members of a group share ONE cycle
+    # eq table (GroupedOneHot stores shared tables as (L, 1, T) and folds
+    # the gamma powers into the per-matrix scalar -- the per-member
+    # (L, M, T) eq-table stack at 2^18 was the stage-8 HBM peak)
+    groups8: Dict[tuple, list] = {}
     dense8 = []
     for cname, pt, cl in entries:
         if cname in onehot_meta:
-            groups8.setdefault(onehot_meta[cname][1], []).append(
-                (cname, pt, cl))
+            key8 = (onehot_meta[cname][1], tuple(x % P for x in pt))
+            groups8.setdefault(key8, []).append((cname, pt, cl))
         else:
             dense8.append((cname, pt, cl))
     entries = [e for g in groups8.values() for e in g] + dense8
     insts8 = []
     n8 = 0
-    for Km, members in groups8.items():
+    for (Km, _), members in groups8.items():
         log_Km = Km.bit_length() - 1
+        q = cycle_major_to_address_major_point(
+            members[0][1], len(members[0][1]) - log_Km)
+        w_shared = eq_mod.evals(q[log_Km:])
         streams8, wt8, qa8, cls8, labs8 = [], [], [], [], []
         for cname, pt, cl in members:
-            q = cycle_major_to_address_major_point(
-                pt, len(pt) - log_Km)
             streams8.append(onehot_meta[cname][0])
             qa8.append(q[:log_Km])
-            wt8.append(eq_mod.evals(q[log_Km:]))
+            wt8.append(w_shared)
             cls8.append(cl)
             labs8.append(f"{n8}_{cname}")
             n8 += 1
@@ -863,4 +913,5 @@ def prove(trace: Trace, setup=None, _transcript=None, zk: bool = False,
         zk_commitments=zk_commit_bytes if zk else None,
         zk_blindfold=zk_blindfold,
         config=proof_config.as_dict(),
+        program_image_claim=image_claim,
     )

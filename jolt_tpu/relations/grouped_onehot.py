@@ -87,41 +87,67 @@ def _g_onehot_scale_m(X, c, fp=FR):
 def _gval_addr_kernel(W, S, U, mask, on2, off2, chiX, A, fp=FR):
     """Grouped value/opening address round, X in {0,2}:
     msg(X) = sum_q A_q chiX_q(X) sum_j W S U chi(X, mask).
-    W/S/U: (L,M,T); mask: (M,T); on2/off2: (L,2,1,1);
-    chiX: (L,2,M); A: (L,M).  Returns (L,2,1)."""
-    sel = jnp.where(mask[None, None], on2, off2)             # (L,2,M,T)
+    W: (L,1|M,T); S/U: (L,M,T); mask: (M,T); on2/off2: (L,2,1,1);
+    chiX: (L,2,M); A: (L,M).  Returns (L,2,1).
+
+    Eval points computed SEQUENTIALLY (static loop) so peak transients
+    stay (L,M,T)-sized -- the all-points (L,d,M,T) tensor exhausted HBM
+    at 2^18 x 19 matrices."""
+    npts = on2.shape[1]
     G = ops.mont_mul(ops.mont_mul(W, S, fp), U, fp)          # (L,M,T)
-    part = ops.sum_mod(ops.mont_mul(G[:, None], sel, fp), fp)  # (L,2,M,1)
-    part = ops.mont_mul(part[..., 0], chiX, fp)              # (L,2,M)
-    part = ops.mont_mul(part, A[:, None, :], fp)
-    return ops.sum_mod(part, fp)                             # (L,2,1)
+    outs = []
+    for x in range(npts):
+        sel = jnp.where(mask[None], on2[:, x], off2[:, x])   # (L,M,T)
+        part = ops.sum_mod(ops.mont_mul(G, sel, fp), fp)     # (L,M,1)
+        part = ops.mont_mul(part[..., 0], chiX[:, x], fp)    # (L,M)
+        part = ops.mont_mul(part, A, fp)
+        outs.append(ops.sum_mod(part, fp))                   # (L,1)
+    return jnp.stack(outs, axis=1)                           # (L,npts,1)
 
 
 @partial(jax.jit, static_argnames=('fp',))
 def _gbool_addr_kernel(W, S, U, mask, on3, off3, chiX, A, fp=FR):
     """Grouped booleanity address round, X in {0,2,3}:
-    msg(X) = sum_q A_q chiX_q(X) sum_j W S (t^2 - t),  t = U chi(X, mask)."""
-    sel = jnp.where(mask[None, None], on3, off3)             # (L,3,M,T)
-    t = ops.mont_mul(U[:, None], sel, fp)
-    tt = ops.sub(ops.mont_mul(t, t, fp), t, fp)
-    G = ops.mont_mul(W, S, fp)
-    part = ops.sum_mod(ops.mont_mul(G[:, None], tt, fp), fp)  # (L,3,M,1)
-    part = ops.mont_mul(part[..., 0], chiX, fp)
-    part = ops.mont_mul(part, A[:, None, :], fp)
-    return ops.sum_mod(part, fp)                             # (L,3,1)
+    msg(X) = sum_q A_q chiX_q(X) sum_j W S (t^2 - t),  t = U chi(X, mask).
+    Sequential eval points (see _gval_addr_kernel)."""
+    npts = on3.shape[1]
+    G = ops.mont_mul(W, S, fp)                               # (L,M,T)
+    outs = []
+    for x in range(npts):
+        sel = jnp.where(mask[None], on3[:, x], off3[:, x])
+        t = ops.mont_mul(U, sel, fp)
+        tt = ops.sub(ops.mont_mul(t, t, fp), t, fp)
+        part = ops.sum_mod(ops.mont_mul(G, tt, fp), fp)      # (L,M,1)
+        part = ops.mont_mul(part[..., 0], chiX[:, x], fp)
+        part = ops.mont_mul(part, A, fp)
+        outs.append(ops.sum_mod(part, fp))
+    return jnp.stack(outs, axis=1)                           # (L,npts,1)
 
 
 @partial(jax.jit, static_argnames=('degree', 'booleanity', 'fp'))
 def _g_cycle_kernel(E, V, A, degree: int, booleanity: bool, fp=FR):
-    """Grouped cycle round on pair-order (L,M,T) arrays:
-    msg(X) = sum_q A_q sum_pairs E(X) f(V(X)), f = (v^2-v) or v."""
-    e = scan.pair_eval_points(E, degree, fp)                 # (L,d,M,T/2)
-    v = scan.pair_eval_points(V, degree, fp)
-    if booleanity:
-        v = ops.sub(ops.mont_mul(v, v, fp), v, fp)
-    part = ops.sum_mod(ops.mont_mul(e, v, fp), fp)           # (L,d,M,1)
-    part = ops.mont_mul(part[..., 0], A[:, None, :], fp)
-    return ops.sum_mod(part, fp)                             # (L,d,1)
+    """Grouped cycle round on pair-order arrays (E: (L,1|M,T), V: (L,M,T)):
+    msg(X) = sum_q A_q sum_pairs E(X) f(V(X)), f = (v^2-v) or v.
+    Sequential eval points keep transients (L,M,T/2)-sized."""
+    lo_e, hi_e = E[..., 0::2], E[..., 1::2]
+    me = ops.sub(hi_e, lo_e, fp)
+    lo_v, hi_v = V[..., 0::2], V[..., 1::2]
+    mv = ops.sub(hi_v, lo_v, fp)
+    e_cur, v_cur = lo_e, lo_v                                # X = 0
+    outs = []
+    for X in (0, 2, 3)[:degree]:
+        if X == 2:
+            e_cur = ops.add(hi_e, me, fp)
+            v_cur = ops.add(hi_v, mv, fp)
+        elif X == 3:
+            e_cur = ops.add(e_cur, me, fp)
+            v_cur = ops.add(v_cur, mv, fp)
+        v_use = (ops.sub(ops.mont_mul(v_cur, v_cur, fp), v_cur, fp)
+                 if booleanity else v_cur)
+        part = ops.sum_mod(ops.mont_mul(e_cur, v_use, fp), fp)  # (L,M,1)
+        part = ops.mont_mul(part[..., 0], A, fp)
+        outs.append(ops.sum_mod(part, fp))
+    return jnp.stack(outs, axis=1)                           # (L,d,1)
 
 
 @partial(jax.jit, static_argnames=('fp',))
@@ -185,13 +211,25 @@ class GroupedOneHot(ScanFusedInstance):
             [((idx >> (self.log_K - 1 - b)) & 1).astype(bool)
              for b in range(self.log_K)])
 
-        # gamma-weighted cycle tables (L, M, T)
+        # gamma-weighted cycle tables.  When all matrices share ONE cycle
+        # table (stage 7: every member uses the same eq table), keep W as
+        # (L, 1, T) and fold the gamma powers into the per-matrix scalar A
+        # instead -- at 2^18 x 19 matrices the per-matrix stack was 400 MB
+        # per instance of pure duplication.  Identical math either way.
+        gams = []
         gam = 1
-        cols = []
-        for w in w_tables:
-            cols.append(ops.mont_mul(w, _pack_col([gam])))
+        for _ in w_tables:
+            gams.append(gam)
             gam = gam * self.gamma % P
-        self.W = jnp.stack(cols, axis=1)
+        shared_w = all(w is w_tables[0] for w in w_tables)
+        if shared_w:
+            self.W = w_tables[0][:, None, :]
+            A0 = _pack_col(gams)
+        else:
+            self.W = jnp.stack(
+                [ops.mont_mul(w, _pack_col([g]))
+                 for w, g in zip(w_tables, gams)], axis=1)
+            A0 = None
 
         # per-round host chi data (value side of each address variable)
         self._chi_on = []    # chi(q_b, 1) per matrix (1 when no point)
@@ -221,7 +259,7 @@ class GroupedOneHot(ScanFusedInstance):
                                    _mcol3(self._chi_off[b]))
         self.S = S
         self.U = ops.ones((self.M, self.T))
-        self.A = ops.ones((self.M,))
+        self.A = ops.ones((self.M,)) if A0 is None else A0
         self.E: Optional[jnp.ndarray] = None
         self.V: Optional[jnp.ndarray] = None
         self.final_openings: Optional[List[int]] = None

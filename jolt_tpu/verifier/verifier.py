@@ -96,6 +96,27 @@ def expected_bytecode_log_K(program) -> int:
     return bytecode_K(program).bit_length() - 1
 
 
+_PI_COMMIT_CACHE: Dict[tuple, object] = {}
+
+
+def _program_image_commitment(pcs, code: bytes):
+    """Recompute (and cache per program+scheme shape) the commitment to
+    the program-image words polynomial."""
+    import hashlib as _hl
+
+    from ..relations.program_image import image_words
+    key = (_hl.blake2b(code, digest_size=16).digest(), type(pcs).__name__,
+           getattr(getattr(pcs, "setup", None), "sigma", None),
+           getattr(getattr(pcs, "setup", None), "nu", None))
+    hit = _PI_COMMIT_CACHE.get(key)
+    if hit is None:
+        hit = pcs.commit("program_image", image_words(code), bits=254)
+        if len(_PI_COMMIT_CACHE) > 64:
+            _PI_COMMIT_CACHE.clear()
+        _PI_COMMIT_CACHE[key] = hit
+    return hit
+
+
 def verify(proof: JoltProof, io: PublicIO, setup=None,
            _transcript=None) -> bool:
     # the bytecode table size is derivable from the public program (the
@@ -169,12 +190,22 @@ def verify(proof: JoltProof, io: PublicIO, setup=None,
         return rs
 
     advice_kinds = advice_kinds_of(io.memory_layout)
+    ci = proof_config.committed_program_image == 1
     pcs = make_scheme(setup)
     if pcs is not None:
-        for name in committed_poly_names(d_ram, d_bc, advice_kinds):
+        for name in committed_poly_names(d_ram, d_bc, advice_kinds, ci):
             if name not in proof.commitments:
                 raise VerificationError(f"missing commitment {name}")
             pcs.absorb(transcript, proof.commitments[name])
+        if ci:
+            # the image polynomial is a pure function of the public
+            # program: recompute the trusted commitment once per
+            # (program, scheme) and reject a mismatched prover commitment
+            # (program_image.rs "trusted commitment")
+            expected_c = _program_image_commitment(pcs, io.code)
+            if proof.commitments["program_image"] != expected_c:
+                raise VerificationError(
+                    "program_image commitment does not match the program")
 
     log_T = io.padded_length.bit_length() - 1
     accumulator = OpeningAccumulator()
@@ -283,7 +314,10 @@ def verify(proof: JoltProof, io: PublicIO, setup=None,
     # ---- Stage 5: RAM Val evaluation + output check ----------------------
     # public initial image = inputs region + program image, restricted to
     # the proof's RAM address space (same rule as the prover witness)
-    init_vals = initial_memory_vals(io.inputs, io.memory_layout, io.code,
+    # committed-image mode drops the program image from the directly-
+    # evaluated init (its contribution arrives as a proven scalar claim)
+    init_vals = initial_memory_vals(io.inputs, io.memory_layout,
+                                    b"" if ci else io.code,
                                     io.entry, K=1 << proof.ram_log_K)
     # advice contribution to Init(r4_addr): selector-scaled openings of
     # the committed advice polynomials (the regions are size-aligned
@@ -311,6 +345,12 @@ def verify(proof: JoltProof, io: PublicIO, setup=None,
             adv_extra = (adv_extra + sel * claim) % P
             accumulator.insert(("advice", kind),
                                tuple(r4_addr[len(r4_addr) - a_vars:]), claim)
+    if ci:
+        if proof.program_image_claim is None:
+            raise VerificationError("missing program_image_claim")
+        adv_extra = (adv_extra + proof.program_image_claim) % P
+        accumulator.insert(("program_image", "claim"), tuple(r4_addr),
+                           proof.program_image_claim % P)
     o5 = proof.stage5_openings
     inst5 = SparseRamValEvaluationVerifier(
         log_T, proof.ram_log_K, r4_addr, r4_cyc, o4["rw_val"], init_vals,
@@ -470,6 +510,19 @@ def verify(proof: JoltProof, io: PublicIO, setup=None,
             m7, lk_m, log_T, w_ham, [None] * m7, [1] * m7, gamma7,
             [o7[f"ham_{lab}"] for lab in labels], booleanity=False))
         group_meta7.append(("ham", lk_m, labels))
+    if ci:
+        # committed-image claim reduction rides the stage-7 batch
+        from ..relations.program_image import ProgramImageReductionVerifier
+        from ..relations.program_image import image_words as _image_words
+        from ..witness.ram import remap_address as _remap
+        pi_m = max(len(_image_words(io.code)).bit_length() - 1, 0)
+        pi_start = _remap(io.entry, io.memory_layout.witness_base)
+        if "program_image_init" not in o7:
+            raise VerificationError("missing program_image_init opening")
+        insts7.append(ProgramImageReductionVerifier(
+            pi_m, r4_addr, pi_start, proof.program_image_claim,
+            o7["program_image_init"]))
+        group_meta7.append(("image", pi_m, None))
     try:
         r7 = _stage_verify(proof.stage7_polys, insts7, "s7")  #
     except SumcheckError as e:
@@ -478,6 +531,10 @@ def verify(proof: JoltProof, io: PublicIO, setup=None,
     for inst, (kind7, lk_m, labels) in zip(insts7, group_meta7):
         off = max7 - inst.num_rounds
         r_sl = r7[off:]
+        if kind7 == "image":
+            accumulator.insert(("program_image", "init"), list(r_sl),
+                               o7["program_image_init"])
+            continue
         pt = list(r_sl[lk_m:]) + list(r_sl[:lk_m])      # cycle-major order
         oid = "booleanity" if kind7 == "bool" else "hamming"
         for lab in labels:
@@ -497,7 +554,7 @@ def verify(proof: JoltProof, io: PublicIO, setup=None,
         onehot_logK[f"lk_ra{i}"] = 8
     entries = []
     seen = {}
-    for oid, cname in stage8_entry_ids(d_ram, d_bc, advice_kinds):
+    for oid, cname in stage8_entry_ids(d_ram, d_bc, advice_kinds, ci):
         if oid not in accumulator.openings:
             raise VerificationError(f"missing stage output claim {oid}")
         pt, cl = accumulator.openings[oid]
@@ -514,19 +571,20 @@ def verify(proof: JoltProof, io: PublicIO, setup=None,
     # mirror the prover's K-grouping (gamma-RLC per group); dense entries
     # stay singletons.  Entries reorder group-first, aligned with openings.
     gamma8 = transcript.challenge_scalar()
-    groups8: Dict[int, list] = {}
+    # mirror the prover's (K, point) grouping (shared eq table per group)
+    groups8: Dict[tuple, list] = {}
     dense8 = []
     for cname, pt, cl in entries:
         if cname in onehot_logK:
-            groups8.setdefault(1 << onehot_logK[cname], []).append(
-                (cname, pt, cl))
+            key8 = (1 << onehot_logK[cname], tuple(x % P for x in pt))
+            groups8.setdefault(key8, []).append((cname, pt, cl))
         else:
             dense8.append((cname, pt, cl))
     entries = [e for g in groups8.values() for e in g] + dense8
     insts8 = []
     pos = 0
     group_slices8 = []
-    for Km, members in groups8.items():
+    for (Km, _), members in groups8.items():
         log_Km = Km.bit_length() - 1
         qa8, wf8, cls8 = [], [], []
         for cname, pt, cl in members:

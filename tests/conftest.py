@@ -76,3 +76,26 @@ os.environ.setdefault("JOLT_TPU_FUSE", "0")
 @pytest.fixture
 def rng():
     return random.Random(1337)
+
+
+# ---------------------------------------------------------------------------
+# two-tier suite: modules below are the slow pipeline tier (full PCS e2e,
+# zk, sharded, streaming, fuzz, large-trace scale runs).  pytest.ini
+# defaults to `-m "not slow"`; run the slow tier with `pytest -m slow`.
+# ---------------------------------------------------------------------------
+
+SLOW_MODULES = {
+    "test_full_pipeline_dory", "test_full_pipeline_pcs",
+    "test_sharded_prove", "test_zk_prove", "test_advice",
+    "test_streaming", "test_scale", "test_fuzz", "test_expanded_prove",
+    "test_sha256_guest", "test_keccak_inline", "test_inlines",
+    "test_rv64ac", "test_naive_oracle", "test_fused_prove",
+    "test_fs_audit", "test_sweep", "test_instruction_read_raf",
+    "test_scan_fused",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__ in SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
