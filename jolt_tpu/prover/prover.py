@@ -440,6 +440,8 @@ def prove(trace: Trace, setup=None, _transcript=None, zk: bool = False,
         zk_commit_bytes[label] = [_pt_bytes(c) for c in data.commitments]
         return [], rs
 
+    from ..kernels import get_backend
+    _bk = get_backend()
     transcript = _transcript or Blake2bTranscript(b"Jolt")
     proof_config = ProofConfig.new(log_T, ram_wit.log_K,
                                    committed_image=committed_image)
@@ -499,8 +501,8 @@ def prove(trace: Trace, setup=None, _transcript=None, zk: bool = False,
     tau = transcript.challenge_vector(1 + num_stage1_rounds(log_T))
     cols_dev, s1_coeffs, r0_skip, claim1, l_scale = prove_uniskip(
         inputs, tau, transcript)
-    outer = SpartanOuterProver(inputs, tau[1:], r0_skip, claim1, l_scale,
-                               cols_dev)
+    outer = _bk.make("spartan_outer", inputs, tau[1:], r0_skip, claim1,
+                     l_scale, cols_dev)
     # fused device-transcript stage (one dispatch for all rounds); falls
     # back to the host engine under a device mesh
     stage1_polys, _ = _stage([outer], "s1")
@@ -517,7 +519,7 @@ def prove(trace: Trace, setup=None, _transcript=None, zk: bool = False,
     r_cycle = list(accumulator.get_point(("r1cs_input", "rs1_value")))
     gamma_sh = transcript.challenge_scalar()
     shift_cols = shift_column_values(bc_wit.table, bc_wit.pc_idx, gamma_sh)
-    shift_inst = ShiftSumcheck(shift_cols, r_cycle, gamma_sh)
+    shift_inst = _bk.make("spartan_shift", shift_cols, r_cycle, gamma_sh)
     shift_polys, _ = _stage([shift_inst], "s1s")
 
     _drop(shift_inst)
@@ -528,7 +530,7 @@ def prove(trace: Trace, setup=None, _transcript=None, zk: bool = False,
               accumulator.get_claim(("r1cs_input", "rs1_value")),
               accumulator.get_claim(("r1cs_input", "rs2_value"))]
     gamma = transcript.challenge_scalar()
-    rw = SparseRegistersReadWriteChecking(reg_wit, gamma, r_cycle, claims)
+    rw = _bk.make("registers_read_write", reg_wit, gamma, r_cycle, claims)
     stage2_polys, r2 = _stage([rw], "s2")
 
     _drop(rw)
@@ -537,7 +539,8 @@ def prove(trace: Trace, setup=None, _transcript=None, zk: bool = False,
     val_pt2 = accumulator.get_point(("registers", "val"))
     r2_cyc, r2_addr = list(val_pt2[:log_T]), list(val_pt2[log_T:])
     val_claim = accumulator.get_claim(("registers", "val"))
-    ve = SparseRegistersValEvaluation(reg_wit, r2_addr, r2_cyc, val_claim)
+    ve = _bk.make("registers_val_evaluation", reg_wit, r2_addr, r2_cyc,
+                  val_claim)
     stage3_polys, r3 = _stage([ve], "s3")
     r3_cyc = list(accumulator.get_point(("registers_val_eval", "inc")))
 
@@ -552,10 +555,10 @@ def prove(trace: Trace, setup=None, _transcript=None, zk: bool = False,
     addr_claim = accumulator.get_claim(("r1cs_input", "ram_address"))
     ram_sched = RamPairSchedule(ram_wit.cols, ram_wit.pre, ram_wit.post,
                                 ram_wit.K)
-    ram_rw = SparseRamReadWriteChecking(
+    ram_rw = _bk.make("ram_read_write",
         ram_sched, ram_wit.log_K, ram_wit.init_vals, ram_wit.inc, gamma_ram,
         r_cycle, rv_claim, wv_claim)
-    ram_raf = SparseRamRafEvaluation(ram_sched, ram_wit.log_K,
+    ram_raf = _bk.make("ram_raf_evaluation", ram_sched, ram_wit.log_K,
                                      ram_wit.witness_base, r_cycle,
                                      addr_claim)
     stage4_polys, r4 = _stage([ram_rw, ram_raf], "s4")
@@ -589,11 +592,11 @@ def prove(trace: Trace, setup=None, _transcript=None, zk: bool = False,
         image_claim = sum(t * w for t, w in zip(_pi_table, pi_words)) % P
         accumulator.insert(("program_image", "claim"), tuple(r4_addr),
                            image_claim)
-    ram_ve = SparseRamValEvaluation(ram_sched, ram_wit.log_K,
+    ram_ve = _bk.make("ram_val_check", ram_sched, ram_wit.log_K,
                                     ram_wit.init_vals, ram_wit.inc,
                                     r4_addr, r4_cyc, ram_val_claim)
     z_out = transcript.challenge_scalar()
-    ram_oc = SparseRamOutputCheck(ram_sched, ram_wit.log_K,
+    ram_oc = _bk.make("ram_output_check", ram_sched, ram_wit.log_K,
                                   ram_wit.init_vals, ram_wit.inc,
                                   trace.memory_layout, ram_wit.witness_base,
                                   z_out, bytes(trace.device.outputs))
@@ -605,7 +608,7 @@ def prove(trace: Trace, setup=None, _transcript=None, zk: bool = False,
     # Binds LookupOutput / lookup operands to the table MLEs over the
     # 2^128 interleaved-operand index space (the heart of Jolt).
     gamma_lk = transcript.challenge_scalar()
-    lk = InstructionReadRaf(
+    lk = _bk.make("instruction_read_raf",
         lk_wit, gamma_lk, r_cycle,
         accumulator.get_claim(("r1cs_input", "lookup_output")),
         accumulator.get_claim(("r1cs_input", "left_lookup_operand")),
@@ -740,17 +743,19 @@ def prove(trace: Trace, setup=None, _transcript=None, zk: bool = False,
         labels7 = [lab for lab, _ in members]
         streams7 = [idxs for _, idxs in members]
         m7 = len(members)
-        insts7.append(GroupedOneHot(
+        insts7.append(_bk.make(
+            "booleanity",
             streams7, Km, [E_bcyc] * m7, [r_addr] * m7, [0] * m7, gamma7,
             labels7, booleanity=True, opening_kind="booleanity"))
-        insts7.append(GroupedOneHot(
+        insts7.append(_bk.make(
+            "ram_hamming_booleanity",
             streams7, Km, [E_h] * m7, [None] * m7, [1] * m7, gamma7,
             labels7, booleanity=False, opening_kind="hamming"))
     pi_inst = None
     if committed_image:
         from ..relations.program_image import ProgramImageReduction
-        pi_inst = ProgramImageReduction(pi_words, r4_addr, pi_start,
-                                        image_claim)
+        pi_inst = _bk.make("program_image_claim_reduction", pi_words,
+                           r4_addr, pi_start, image_claim)
         insts7.append(pi_inst)
     stage7_polys, _ = _stage(insts7, "s7")
     stage7_openings = {}
@@ -817,8 +822,8 @@ def prove(trace: Trace, setup=None, _transcript=None, zk: bool = False,
                                     labs8, booleanity=False,
                                     opening_kind="joint_opening"))
     for cname, pt, cl in dense8:
-        insts8.append(DenseOpening(dense_meta[cname], pt, cl,
-                                   f"{n8}_{cname}"))
+        insts8.append(_bk.make("inc_claim_reduction",
+                               dense_meta[cname], pt, cl, f"{n8}_{cname}"))
         n8 += 1
     stage8_polys, r8 = _stage(insts8, "s8")
     stage8_openings = []

@@ -206,6 +206,11 @@ def _supports_scan(instances) -> bool:
             return False
     if active_mesh() is not None:
         return False
+    if any(getattr(i, "force_host", False) for i in instances):
+        # backend registry per-slot tier override (kernels/registry.py):
+        # a host-forced slot drops its whole batched stage to the host
+        # engine -- proof bytes are backend-invariant either way
+        return False
     return all(isinstance(i, ScanFusedInstance) for i in instances)
 
 
