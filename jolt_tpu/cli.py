@@ -161,7 +161,8 @@ def cmd_prove(args):
         tr, _ = _trace(args)
     t0 = time.time()
     proof = prove(tr, setup=(None if args.pcs == "none" else args.pcs),
-                  zk=getattr(args, "zk", False))
+                  zk=getattr(args, "zk", False),
+                  committed_image=getattr(args, "committed_image", False))
     dt = time.time() - t0
     khz = tr.length / dt / 1e3
     print(f"proved {tr.length} cycles in {dt:.1f}s ({khz:.2f} kHz)")
@@ -291,6 +292,12 @@ def main(argv=None):
             sp.add_argument("--trace-file", dest="trace_file",
                             help="prove a checkpointed trace (.npz from "
                             "`trace -o`) instead of re-executing the guest")
+            sp.add_argument("--committed-image", dest="committed_image",
+                            action="store_true",
+                            help="committed-bytecode mode: the program "
+                            "image's Val_init contribution is proven "
+                            "against a committed image polynomial "
+                            "(O(log K) verifier image work)")
         if name == "trace":
             sp.add_argument("-o", "--output", default=None,
                             help="checkpoint the trace to a .npz for "
