@@ -825,6 +825,17 @@ def prove(trace: Trace, setup=None, _transcript=None, zk: bool = False,
         insts8.append(_bk.make("inc_claim_reduction",
                                dense_meta[cname], pt, cl, f"{n8}_{cname}"))
         n8 += 1
+    # Stage 8 defaults to the host engine's per-round batching: the joint
+    # reduction is MANY small instances (one per (K, point) group + dense
+    # singletons), and the fused scan module's single remote XLA compile
+    # for that many kernels exceeded 35 minutes at 2^18 on the axon
+    # tunnel.  Per-round dispatch costs ~rounds * RTT, which is seconds.
+    # JOLT_TPU_SCAN_S8=1 opts back into the fused tier (proof bytes are
+    # tier-invariant).
+    import os as _os8
+    if not _os8.environ.get("JOLT_TPU_SCAN_S8"):
+        for _inst8 in insts8:
+            _inst8.force_host = True
     stage8_polys, r8 = _stage(insts8, "s8")
     stage8_openings = []
     for inst in insts8:
