@@ -19,8 +19,11 @@ Structure mirrors the reference (`crates/jolt-dory`, `book/src/how/dory.md`):
         the combined row s = L^T M under Gamma1.
       - phase B: a generator-folding inner-product argument (pairing-free)
         proves <s, R> = y against E1 = <s, Gamma1>.
-    Verifier: O(log) pairings/GT work in phase A + O(sqrt N) G1 folds in
-    phase B (the reference reaches O(log N) everywhere; noted follow-up).
+    Verifier: O(log) pairings/GT work in phase A; phase B does O(sigma)
+    field work in the round loop (closed-form folded eq tensor) plus ONE
+    tensor-weight Pippenger MSM over Gamma1 at the end -- see
+    `Dory.verify` (the reference is O(log N) group ops everywhere;
+    `book/src/how/dory.md:58-64`).
   * Homomorphism: commitments are GT elements; RLCs of commitments match
     RLCs of polynomials (used by the stage-8 joint batched opening).
 

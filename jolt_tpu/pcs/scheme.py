@@ -41,6 +41,18 @@ class HyperKZGScheme:
 
     def __init__(self, setup: KZGSetup):
         self.pcs = HyperKZG(setup)
+        self.setup = setup
+
+    def setup_digest(self) -> bytes:
+        """Stable identity of this setup's parameters (cache keying --
+        distinct setups MUST produce distinct digests)."""
+        import hashlib as _hl
+        h = _hl.blake2b(b"hyperkzg", digest_size=16)
+        h.update(self.setup.size.to_bytes(8, "big"))
+        tg = self.setup.tau_g2
+        for c in (tg[0].a, tg[0].b, tg[1].a, tg[1].b):
+            h.update(int(c).to_bytes(32, "big"))
+        return h.digest()
 
     def commit(self, name: str, coeffs: Sequence[int], bits: int = 254):
         return self.pcs.commit_ints(coeffs, bits=bits)
@@ -97,6 +109,22 @@ class DoryScheme:
         self.dory = Dory(setup)
         self.setup = setup
         self._hints: Dict[str, DoryHint] = {}
+
+    def setup_digest(self) -> bytes:
+        """Stable identity of this setup's parameters (cache keying).
+        (nu, sigma) + the first tier-1 generator pins the generator set:
+        a custom/foreign setup with different generators digests apart."""
+        import hashlib as _hl
+        h = _hl.blake2b(b"dory", digest_size=16)
+        h.update(self.setup.nu.to_bytes(4, "big"))
+        h.update(self.setup.sigma.to_bytes(4, "big"))
+        g = self.setup.gamma1[0]
+        h.update(int(g[0]).to_bytes(32, "big"))
+        h.update(int(g[1]).to_bytes(32, "big"))
+        g2 = self.setup.g2star
+        for c in (g2[0].a, g2[0].b):
+            h.update(int(c).to_bytes(32, "big"))
+        return h.digest()
 
     def commit(self, name: str, coeffs: Sequence[int],
                bits: int = 254) -> DoryCommitment:

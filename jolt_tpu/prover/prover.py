@@ -1,22 +1,24 @@
-"""The Jolt prover pipeline (round 2: stages 1-7 + instruction Shout).
+"""The Jolt prover pipeline: the full staged sumcheck DAG.
 
 Mirrors the stage structure of
 `crates/jolt-prover-legacy/src/zkvm/prover.rs:449-607` (prove_parts):
-Fiat-Shamir preamble, then the staged sumcheck DAG:
+Fiat-Shamir preamble, then:
 
-  0   witness commitments (registers + instruction ra chunks)
-  1   Spartan outer (R1CS)                [reference stage 1]
+  0   Dory/HyperKZG witness commitments (sparse one-hot tier-1 + tier-2)
+  1   Spartan outer (R1CS, uni-skip first round)
+  1s  Spartan shift sumcheck (PC chaining via EqPlusOne)
   2   registers read/write checking       (Twist)
   3   registers Val evaluation            (Twist prefix-sum via LT)
   4   RAM read/write checking + raf       (Twist, batched)
-  5   RAM Val evaluation + output check   (batched)
-  5i  instruction-execution read-raf Shout over 2^128   [reference stage 5]
+  5   RAM Val evaluation + output check   (+ advice / committed-image Init)
+  5i  instruction-execution read-raf Shout over 2^128
   6   bytecode read-raf + register rafs + lookup-flag columns (batched)
-  7   one-hot booleanity + Hamming weight (sparse, all access matrices)
-  8*  commitments (MSM) + one joint PCS opening (Dory or HyperKZG)
+  6v  RAM/bytecode ra-virtualization to committed 8-bit chunk selectors
+  7   one-hot booleanity + Hamming weight (+ program-image reduction)
+  8   joint opening-reduction sumcheck -> ONE RLC PCS opening
 
-Claim reductions, the full joint batched opening and Dory remain pending;
-the proof container carries per-stage slots from day one.
+zk=True swaps every standard stage through the BlindFold committed-round
+recorder (blindfold/).  See STAGES.md for the reference-instance mapping.
 """
 
 from __future__ import annotations
@@ -397,6 +399,22 @@ def prove(trace: Trace, setup=None, _transcript=None, zk: bool = False,
         pi_words = image_words(trace.code)
         pi_start = remap_address(trace.entry, ram_wit.witness_base)
         dense_meta["program_image"] = pi_words
+        # split-verification semantics: the verifier evaluates an
+        # inputs-only Init and ADDS the image claim, while the witness
+        # OVERWRITES on overlap -- so the image range must be disjoint
+        # from the input and advice witness regions or honest proofs fail
+        pi_end = pi_start + len(pi_words)
+        regions = [("inputs", remap_address(layout.input_start,
+                                            ram_wit.witness_base),
+                    (layout.max_input_size + 7) // 8)]
+        for kind in advice_kinds:
+            a_start, a_size = layout.advice_region(kind)
+            regions.append((f"{kind} advice",
+                            remap_address(a_start, ram_wit.witness_base),
+                            (a_size + 7) // 8))
+        for rname, r0, nwords in regions:
+            assert pi_end <= r0 or r0 + nwords <= pi_start, \
+                f"committed image overlaps the {rname} region"
     _mark("witness-extraction")
 
     # ZK committed-round seam: _stage() routes every batched sumcheck

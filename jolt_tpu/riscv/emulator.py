@@ -266,7 +266,9 @@ class Emulator:
         effects -- the trace row is a no-op."""
         call = self.regs[10] & _M32
         ptr = self.regs[11]
-        ln = self.regs[12] & _M32
+        # guest-controlled length: cap per-call payloads (matches the
+        # native tracer) so a hostile guest can't force 4 GiB of host work
+        ln = min(self.regs[12] & _M32, 65536)
         event = self.regs[13] & _M32
         if call == self.JOLT_PRINT_CALL_ID:
             data = bytes(self.read_u8(ptr + i) for i in range(ln))

@@ -1,17 +1,18 @@
-"""The Jolt verifier (round 2: stages 1-7 + instruction Shout).
+"""The Jolt verifier: stage-sequential succinct verification.
 
 Mirrors `crates/jolt-verifier/src/verifier.rs:176-230` (clear-mode verify):
-replay the preamble, then check each stage's sumcheck sequentially,
-threading typed stage outputs through the accumulator.
-
-Trust status after round 2: R1CS input openings validated against the
-constraint matrices (stage 1); register/RAM semantics via Twist (stages
-2-5); INSTRUCTION SEMANTICS via the read-raf Shout (stage 5i) -- the
-LookupOutput / operand openings are now bound to the closed-form table MLEs
-over 2^128, with the table/raf flag claims proven against the public
-bytecode (stage 6) and the one-hot chunk discipline enforced by stage 7.
-Remaining gap: most committed-poly openings await the joint batched opening
-proof (stage 8 proper)."""
+validate the proof-carried config, replay the preamble, then check every
+stage's sumcheck sequentially, threading typed stage outputs through the
+accumulator.  Coverage: R1CS input openings against the constraint
+matrices + the Spartan shift sumcheck (PC chaining); register/RAM
+semantics via Twist (stages 2-5, incl. advice and committed-image Init
+contributions); instruction semantics via the read-raf Shout over 2^128
+(stage 5i); table/raf flag claims against the public bytecode (stage 6);
+ra-virtualization to committed chunk selectors (6v); one-hot discipline
+(7); and the stage-8 grouped opening reduction closed by the Dory
+`verify_rlc` (or HyperKZG) joint opening.  zk mode checks BlindFold
+Pedersen rounds + the Nova-folded round-check proof instead of clear
+round polynomials."""
 
 from __future__ import annotations
 
@@ -105,9 +106,13 @@ def _program_image_commitment(pcs, code: bytes):
     import hashlib as _hl
 
     from ..relations.program_image import image_words
+    digest_fn = getattr(pcs, "setup_digest", None)
+    if digest_fn is None:
+        # unknown scheme: no reliable setup identity -> never cache (a
+        # stale hit would corrupt the verifier's trust anchor)
+        return pcs.commit("program_image", image_words(code), bits=254)
     key = (_hl.blake2b(code, digest_size=16).digest(), type(pcs).__name__,
-           getattr(getattr(pcs, "setup", None), "sigma", None),
-           getattr(getattr(pcs, "setup", None), "nu", None))
+           digest_fn())
     hit = _PI_COMMIT_CACHE.get(key)
     if hit is None:
         hit = pcs.commit("program_image", image_words(code), bits=254)
@@ -516,6 +521,11 @@ def verify(proof: JoltProof, io: PublicIO, setup=None,
         from ..relations.program_image import image_words as _image_words
         from ..witness.ram import remap_address as _remap
         pi_m = max(len(_image_words(io.code)).bit_length() - 1, 0)
+        if pi_m > proof.ram_log_K:
+            # prover-chosen ram_log_K smaller than the image: fail closed
+            # with a VerificationError, not a downstream AssertionError
+            raise VerificationError(
+                "ram_log_K too small for the committed program image")
         pi_start = _remap(io.entry, io.memory_layout.witness_base)
         if "program_image_init" not in o7:
             raise VerificationError("missing program_image_init opening")

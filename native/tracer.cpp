@@ -290,6 +290,9 @@ static int step_row(Machine* m, const ProgRow* prog,
         u32 call = (u32)m->regs[10];
         u64 ptr = m->regs[11];
         u32 len = (u32)m->regs[12];
+        // x12 is guest-controlled: cap per-call payloads so a hostile
+        // guest can't drive 4 GiB of per-byte host work per instruction
+        if (len > 65536u) len = 65536u;
         u32 event = (u32)m->regs[13];
         if (call == 0x505249u) {                 // JOLT_PRINT_CALL_ID
           for (u32 i = 0; i < len; i++) m->console.push_back(m->rd8(ptr + i));

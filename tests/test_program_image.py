@@ -138,3 +138,28 @@ def test_image_words_padding():
     w = image_words(bytes(range(24)))
     assert len(w) == 4 and w[3] == 0
     assert w[0] == int.from_bytes(bytes(range(8)), "little")
+
+
+def test_trusted_commitment_unit():
+    """Fast-tier guard on the verifier's recompute-and-compare path: the
+    verifier's cached trusted commitment equals the prover-side commit of
+    the image-words polynomial, and the cache keys on SETUP IDENTITY (two
+    different setups never share a slot)."""
+    from jolt_tpu.pcs.dory import DorySetup
+    from jolt_tpu.pcs.scheme import make_scheme
+    from jolt_tpu.verifier.verifier import (_PI_COMMIT_CACHE,
+                                            _program_image_commitment)
+
+    code = bytes(range(64)) * 2
+    s_a = make_scheme(DorySetup.generate(6))
+    s_b = make_scheme(DorySetup.generate(7))
+    _PI_COMMIT_CACHE.clear()
+    got_a = _program_image_commitment(s_a, code)
+    want_a = s_a.commit("pi_check", image_words(code), bits=254)
+    assert got_a == want_a
+    # second call is the cached object; a different setup must re-commit
+    assert _program_image_commitment(s_a, code) is got_a
+    got_b = _program_image_commitment(s_b, code)
+    assert got_b == s_b.commit("pi_check", image_words(code), bits=254)
+    assert got_a != got_b
+    assert len(_PI_COMMIT_CACHE) == 2
