@@ -1,13 +1,16 @@
-"""BN254 pairing (host-side, Python ints).
+"""BN254 pairing (host-side entry points) + G2 affine arithmetic.
 
-Tate pairing with denominator elimination: Miller loop over r with G1 line
-functions evaluated at the untwisted G2 point psi(Q) = (x_Q w^2, y_Q w^3)
-in Fq12, followed by the full final exponentiation (q^12 - 1)/r.  Vertical
-lines lie in Fq6 and are killed by the final exponentiation (even embedding
-degree), so they are dropped.
+Production pairing: the OPTIMAL ATE (Miller loop over 6x+2, ~65 bits --
+curve/ate.py is the Python oracle, native/pairing.cpp the batched C++
+production tier; values agree exactly).  `pairing_product` is the
+workhorse for Dory tier-2 commits / reduce rounds and KZG verification;
+switching from the original Tate tier (254-bit loop) was a ~10x
+throughput win on the commit path.
 
-Pairings are few (KZG verify: 2; Dory tier-2), so a clear host
-implementation is the right tier (SURVEY.md §7 hard-part 5).
+`miller` below retains the legacy Tate Miller loop SOLELY as an
+independent cross-check oracle for bilinearity tests -- its values are a
+fixed-exponent power of the ate pairing's and must NOT be mixed with
+`pairing_product` results.
 """
 
 from __future__ import annotations
@@ -59,7 +62,16 @@ def g2_neg(p: G2Point) -> G2Point:
 
 
 def g2_mul(p: G2Point, k: int) -> G2Point:
-    k %= R
+    """[k mod r] P -- correct ONLY for points in the r-torsion subgroup.
+    Cofactor clearing must use `g2_mul_unreduced` (the reduction here
+    silently turned the G2 cofactor into `c2 mod r`, leaving hash-to-curve
+    outputs OUTSIDE the r-torsion -- harmless under the old Tate tier,
+    fatal for the optimal-ate pairing's eigenspace requirement)."""
+    return g2_mul_unreduced(p, k % R)
+
+
+def g2_mul_unreduced(p: G2Point, k: int) -> G2Point:
+    """[k] P without reducing k mod r (cofactor clearing, subgroup checks)."""
     acc: G2Point = None
     add = p
     while k:
@@ -68,6 +80,14 @@ def g2_mul(p: G2Point, k: int) -> G2Point:
         add = g2_add(add, add)
         k >>= 1
     return acc
+
+
+def g2_in_subgroup(p: G2Point) -> bool:
+    """p in the order-r subgroup of E'(Fq2): on-curve and [r] p == O.
+    Required before feeding adversarial G2 elements to the ate pairing."""
+    if p is None:
+        return True
+    return g2_is_on_curve(p) and g2_mul_unreduced(p, R) is None
 
 
 def g2_is_on_curve(p: G2Point) -> bool:
@@ -143,22 +163,26 @@ def final_exp(f: Fq12) -> Fq12:
 
 
 def tate_pairing(p: Point, q: G2Point) -> Fq12:
-    """e(P, Q) for P in G1 (affine ints), Q in G2 (affine Fq2)."""
+    """e(P, Q) for P in G1 (affine ints), Q in G2 (affine Fq2).
+
+    NB the name is historical: this is the production (optimal-ate)
+    pairing; every caller in the scheme uses it consistently."""
     return pairing_product([(p, q)])
 
 
 def pairing_product(pairs: List[Tuple[Point, G2Point]]) -> Fq12:
     """prod e(P_i, Q_i) with ONE shared final exponentiation.
 
-    Routes through the native C++ library (native/pairing.cpp) when built
-    -- byte-identical values, ~50-200x the Python tier's throughput
-    (threaded Miller loops); the Python path remains the oracle."""
+    Routes through the native C++ library (native/pairing.cpp, batched
+    optimal-ate Miller loops, threaded) when built; the Python fallback
+    (curve/ate.py) computes identical values and remains the oracle."""
     from . import native_pairing as _np
     acc = _np.miller_product(pairs)
     if acc is None:
+        from .ate import ate_miller, g2_prepare
         acc = Fq12.one()
         for p, q in pairs:
-            acc = acc * miller(p, q)
+            acc = acc * ate_miller(p, g2_prepare(q))
     return final_exp(acc)
 
 

@@ -41,8 +41,9 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 from ..curve import bn254_host as host
 from ..curve.fq_tower import Fq2, Fq6, Fq12
-from ..curve.pairing import (G2Point, G2_GEN, final_exp, g2_add, g2_mul,
-                             g2_is_on_curve, g2_neg, miller, pairing_product,
+from ..curve.pairing import (G2Point, G2_GEN, final_exp, g2_add,
+                             g2_in_subgroup, g2_is_on_curve, g2_mul,
+                             g2_mul_unreduced, g2_neg, pairing_product,
                              tate_pairing)
 from ..field.params import FQ_MODULUS as Q
 from ..field.params import FR_MODULUS as P
@@ -103,7 +104,10 @@ def hash_to_g2(tag: bytes) -> G2Point:
         x = Fq2(_hash_fq(tag + b"/g2x", ctr), _hash_fq(tag + b"/g2y", ctr))
         y = _fq2_sqrt(x * x * x + _TWIST_B)
         if y is not None:
-            p = g2_mul((x, y), _G2_COFACTOR)  # clear cofactor -> r-torsion
+            # UNREDUCED cofactor clearing: the raw hash point has order
+            # dividing r*c2; [c2] P lands in the r-torsion (the ate
+            # pairing's eigenspace).  g2_mul would reduce c2 mod r.
+            p = g2_mul_unreduced((x, y), _G2_COFACTOR)
             if p is not None:
                 return p
         ctr += 1
@@ -193,7 +197,10 @@ class DorySetup:
                  nu: Optional[int] = None) -> "DorySetup":
         nu = cls.default_nu(num_vars) if nu is None else nu
         sigma = num_vars - nu
-        cache = os.path.join(cache_dir, f"dory_{nu}_{sigma}.pkl")
+        # cache v2 ("ate"): the GT precomputations (chi, d1l, ...) are
+        # pairing-tier-dependent; the optimal-ate switch invalidated the
+        # original Tate-era caches
+        cache = os.path.join(cache_dir, f"dory_ate_{nu}_{sigma}.pkl")
         if os.path.exists(cache):
             with open(cache, "rb") as f:
                 return pickle.load(f)
@@ -588,7 +595,10 @@ class Dory:
         u1, u2 = proof.a_final_v1, proof.a_final_v2
         if u1 is not None and not host.g1_is_on_curve(u1):
             return False
-        if u2 is not None and not g2_is_on_curve(u2):
+        if u2 is not None and not g2_in_subgroup(u2):
+            # full subgroup check: the ate pairing is only defined on the
+            # r-torsion eigenspace; an adversarial off-subgroup u2 must
+            # be rejected, not fed to the Miller loop
             return False
         transcript.append_bytes(b"dory_fin", _g1_bytes(u1))
         transcript.append_bytes(b"dory_fin", _g2_bytes(u2))

@@ -843,17 +843,32 @@ def prove(trace: Trace, setup=None, _transcript=None, zk: bool = False,
         insts8.append(_bk.make("inc_claim_reduction",
                                dense_meta[cname], pt, cl, f"{n8}_{cname}"))
         n8 += 1
-    # Stage 8 defaults to the host engine's per-round batching: the joint
+    # Stage 8 tier selection (JOLT_TPU_S8 = stepped|scan|host): the joint
     # reduction is MANY small instances (one per (K, point) group + dense
-    # singletons), and the fused scan module's single remote XLA compile
-    # for that many kernels exceeded 35 minutes at 2^18 on the axon
-    # tunnel.  Per-round dispatch costs ~rounds * RTT, which is seconds.
-    # JOLT_TPU_SCAN_S8=1 opts back into the fused tier (proof bytes are
-    # tier-invariant).
+    # singletons).  The whole-stage scan module's single remote XLA
+    # compile for that many kernels exceeded 35 minutes at 2^18, and the
+    # host engine pays ~2 dispatches PER INSTANCE per round (~27 s at
+    # 2^18 on the axon relay).  Default: the STEPPED driver
+    # (sumcheck/stepped.py) -- one batched dispatch per round across all
+    # instances, O(segments) small compiles.  Proof bytes are
+    # tier-invariant; CPU (test platform) keeps the host engine to avoid
+    # per-shape compiles across hundreds of tiny suite cases.
     import os as _os8
-    if not _os8.environ.get("JOLT_TPU_SCAN_S8"):
+
+    import jax as _jax8
+    s8_mode = _os8.environ.get("JOLT_TPU_S8", "")
+    if not s8_mode:
+        if _os8.environ.get("JOLT_TPU_SCAN_S8"):
+            s8_mode = "scan"
+        else:
+            s8_mode = ("stepped" if _jax8.default_backend() != "cpu"
+                       else "host")
+    if s8_mode == "host":
         for _inst8 in insts8:
             _inst8.force_host = True
+    elif s8_mode == "stepped":
+        for _inst8 in insts8:
+            _inst8.prefer_stepped = True
     stage8_polys, r8 = _stage(insts8, "s8")
     stage8_openings = []
     for inst in insts8:

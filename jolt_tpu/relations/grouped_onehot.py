@@ -206,10 +206,15 @@ class GroupedOneHot(ScanFusedInstance):
 
         idx = np.stack([np.asarray(s, dtype=np.int64) for s in streams])
         assert idx.shape == (self.M, self.T)
-        # bit_b of each stream, b=0 is the address MSB: (log_K, M, T)
-        self.masks = np.stack(
-            [((idx >> (self.log_K - 1 - b)) & 1).astype(bool)
-             for b in range(self.log_K)])
+        assert self.K <= 256, "one-hot chunks are committed at K <= 256"
+        # the scan path ships ONE (M, T) uint8 index array and extracts
+        # mask bits on device per round ((idx >> shift) & 1) -- the
+        # (log_K, M, T) bool mask stacks were the stage-7/8 upload
+        # hotspot (~2*log_K*M*T bytes per instance over the ~20 MB/s
+        # axon tunnel); the host-engine path still builds them lazily
+        self._idx_np = idx.astype(np.uint8)
+        self._idx_dev = jnp.asarray(self._idx_np)
+        self._masks = None
 
         # gamma-weighted cycle tables.  When all matrices share ONE cycle
         # table (stage 7: every member uses the same eq table), keep W as
@@ -252,9 +257,10 @@ class GroupedOneHot(ScanFusedInstance):
             self._chi_off.append(off)
 
         # initial suffix products S_0 = prod_{i>0} chi(q_i, bit_i(c_j))
+        # (device-extracted mask bits: no (M, T) bool uploads)
         S = ops.ones((self.M, self.T))
         for b in range(self.log_K - 1, 0, -1):
-            S = _g_onehot_update_u(S, jnp.asarray(self.masks[b]),
+            S = _g_onehot_update_u(S, self._mask_dev(b),
                                    _mcol3(self._chi_on[b]),
                                    _mcol3(self._chi_off[b]))
         self.S = S
@@ -263,6 +269,22 @@ class GroupedOneHot(ScanFusedInstance):
         self.E: Optional[jnp.ndarray] = None
         self.V: Optional[jnp.ndarray] = None
         self.final_openings: Optional[List[int]] = None
+
+    @property
+    def masks(self):
+        """(log_K, M, T) bool, bit_b of each stream (b=0 = address MSB);
+        host-engine path only -- built lazily."""
+        if self._masks is None:
+            idx = self._idx_np
+            self._masks = np.stack(
+                [((idx >> (self.log_K - 1 - b)) & 1).astype(bool)
+                 for b in range(self.log_K)])
+        return self._masks
+
+    def _mask_dev(self, b: int) -> jnp.ndarray:
+        """bit_b mask extracted on device from the resident index array."""
+        sh = np.uint8(self.log_K - 1 - b)
+        return ((self._idx_dev >> sh) & np.uint8(1)).astype(jnp.bool_)
 
     # ---- engine interface ------------------------------------------------
 
@@ -353,24 +375,51 @@ class GroupedOneHot(ScanFusedInstance):
         return [("addr", self.log_K), ("cycle", self.log_T)]
 
     def scan_bconsts(self):
-        return {"W": self.W}
+        return {"W": self.W, "idx": self._idx_dev}
 
     def scan_state0(self):
         return {"U": self.U, "S": self.S, "A": self.A}
 
+    @staticmethod
+    def _xmask(bc, shift) -> jnp.ndarray:
+        """Per-round mask extracted on device: (idx >> shift) & 1."""
+        return ((bc["idx"] >> shift) & np.uint8(1)).astype(jnp.bool_)
+
     def scan_xs(self, mode, lo, hi):
         if mode != "addr":
             return ()
-        rows = [self._consts_round(b) for b in range(lo, hi)]
+        xs_p = [0, 2, 3][:self.npts]
+        chiX = jnp.stack([
+            ops.pack_ints(
+                [(off + (on - off) * X) % P
+                 for X in xs_p
+                 for on, off in zip(self._chi_on[b], self._chi_off[b])]
+            ).reshape(FR.num_limbs, self.npts, self.M)
+            for b in range(lo, hi)])
+        inv_on_r, inv_off_r, nshift = [], [], []
+        for b in range(lo, hi):
+            if b + 1 < self.log_K:
+                inv_on_r.append(_mcol3([pow(v, -1, P)
+                                        for v in self._chi_on[b + 1]]))
+                inv_off_r.append(_mcol3([pow(v, -1, P)
+                                         for v in self._chi_off[b + 1]]))
+                nshift.append(self.log_K - 1 - (b + 1))
+            else:
+                one = [1] * self.M
+                inv_on_r.append(_mcol3(one))
+                inv_off_r.append(_mcol3(one))
+                nshift.append(self.log_K - 1 - b)   # no-op (inv = 1)
         c0 = jnp.stack([_pack_col(self._chi_off[b]) for b in range(lo, hi)])
         c1 = jnp.stack([_pack_col([(on - off) % P for on, off in
                                    zip(self._chi_on[b], self._chi_off[b])])
                         for b in range(lo, hi)])
-        return {"mask": jnp.stack([r[0] for r in rows]),
-                "chiX": jnp.stack([r[1] for r in rows]),
-                "inv_on": jnp.stack([r[2] for r in rows]),
-                "inv_off": jnp.stack([r[3] for r in rows]),
-                "nmask": jnp.stack([r[4] for r in rows]),
+        shift = np.array([self.log_K - 1 - b for b in range(lo, hi)],
+                         np.uint8)
+        return {"shift": jnp.asarray(shift),
+                "nshift": jnp.asarray(np.array(nshift, np.uint8)),
+                "chiX": chiX,
+                "inv_on": jnp.stack(inv_on_r),
+                "inv_off": jnp.stack(inv_off_r),
                 "c0": c0, "c1": c1}
 
     def scan_message(self, mode, bc, x, st):
@@ -378,8 +427,8 @@ class GroupedOneHot(ScanFusedInstance):
         off = _onoff_consts(self.npts, False)
         if mode == "addr":
             k = _gbool_addr_kernel if self.booleanity else _gval_addr_kernel
-            return k(bc["W"], st["S"], st["U"], x["mask"], on, off,
-                     x["chiX"], st["A"])
+            return k(bc["W"], st["S"], st["U"], self._xmask(bc, x["shift"]),
+                     on, off, x["chiX"], st["A"])
         return _g_cycle_kernel(st["E"], st["V"], st["A"], self.degree,
                                self.booleanity)
 
@@ -389,9 +438,11 @@ class GroupedOneHot(ScanFusedInstance):
             one = ops.ones((1,))
             r_on = r[:, :, None]
             r_off = ops.sub(one, r, FR)[:, :, None]
-            st["U"] = _g_onehot_update_u(st["U"], x["mask"], r_on, r_off)
-            st["S"] = _g_onehot_update_u(st["S"], x["nmask"], x["inv_on"],
-                                         x["inv_off"])
+            st["U"] = _g_onehot_update_u(st["U"], self._xmask(bc, x["shift"]),
+                                         r_on, r_off)
+            st["S"] = _g_onehot_update_u(st["S"],
+                                         self._xmask(bc, x["nshift"]),
+                                         x["inv_on"], x["inv_off"])
             st["A"] = ops.mont_mul(st["A"], _affine_at(x["c0"], x["c1"], r),
                                    FR)
         else:

@@ -211,6 +211,10 @@ def _supports_scan(instances) -> bool:
         # a host-forced slot drops its whole batched stage to the host
         # engine -- proof bytes are backend-invariant either way
         return False
+    if any(getattr(i, "prefer_stepped", False) for i in instances):
+        # stage opted into the per-round stepped driver (stage 8: the
+        # whole-stage scan module blew the remote compiler)
+        return False
     return all(isinstance(i, ScanFusedInstance) for i in instances)
 
 
@@ -269,6 +273,14 @@ def prove_scan(instances: Sequence[SumcheckInstance],
     """Drop-in replacement for BatchedSumcheck.prove: byte-identical
     output, one device dispatch per stage, O(segments) compile."""
     if not _supports_scan(instances):
+        from ..parallel.mesh import active_mesh as _am
+        if (any(getattr(i, "prefer_stepped", False) for i in instances)
+                and not any(getattr(i, "force_host", False)
+                            for i in instances)
+                and _am() is None):
+            from .stepped import prove_stepped, supports_stepped
+            if supports_stepped(instances):
+                return prove_stepped(instances, accumulator, transcript)
         return prove_fused(instances, accumulator, transcript)
     from ..utils.profiling import active as _prof_active
     _prof = _prof_active()

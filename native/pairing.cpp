@@ -369,53 +369,76 @@ static Fq12 f12_mul_line(const Fq12& f, const Fq2& a, const Fq2& b,
   return f12(f6_add(t0, f6_mul_v(t1)), f6_add(t2, t3));
 }
 
-// Fr (the group order r) bits, MSB-first, skipping the leading 1.
-static const char* R_BITS =
-  "1000001100100010011100111001011100001001100011010000000101001101"
-  "1100001010000010001011011011010000001100000010101100001011101001"
-  "0100000110011111010000100100001111001101110010111000010010001010"
-  "0001111100001111101011001001111110000000000000000000000000001";  // bin(r)[3:], 253 bits
+// ---------------- Miller loop (optimal ate; mirrors curve/ate.py) --------
+// Loop over 6x+2 = 29793968203157093288 (64 bits after the leading 1,
+// 36 add-steps) taken on the TWIST curve E'(Fq2); lines evaluated at the
+// G1 argument.  The line through psi(T) with twist slope lam at
+// P = (xp, yp) is the sparse element
+//     l = yp + (-lam*xp) w + (lam*x_T - y_T) v w
+// i.e. Fq12 with c0 = (yp, 0, 0), c1 = (B, C, 0); B = -xp*lam, C = lam*x_T
+// - y_T.  ~4x fewer loop iterations than the previous Tate tier; values
+// match curve/ate.py (the Python oracle) exactly.
+static const char* ATE_BITS =
+  "1001110101111001011100000011100110111110011101100011101110101000";
 
-static Fq12 miller_one(const uint8_t* g1, const uint8_t* g2, int inf) {
-  if (inf) return f12_one();
-  Fq xp = fq_read(g1), yp = fq_read(g1 + 32);
-  Fq2 xq = f2_read(g2), yq = f2_read(g2 + 64);
-  Fq12 f = f12_one();
-  Fq tx = xp, ty = yp;
-  for (const char* b = R_BITS; *b; ++b) {
-    Fq lam = fq_mul(fq_mul(fq_add(fq_add(tx, tx), tx), tx),
-                    fq_inv(fq_add(ty, ty)));   // 3*tx^2 / (2*ty)
-    {
-      Fq c = fq_sub(fq_mul(lam, tx), ty);
-      f = f12_mul_line(f12_sqr(f), f2(c, fq_zero()),
-                       f2_mul_fq(xq, fq_neg(lam)), yq);
-    }
-    Fq x3 = fq_sub(fq_sqr(lam), fq_add(tx, tx));
-    ty = fq_sub(fq_mul(lam, fq_sub(tx, x3)), ty);
-    tx = x3;
-    if (*b == '1') {
-      if (fq_eq(tx, xp) && fq_is_zero(fq_add(ty, yp))) break;
-      Fq lam2 = fq_mul(fq_sub(ty, yp), fq_inv(fq_sub(tx, xp)));
-      {
-        Fq c = fq_sub(fq_mul(lam2, tx), ty);
-        f = f12_mul_line(f, f2(c, fq_zero()),
-                         f2_mul_fq(xq, fq_neg(lam2)), yq);
-      }
-      Fq x32 = fq_sub(fq_sub(fq_sqr(lam2), tx), xp);
-      ty = fq_sub(fq_mul(lam2, fq_sub(tx, x32)), ty);
-      tx = x32;
-    }
+// Twist Frobenius constants g^2, g^3, g = xi^((q-1)/6) (see ate.py
+// _TW_X/_TW_Y; canonical limbs little-endian).
+static Fq2 ate_twx() {
+  static Fq2 v; static bool init = false;
+  if (!init) {
+    u64 a[4] = {0x99e39557176f553dull, 0xb78cc310c2c3330cull,
+                0x4c0bec3cf559b143ull, 0x2fb347984f7911f7ull};
+    u64 b[4] = {0x1665d51c640fcba2ull, 0x32ae2a1d0b7c9dceull,
+                0x4ba4cc8bd75a0794ull, 0x16c9e55061ebae20ull};
+    v = f2(fq_from_canonical(a), fq_from_canonical(b)); init = true;
   }
-  return f;
+  return v;
+}
+static Fq2 ate_twy() {
+  static Fq2 v; static bool init = false;
+  if (!init) {
+    u64 a[4] = {0xdc54014671a0135aull, 0xdbaae0eda9c95998ull,
+                0xdc5ec698b6e2f9b9ull, 0x063cf305489af5dcull};
+    u64 b[4] = {0x82d37f632623b0e3ull, 0x21807dc98fa25bd2ull,
+                0x0704b5a7ec796f2bull, 0x07c03cbcac41049aull};
+    v = f2(fq_from_canonical(a), fq_from_canonical(b)); init = true;
+  }
+  return v;
 }
 
-// Batched Miller product over a contiguous slice: all pairs advance in
-// lockstep so the per-step denominators share ONE inversion (Montgomery
-// batch-inversion trick) -- the egcd that dominated the per-pair loop
-// amortizes to ~3 muls per pair per step.  Values identical to miller_one.
+static inline Fq2 f2_conj(const Fq2& x) { return f2(x.a, fq_neg(x.b)); }
+
+// f * (a + (B + C v) w), a in Fq (the ate line's sparsity pattern).
+static Fq12 f12_mul_line_ate(const Fq12& f, const Fq& a, const Fq2& B,
+                             const Fq2& C) {
+  const Fq6& x0 = f.c0;
+  const Fq6& x1 = f.c1;
+  // s = B + C v;  x * s over Fq6 (v^3 = xi)
+  auto mul_s = [&](const Fq6& x) -> Fq6 {
+    return f6(f2_add(f2_mul(x.c0, B), f2_mul_xi(f2_mul(x.c2, C))),
+              f2_add(f2_mul(x.c0, C), f2_mul(x.c1, B)),
+              f2_add(f2_mul(x.c1, C), f2_mul(x.c2, B)));
+  };
+  Fq6 r0 = f6_add(f6(f2_mul_fq(x0.c0, a), f2_mul_fq(x0.c1, a),
+                     f2_mul_fq(x0.c2, a)),
+                  f6_mul_v(mul_s(x1)));
+  Fq6 r1 = f6_add(f6(f2_mul_fq(x1.c0, a), f2_mul_fq(x1.c1, a),
+                     f2_mul_fq(x1.c2, a)),
+                  mul_s(x0));
+  return f12(r0, r1);
+}
+
+// Batched optimal-ate Miller product: all lanes advance in lockstep
+// through the static ATE_BITS schedule; the per-step Fq2 slope
+// denominators share ONE Fq inversion via the norm map + Montgomery
+// batch-inversion trick (norm(den) inverts in Fq; den^-1 = conj(den) *
+// norm^-1).  A lane whose T hits infinity (vertical line, subfield
+// element killed by the final exponentiation) freezes, mirroring the
+// Tate tier's break semantics.
 static Fq12 miller_batch(const uint8_t* g1s, const uint8_t* g2s,
                          const uint8_t* inf, uint64_t n) {
-  struct St { Fq xp, yp, tx, ty; Fq2 xq, yq; Fq12 f; bool live, done; };
+  struct St { Fq yp, nxp; Fq2 xq, yq, tx, ty, sx, sy; Fq12 f;
+              bool live, done; };
   std::vector<St> st(n);
   uint64_t live = 0;
   for (uint64_t i = 0; i < n; ++i) {
@@ -424,76 +447,128 @@ static Fq12 miller_batch(const uint8_t* g1s, const uint8_t* g2s,
     s.done = false;
     s.live = !inf[i];
     if (!s.live) continue;
-    s.xp = fq_read(g1s + 64 * i); s.yp = fq_read(g1s + 64 * i + 32);
+    Fq xp = fq_read(g1s + 64 * i);
+    s.yp = fq_read(g1s + 64 * i + 32);
+    s.nxp = fq_neg(xp);
     s.xq = f2_read(g2s + 128 * i); s.yq = f2_read(g2s + 128 * i + 64);
-    s.tx = s.xp; s.ty = s.yp;
+    s.tx = s.xq; s.ty = s.yq;
     ++live;
   }
   if (!live) return f12_one();
-  std::vector<Fq> dens(n), prefix(n), invs(n);
 
-  auto batch_inv = [&](int which /*0 = 2*ty, 1 = tx - xp*/) {
-    // prefix-product batch inversion over active lanes
+  std::vector<Fq2> dens(n);
+  std::vector<Fq> norms(n), prefix(n);
+  std::vector<Fq2> invs(n);
+
+  // batch-invert dens[] over active lanes (done/degenerate handled by
+  // the caller); den == 0 lanes must be filtered before calling.
+  auto batch_f2_inv = [&]() {
     uint64_t m = 0;
     static thread_local std::vector<uint64_t> idx;
     idx.clear();
     for (uint64_t i = 0; i < n; ++i) {
       St& s = st[i];
       if (!s.live || s.done) continue;
-      dens[m] = which == 0 ? fq_add(s.ty, s.ty) : fq_sub(s.tx, s.xp);
-      prefix[m] = m ? fq_mul(prefix[m - 1], dens[m]) : dens[m];
+      norms[m] = fq_add(fq_sqr(dens[i].a), fq_sqr(dens[i].b));
+      prefix[m] = m ? fq_mul(prefix[m - 1], norms[m]) : norms[m];
       idx.push_back(i);
       ++m;
     }
     if (!m) return;
     Fq run = fq_inv(prefix[m - 1]);
     for (uint64_t k = m; k-- > 0;) {
-      invs[idx[k]] = k ? fq_mul(run, prefix[k - 1]) : run;
-      run = fq_mul(run, dens[k]);
+      Fq ninv = k ? fq_mul(run, prefix[k - 1]) : run;
+      run = fq_mul(run, norms[k]);
+      uint64_t i = idx[k];
+      invs[i] = f2(fq_mul(dens[i].a, ninv),
+                   fq_neg(fq_mul(dens[i].b, ninv)));
     }
   };
 
-  for (const char* b = R_BITS; *b; ++b) {
-    batch_inv(0);
+  auto dbl_step = [&](bool with_sqr) {
     for (uint64_t i = 0; i < n; ++i) {
       St& s = st[i];
       if (!s.live || s.done) continue;
-      Fq lam = fq_mul(fq_mul(fq_add(fq_add(s.tx, s.tx), s.tx), s.tx),
-                      invs[i]);
-      Fq c = fq_sub(fq_mul(lam, s.tx), s.ty);
-      s.f = f12_mul_line(f12_sqr(s.f), f2(c, fq_zero()),
-                         f2_mul_fq(s.xq, fq_neg(lam)), s.yq);
-      Fq x3 = fq_sub(fq_sqr(lam), fq_add(s.tx, s.tx));
-      s.ty = fq_sub(fq_mul(lam, fq_sub(s.tx, x3)), s.ty);
+      dens[i] = f2_add(s.ty, s.ty);
+      if (f2_is_zero(dens[i])) s.done = true;   // 2-torsion: vertical
+    }
+    batch_f2_inv();
+    for (uint64_t i = 0; i < n; ++i) {
+      St& s = st[i];
+      if (!s.live || s.done) continue;
+      Fq2 tx2 = f2_sqr(s.tx);
+      Fq2 lam = f2_mul(f2_add(f2_add(tx2, tx2), tx2), invs[i]);
+      Fq2 C = f2_sub(f2_mul(lam, s.tx), s.ty);
+      Fq2 B = f2_mul_fq(lam, s.nxp);
+      if (with_sqr) s.f = f12_sqr(s.f);
+      s.f = f12_mul_line_ate(s.f, s.yp, B, C);
+      Fq2 x3 = f2_sub(f2_sqr(lam), f2_add(s.tx, s.tx));
+      s.ty = f2_sub(f2_mul(lam, f2_sub(s.tx, x3)), s.ty);
       s.tx = x3;
     }
-    if (*b == '1') {
-      // lanes hitting T == -P stop here (pairing.py break)
-      for (uint64_t i = 0; i < n; ++i) {
-        St& s = st[i];
-        if (!s.live || s.done) continue;
-        if (fq_eq(s.tx, s.xp) && fq_is_zero(fq_add(s.ty, s.yp)))
-          s.done = true;
-      }
-      batch_inv(1);
-      for (uint64_t i = 0; i < n; ++i) {
-        St& s = st[i];
-        if (!s.live || s.done) continue;
-        Fq lam = fq_mul(fq_sub(s.ty, s.yp), invs[i]);
-        Fq c = fq_sub(fq_mul(lam, s.tx), s.ty);
-        s.f = f12_mul_line(s.f, f2(c, fq_zero()),
-                           f2_mul_fq(s.xq, fq_neg(lam)), s.yq);
-        Fq x3 = fq_sub(fq_sub(fq_sqr(lam), s.tx), s.xp);
-        s.ty = fq_sub(fq_mul(lam, fq_sub(s.tx, x3)), s.ty);
-        s.tx = x3;
+  };
+
+  // add T += S (per-lane S in sx/sy), line anchored at T.
+  auto add_step = [&]() {
+    for (uint64_t i = 0; i < n; ++i) {
+      St& s = st[i];
+      if (!s.live || s.done) continue;
+      dens[i] = f2_sub(s.tx, s.sx);
+      if (f2_is_zero(dens[i])) {
+        // T == +-S: vertical chord (T = -S) freezes the lane; T == S
+        // cannot occur in the ate schedule for order-r points and is
+        // treated the same (degenerate, probability ~2^-254 otherwise)
+        s.done = true;
       }
     }
+    batch_f2_inv();
+    for (uint64_t i = 0; i < n; ++i) {
+      St& s = st[i];
+      if (!s.live || s.done) continue;
+      Fq2 lam = f2_mul(f2_sub(s.ty, s.sy), invs[i]);
+      Fq2 C = f2_sub(f2_mul(lam, s.tx), s.ty);
+      Fq2 B = f2_mul_fq(lam, s.nxp);
+      s.f = f12_mul_line_ate(s.f, s.yp, B, C);
+      Fq2 x3 = f2_sub(f2_sub(f2_sqr(lam), s.tx), s.sx);
+      s.ty = f2_sub(f2_mul(lam, f2_sub(s.tx, x3)), s.ty);
+      s.tx = x3;
+    }
+  };
+
+  bool first = true;
+  for (const char* b = ATE_BITS; *b; ++b) {
+    dbl_step(!first);
+    first = false;
+    if (*b == '1') {
+      for (uint64_t i = 0; i < n; ++i) { st[i].sx = st[i].xq; st[i].sy = st[i].yq; }
+      add_step();
+    }
   }
+  // Frobenius endpoints: Q1 = pi(Q), then -pi^2(Q).
+  Fq2 twx = ate_twx(), twy = ate_twy();
+  for (uint64_t i = 0; i < n; ++i) {
+    St& s = st[i];
+    if (!s.live || s.done) continue;
+    s.sx = f2_mul(f2_conj(s.xq), twx);
+    s.sy = f2_mul(f2_conj(s.yq), twy);
+  }
+  add_step();
+  for (uint64_t i = 0; i < n; ++i) {
+    St& s = st[i];
+    if (!s.live || s.done) continue;
+    Fq2 q1x = f2_mul(f2_conj(s.xq), twx);
+    Fq2 q1y = f2_mul(f2_conj(s.yq), twy);
+    s.sx = f2_mul(f2_conj(q1x), twx);
+    s.sy = f2_neg(f2_mul(f2_conj(q1y), twy));
+  }
+  add_step();
+
   Fq12 acc = f12_one();
   for (uint64_t i = 0; i < n; ++i)
     if (st[i].live) acc = f12_mul(acc, st[i].f);
   return acc;
 }
+
 
 // ---------------- G1 Jacobian arithmetic + Pippenger MSM ----------------
 // Production host-side MSM (Dory tier-1 dense rows, opening phase-B cross

