@@ -93,11 +93,83 @@ def _keccak_chain_src(n: int, layout) -> Tuple[str, bytes]:
     return "\n".join(lines) + "\n", bytes(range(8))
 
 
+def _blake2b_chain_src(n: int, layout) -> Tuple[str, bytes]:
+    """Chained Blake2b-256 via the BLAKE2B inline (the reference ladder's
+    blake2b rung, `inlines.md:138`)."""
+    import importlib.util
+    import pathlib
+    spec = importlib.util.spec_from_file_location(
+        "gen_blake2b",
+        pathlib.Path(__file__).resolve().parents[2] / "examples"
+        / "gen_blake2b.py")
+    gen = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gen)
+    src = gen.emit_inline(input_start=layout.input_start,
+                          output_start=layout.output_start,
+                          termination=layout.termination, chain=max(n, 1))
+    return src, bytes(range(32))
+
+
+def _map_ops_src(n: int, layout) -> Tuple[str, bytes]:
+    """Memory-heavy rung (btreemap analog, `e2e_profiling.rs:19-24`):
+    n LCG-keyed inserts/updates into an open-addressing hash table in
+    guest heap (scattered RAM traffic dominates), then a checksum scan."""
+    table = 0x80040000      # 2^14 slots x 16 B = 256 KB in the heap
+    src = f"""
+    li   s0, 0x{table:x}           # slot table (keys at +0, vals at +8)
+    li   s1, {max(n, 1)}           # op counter
+    li   s2, 12345                 # LCG state
+    li   s3, 0x3fff                # slot mask (2^14 slots)
+    li   s4, 6364136223846793005   # LCG multiplier (Knuth)
+    li   s5, 1442695040888963407   # LCG increment
+oploop:
+    mul  s2, s2, s4
+    add  s2, s2, s5
+    ori  t1, s2, 1                 # key (nonzero)
+    srli t2, t1, 17
+    xor  t2, t2, t1
+    and  t2, t2, s3                # home slot
+probe:
+    slli t3, t2, 4
+    add  t3, t3, s0
+    ld   t4, 0(t3)
+    beq  t4, zero, insert
+    beq  t4, t1, update
+    addi t2, t2, 1
+    and  t2, t2, s3
+    j    probe
+insert:
+    sd   t1, 0(t3)
+update:
+    sd   s2, 8(t3)
+    addi s1, s1, -1
+    bne  s1, zero, oploop
+    li   t5, 0                     # checksum over the first 512 keys
+    li   t6, 0
+ckloop:
+    slli t3, t6, 4
+    add  t3, t3, s0
+    ld   t4, 0(t3)
+    add  t5, t5, t4
+    addi t6, t6, 1
+    li   t0, 512
+    bne  t6, t0, ckloop
+    li   t0, {layout.output_start}
+    sd   t5, 0(t0)
+    li   t1, {layout.termination}
+    li   t2, 1
+    sd   t2, 0(t1)
+"""
+    return src, b""
+
+
 WORKLOADS: Dict[str, Tuple[Callable, int, int]] = {
     # name: (builder, probe_iters, default_log2)
     "fib": (_fib_src, 64, 16),
     "sha2-chain": (_sha2_chain_src, 4, 22),
     "keccak-chain": (_keccak_chain_src, 4, 20),
+    "blake2b-chain": (_blake2b_chain_src, 4, 20),
+    "map-ops": (_map_ops_src, 256, 20),
 }
 
 

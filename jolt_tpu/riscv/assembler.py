@@ -71,6 +71,9 @@ _R_OPS = {
     "sha256": (0x0B, 0, 0x00), "sha256init": (0x0B, 1, 0x00),
     # keccak256 rs1 -- permute the 25-lane Keccak state at (rs1)
     "keccak256": (0x0B, 0, 0x01),
+    # blake2b rs1, rs2 -- compress message block + t/f at (rs2) into the
+    # 8-word state at (rs1) (jolt-inlines/blake2/src/lib.rs)
+    "blake2b": (0x0B, 0, 0x02),
 }
 _I_OPS = {
     "addi": (0x13, 0), "slti": (0x13, 2), "sltiu": (0x13, 3), "xori": (0x13, 4),

@@ -432,11 +432,108 @@ def _expand_keccak(b, d) -> None:
     _KeccakBuilder(InlineAsm(b), d.rs1).build()
 
 
+# ---------------------------------------------------------------------------
+# Blake2b compression F (jolt-inlines/blake2/src/sequence_builder.rs)
+# ---------------------------------------------------------------------------
+
+BLAKE2B_SEL = (INLINE_OPCODE, 0x00, 0x02)   # jolt-inlines/blake2/src/lib.rs
+
+# RFC 7693 IV / sigma schedule
+BLAKE2B_IV = [
+    0x6a09e667f3bcc908, 0xbb67ae8584caa73b, 0x3c6ef372fe94f82b,
+    0xa54ff53a5f1d36f1, 0x510e527fade682d1, 0x9b05688c2b3e6c1f,
+    0x1f83d9abfb41bd6b, 0x5be0cd19137e2179,
+]
+BLAKE2B_SIGMA = [
+    [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15],
+    [14, 10, 4, 8, 9, 15, 13, 6, 1, 12, 0, 2, 11, 7, 5, 3],
+    [11, 8, 12, 0, 5, 2, 15, 13, 10, 14, 3, 6, 7, 1, 9, 4],
+    [7, 9, 3, 1, 13, 12, 11, 14, 2, 6, 5, 10, 4, 0, 15, 8],
+    [9, 0, 5, 7, 2, 4, 10, 15, 14, 1, 11, 12, 6, 8, 3, 13],
+    [2, 12, 6, 10, 0, 11, 8, 3, 4, 13, 7, 5, 15, 14, 1, 9],
+    [12, 5, 1, 15, 14, 13, 4, 10, 0, 7, 6, 3, 9, 2, 8, 11],
+    [13, 11, 7, 14, 12, 1, 3, 9, 5, 0, 15, 4, 8, 6, 2, 10],
+    [6, 15, 14, 9, 11, 3, 0, 8, 12, 2, 13, 7, 1, 4, 10, 5],
+    [10, 2, 8, 4, 7, 6, 1, 5, 15, 11, 9, 14, 3, 12, 13, 0],
+    [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15],
+    [14, 10, 4, 8, 9, 15, 13, 6, 1, 12, 0, 2, 11, 7, 5, 3],
+]
+
+
+class _Blake2bBuilder:
+    """One Blake2b compression F(h, m, t, f).
+
+    Memory ABI (jolt-inlines/blake2: `execute_blake2b_compression` over
+    `message_words[18]`): state h = 8 u64 at (rs1), message block at
+    (rs2): m[0..15], then the byte counter t at +128 and the final-block
+    flag f IN {0, 1} at +136.  Output h' overwrites (rs1).
+
+    The working vector v[8..15] starts as the RFC 7693 IV constants --
+    Imm values under the builder's fold discipline, so the first G
+    applications burn no rows materializing them."""
+
+    def __init__(self, asm: InlineAsm, rs1: int, rs2: int):
+        self.asm = asm
+        self.rs1 = rs1
+        self.rs2 = rs2
+
+    def _g(self, v, vreg, a, b, c, d, mx, my) -> None:
+        asm = self.asm
+        v[a] = asm.add(asm.add(v[a], v[b], vreg[a]), Reg(mx), vreg[a])
+        v[d] = asm.rotri64(asm.xor(v[d], v[a], vreg[d]), 32, vreg[d])
+        v[c] = asm.add(v[c], v[d], vreg[c])
+        v[b] = asm.rotri64(asm.xor(v[b], v[c], vreg[b]), 24, vreg[b])
+        v[a] = asm.add(asm.add(v[a], v[b], vreg[a]), Reg(my), vreg[a])
+        v[d] = asm.rotri64(asm.xor(v[d], v[a], vreg[d]), 16, vreg[d])
+        v[c] = asm.add(v[c], v[d], vreg[c])
+        v[b] = asm.rotri64(asm.xor(v[b], v[c], vreg[b]), 63, vreg[b])
+
+    def build(self) -> None:
+        asm = self.asm
+        h = [asm.tmp() for _ in range(8)]
+        m = [asm.tmp() for _ in range(16)]
+        vreg = [asm.tmp() for _ in range(16)]
+        s1, s2 = asm.tmp(), asm.tmp()
+        for i in range(8):
+            asm.b.emit("LD", rd=h[i], rs1=self.rs1, imm=8 * i)
+        for i in range(16):
+            asm.b.emit("LD", rd=m[i], rs1=self.rs2, imm=8 * i)
+        t = asm.tmp()
+        f = asm.tmp()
+        asm.b.emit("LD", rd=t, rs1=self.rs2, imm=128)
+        asm.b.emit("LD", rd=f, rs1=self.rs2, imm=136)
+        v = ([Reg(h[i]) for i in range(8)]
+             + [Imm(BLAKE2B_IV[i]) for i in range(8)])
+        v[12] = asm.xor(v[12], Reg(t), vreg[12])
+        # f in {0,1}: mask = 0 - f (all-ones when final); v14 ^= mask
+        asm.b.emit("SUB", rd=s1, rs1=0, rs2=f)
+        v[14] = asm.xor(v[14], Reg(s1), vreg[14])
+        for rnd in range(12):
+            s = BLAKE2B_SIGMA[rnd]
+            self._g(v, vreg, 0, 4, 8, 12, m[s[0]], m[s[1]])
+            self._g(v, vreg, 1, 5, 9, 13, m[s[2]], m[s[3]])
+            self._g(v, vreg, 2, 6, 10, 14, m[s[4]], m[s[5]])
+            self._g(v, vreg, 3, 7, 11, 15, m[s[6]], m[s[7]])
+            self._g(v, vreg, 0, 5, 10, 15, m[s[8]], m[s[9]])
+            self._g(v, vreg, 1, 6, 11, 12, m[s[10]], m[s[11]])
+            self._g(v, vreg, 2, 7, 8, 13, m[s[12]], m[s[13]])
+            self._g(v, vreg, 3, 4, 9, 14, m[s[14]], m[s[15]])
+        for i in range(8):
+            x = asm.xor(v[i], v[i + 8], s1)
+            out = asm.xor(Reg(h[i]), x, s2)
+            asm.b.emit("SD", rs1=self.rs1, rs2=out[1], imm=8 * i)
+
+
+def _expand_blake2b(b, d) -> None:
+    _Blake2bBuilder(InlineAsm(b), d.rs1, d.rs2).build()
+
+
 # registry: (opcode, funct3, funct7) -> expansion fn(builder, decoded)
 INLINE_REGISTRY: Dict[Tuple[int, int, int], object] = {
     SHA256_SEL: lambda b, d: _expand_sha256(b, d, initial=False),
     SHA256_INIT_SEL: lambda b, d: _expand_sha256(b, d, initial=True),
     KECCAK256_SEL: lambda b, d: _expand_keccak(b, d),
+    BLAKE2B_SEL: lambda b, d: _expand_blake2b(b, d),
 }
 
 
