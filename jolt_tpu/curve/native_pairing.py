@@ -74,6 +74,16 @@ def load():
                 ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
                 ctypes.c_char_p, ctypes.c_char_p, ctypes.c_uint64,
                 ctypes.c_char_p, ctypes.c_char_p]
+            lib.jolt_fr_fold.argtypes = [
+                ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+                ctypes.c_uint64, ctypes.c_char_p]
+            lib.jolt_fr_dot.argtypes = [
+                ctypes.c_char_p, ctypes.c_char_p, ctypes.c_uint64,
+                ctypes.c_char_p]
+            lib.jolt_fr_rlc_rows.argtypes = [
+                ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+                ctypes.c_char_p, ctypes.c_uint64, ctypes.c_char_p,
+                ctypes.c_char_p]
             _lib = lib
         except Exception:
             _lib = False
@@ -290,3 +300,61 @@ def g1_fold_batch(a, b, scalars):
     lib.jolt_g1_fold_batch(ab, ai, bb, bi, sc, n, out, oinf)
     return [_g1_dec(out.raw[64 * i:64 * (i + 1)], oinf.raw[i])
             for i in range(n)]
+
+
+# ---- Fr (scalar-field) vector kernels -------------------------------------
+# The Dory opening's phase-B folds / inner products and combined-row build
+# (canonical little-endian 32-byte lanes in C; int lists at this boundary).
+
+def _fr_bytes(vals) -> bytes:
+    return b"".join(int(v % R).to_bytes(32, "little") for v in vals)
+
+
+def _fr_ints(buf: bytes):
+    return [int.from_bytes(buf[32 * i:32 * (i + 1)], "little")
+            for i in range(len(buf) // 32)]
+
+
+def fr_fold(a, b, alpha: int):
+    """[alpha * a_i + b_i] mod r; None when the library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    n = len(a)
+    out = ctypes.create_string_buffer(32 * n)
+    lib.jolt_fr_fold(_fr_bytes(a), _fr_bytes(b),
+                     int(alpha % R).to_bytes(32, "little"), n, out)
+    return _fr_ints(out.raw)
+
+
+def fr_dot(a, b):
+    """sum_i a_i * b_i mod r; None when unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    n = len(a)
+    out = ctypes.create_string_buffer(32)
+    lib.jolt_fr_dot(_fr_bytes(a), _fr_bytes(b), n, out)
+    return int.from_bytes(out.raw, "little")
+
+
+def fr_combined_row(parts, L, ncols: int, sigma: int):
+    """Combined row s of the sparse RLC matrix: for every part
+    (positions int64 array, weight w, values|None),
+        s[pos & (ncols-1)] += w * L[pos >> sigma] * (value or 1).
+    Returns the length-ncols int list, or None when unavailable."""
+    import numpy as np
+    lib = load()
+    if lib is None:
+        return None
+    acc = ctypes.create_string_buffer(32 * ncols)
+    L_b = _fr_bytes(L)
+    for positions, w, values in parts:
+        pos = np.ascontiguousarray(positions, np.int64)
+        rows = (pos >> sigma).astype(np.uint32)
+        cols = (pos & (ncols - 1)).astype(np.uint32)
+        vb = None if values is None else _fr_bytes(values)
+        lib.jolt_fr_rlc_rows(rows.tobytes(), cols.tobytes(), vb,
+                             int(w % R).to_bytes(32, "little"),
+                             len(pos), L_b, acc)
+    return _fr_ints(acc.raw)

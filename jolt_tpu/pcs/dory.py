@@ -430,14 +430,18 @@ class Dory:
     def open(self, coeffs, hint: DoryHint,
              point: Sequence[int], value: int,
              transcript: Blake2bTranscript) -> DoryProof:
-        """coeffs: dense int list, or a sparse (positions int64 array,
-        values list) pair -- only the combined-row build touches
-        coefficients, so sparse inputs make the opening O(nnz), never
-        O(2^num_vars)."""
+        """coeffs: dense int list, a sparse (positions int64 array,
+        values list) pair, or a LIST of weighted sparse parts
+        [(positions, weight, values|None)] (the stage-8 RLC) -- only the
+        combined-row build touches coefficients, so sparse inputs make
+        the opening O(nnz), never O(2^num_vars)."""
         s = self.setup
         n = s.num_vars
+        parts = coeffs if isinstance(coeffs, list) and coeffs \
+            and isinstance(coeffs[0], tuple) and len(coeffs[0]) == 3 \
+            else None
         sparse = isinstance(coeffs, tuple)
-        if not sparse:
+        if not sparse and parts is None:
             coeffs = list(coeffs) + [0] * ((1 << n) - len(coeffs))
         r_row, r_col = point[:s.nu], point[s.nu:]
         L = _eq_tensor(r_row)
@@ -500,23 +504,39 @@ class Dory:
         transcript.append_bytes(b"dory_fin", _g2_bytes(v2[0]))
 
         # ---- phase B: fold s against (Gamma1, R) -----------------------
-        sv = [0] * cols
-        if sparse:
-            positions, values = coeffs
-            for pos, c in zip(positions.tolist(), values):
-                if c:
-                    li = L[pos >> s.sigma]
-                    if li:
-                        jj = pos & (cols - 1)
-                        sv[jj] = (sv[jj] + li * c) % P
-        else:
-            for i, li in enumerate(L):
-                if li:
-                    base = i * cols
-                    for jj in range(cols):
-                        c = coeffs[base + jj]
+        # combined row s = L^T M: native mod-r kernels carry the per-entry
+        # accumulation and the per-round vector folds / inner products
+        # (the Python loops here were the dominant opening cost at 2^18)
+        sv = None
+        if parts is not None:
+            sv = _np.fr_combined_row(parts, L, cols, s.sigma)
+        if sv is None:
+            sv = [0] * cols
+            if parts is not None:
+                for positions, w, values in parts:
+                    for i, pos in enumerate(positions.tolist()):
+                        c = w if values is None else w * values[i] % P
                         if c:
+                            li = L[pos >> s.sigma]
+                            if li:
+                                jj = pos & (cols - 1)
+                                sv[jj] = (sv[jj] + li * c) % P
+            elif sparse:
+                positions, values = coeffs
+                for pos, c in zip(positions.tolist(), values):
+                    if c:
+                        li = L[pos >> s.sigma]
+                        if li:
+                            jj = pos & (cols - 1)
                             sv[jj] = (sv[jj] + li * c) % P
+            else:
+                for i, li in enumerate(L):
+                    if li:
+                        base = i * cols
+                        for jj in range(cols):
+                            c = coeffs[base + jj]
+                            if c:
+                                sv[jj] = (sv[jj] + li * c) % P
         gam = list(s.gamma1)
         Rv = list(R)
         b_xl, b_xr, b_yl, b_yr = [], [], [], []
@@ -524,8 +544,12 @@ class Dory:
             h = len(sv) // 2
             xl = host.g1_msm_pippenger(gam[h:], sv[:h])
             xr = host.g1_msm_pippenger(gam[:h], sv[h:])
-            yl = sum(a * b for a, b in zip(sv[:h], Rv[h:])) % P
-            yr = sum(a * b for a, b in zip(sv[h:], Rv[:h])) % P
+            yl = _np.fr_dot(sv[:h], Rv[h:])
+            if yl is None:
+                yl = sum(a * b for a, b in zip(sv[:h], Rv[h:])) % P
+                yr = sum(a * b for a, b in zip(sv[h:], Rv[:h])) % P
+            else:
+                yr = _np.fr_dot(sv[h:], Rv[:h])
             transcript.append_bytes(b"dory_b", _g1_bytes(xl))
             transcript.append_bytes(b"dory_b", _g1_bytes(xr))
             transcript.append_scalar(b"dory_b", yl)
@@ -536,12 +560,16 @@ class Dory:
             b_yr.append(yr)
             alpha = transcript.challenge_scalar()
             ainv = pow(alpha, -1, P)
-            sv = [(alpha * a + b) % P for a, b in zip(sv[:h], sv[h:])]
+            svn = _np.fr_fold(sv[:h], sv[h:], alpha)
+            sv = (svn if svn is not None
+                  else [(alpha * a + b) % P for a, b in zip(sv[:h], sv[h:])])
             gamn = _np.g1_fold_batch(gam[h:], gam[:h], [ainv] * h)
             gam = (gamn if gamn is not None
                    else [host.g1_add(host.g1_mul(a, ainv), b)
                          for a, b in zip(gam[:h], gam[h:])])
-            Rv = [(ainv * a + b) % P for a, b in zip(Rv[:h], Rv[h:])]
+            Rvn = _np.fr_fold(Rv[:h], Rv[h:], ainv)
+            Rv = (Rvn if Rvn is not None
+                  else [(ainv * a + b) % P for a, b in zip(Rv[:h], Rv[h:])])
         transcript.append_scalar(b"dory_bs", sv[0])
 
         return DoryProof(e1=e1, a_d1l=a_d1l, a_d1r=a_d1r, a_d2l=a_d2l,

@@ -77,6 +77,14 @@ class HyperKZGScheme:
             for pos, v in zip(positions.tolist(), values):
                 dense[pos] = (dense[pos] + v) % P
             rlc = dense
+        elif isinstance(rlc, list) and rlc and isinstance(rlc[0], tuple) \
+                and len(rlc[0]) == 3:   # weighted parts (stage-8 RLC)
+            dense = [0] * (1 << len(point))
+            for positions, w, values in rlc:
+                for i, pos in enumerate(positions.tolist()):
+                    v = w if values is None else w * values[i] % P
+                    dense[pos] = (dense[pos] + v) % P
+            rlc = dense
         return self.pcs.open(rlc, point, value, transcript)
 
     def combine(self, commitments: Dict[str, object],

@@ -893,19 +893,14 @@ def prove(trace: Trace, setup=None, _transcript=None, zk: bool = False,
             value = (value + mup * o % P
                      * embedding_factor(r8, len(pt))) % P
             mup = mup * mu % P
-        # sparse RLC: concatenated (position, w * value) pairs -- duplicate
-        # positions combine additively inside the opening
-        pos_parts, val_parts = [], []
-        for cname, w in weights.items():
-            positions, values, _ = committed_sparse[cname]
-            pos_parts.append(positions)
-            if values is None:
-                val_parts.append([w] * len(positions))
-            else:
-                val_parts.append([w * v % P for v in values])
-        rlc_sparse = (_np.concatenate(pos_parts),
-                      [v for part in val_parts for v in part])
-        opening_proofs["joint"] = pcs.open_rlc(weights, rlc_sparse, r8,
+        # sparse RLC as weighted PARTS [(positions, w, values|None)]:
+        # duplicate positions combine additively inside the opening, and
+        # the combined-row build runs on the native mod-r kernel without
+        # materializing per-entry weighted values
+        rlc_parts = [(committed_sparse[cname][0], w,
+                      committed_sparse[cname][1])
+                     for cname, w in weights.items()]
+        opening_proofs["joint"] = pcs.open_rlc(weights, rlc_parts, r8,
                                                value, transcript)
 
     _mark("stage8-openings")

@@ -974,3 +974,146 @@ void jolt_fq12_mul(const uint8_t* a, const uint8_t* b, uint8_t* out) {
 }
 
 }  // extern "C"
+
+// ---------------- Fr (BN254 scalar field) vector kernels ----------------
+// The Dory opening's phase-B folds / inner products and the combined-row
+// build were Python big-int loops (tens of seconds per opening at 2^18);
+// these kernels do the same mod-r arithmetic on 4x u64 limbs.
+// I/O convention: CANONICAL little-endian 32-byte scalars.  Internally a
+// single Montgomery factor rides the constant operand, so per-element
+// cost is one CIOS multiply: mont_mul(x_canonical, c*R) = x*c canonical.
+
+static const u64 FRL[4] = {0x43e1f593f0000001ull, 0x2833e84879b97091ull,
+                           0xb85045b68181585dull, 0x30644e72e131a029ull};
+static const u64 FR_R2[4] = {0x1bb8e645ae216da7ull, 0x53fe3ab1e35c59e3ull,
+                             0x8c49833d53bb8085ull, 0x0216d0b17f4e44a5ull};
+static const u64 FR_N0 = 0xc2e1f593efffffffull;
+
+struct Fr { u64 l[4]; };
+
+static inline bool fr_geq_r(const u64 a[4]) {
+  for (int i = 3; i >= 0; --i) {
+    if (a[i] > FRL[i]) return true;
+    if (a[i] < FRL[i]) return false;
+  }
+  return true;
+}
+static inline void fr_sub_r(u64 a[4]) {
+  u128 bor = 0;
+  for (int i = 0; i < 4; ++i) {
+    u128 d = (u128)a[i] - FRL[i] - bor;
+    a[i] = (u64)d; bor = (d >> 64) & 1;
+  }
+}
+static inline Fr fr_add(const Fr& a, const Fr& b) {
+  Fr r; u128 c = 0;
+  for (int i = 0; i < 4; ++i) {
+    u128 s = (u128)a.l[i] + b.l[i] + c;
+    r.l[i] = (u64)s; c = s >> 64;
+  }
+  if (c || fr_geq_r(r.l)) fr_sub_r(r.l);
+  return r;
+}
+static Fr fr_mul(const Fr& a, const Fr& b) {   // CIOS, mirrors fq_mul
+  u64 t[6] = {0, 0, 0, 0, 0, 0};
+  for (int i = 0; i < 4; ++i) {
+    u128 c = 0;
+    for (int j = 0; j < 4; ++j) {
+      u128 s = (u128)t[j] + (u128)a.l[i] * b.l[j] + c;
+      t[j] = (u64)s; c = s >> 64;
+    }
+    u128 s = (u128)t[4] + c;
+    t[4] = (u64)s; t[5] = (u64)(s >> 64);
+    u64 m = t[0] * FR_N0;
+    c = ((u128)t[0] + (u128)m * FRL[0]) >> 64;
+    for (int j = 1; j < 4; ++j) {
+      u128 s2 = (u128)t[j] + (u128)m * FRL[j] + c;
+      t[j - 1] = (u64)s2; c = s2 >> 64;
+    }
+    s = (u128)t[4] + c;
+    t[3] = (u64)s;
+    t[4] = t[5] + (u64)(s >> 64);
+    t[5] = 0;
+  }
+  Fr r;
+  memcpy(r.l, t, 32);
+  if (t[4] || fr_geq_r(r.l)) fr_sub_r(r.l);
+  return r;
+}
+static inline Fr fr_read(const uint8_t* p) { Fr a; memcpy(a.l, p, 32); return a; }
+static inline void fr_write(const Fr& a, uint8_t* p) { memcpy(p, a.l, 32); }
+static inline Fr fr_to_mont(const Fr& a) {
+  Fr r2; memcpy(r2.l, FR_R2, 32);
+  return fr_mul(a, r2);
+}
+
+extern "C" {
+
+// out[i] = alpha * a[i] + b[i]  (canonical 32B LE lanes; threaded)
+void jolt_fr_fold(const uint8_t* a, const uint8_t* b, const uint8_t* alpha,
+                  u64 n, uint8_t* out) {
+  Fr am = fr_to_mont(fr_read(alpha));
+  unsigned hw = std::thread::hardware_concurrency();
+  u64 nt = hw ? (hw < 8 ? hw : 8) : 1;
+  if (nt > n / 4096) nt = n / 4096 ? n / 4096 : 1;
+  auto run = [&](u64 lo, u64 hi) {
+    for (u64 i = lo; i < hi; ++i)
+      fr_write(fr_add(fr_mul(fr_read(a + 32 * i), am), fr_read(b + 32 * i)),
+               out + 32 * i);
+  };
+  if (nt <= 1) { run(0, n); return; }
+  std::vector<std::thread> ts;
+  u64 chunk = (n + nt - 1) / nt;
+  for (u64 t = 0; t < nt; ++t) {
+    u64 lo = t * chunk, hi = lo + chunk > n ? n : lo + chunk;
+    if (lo < hi) ts.emplace_back(run, lo, hi);
+  }
+  for (auto& th : ts) th.join();
+}
+
+// out32 = sum_i a[i] * b[i]  (canonical)
+void jolt_fr_dot(const uint8_t* a, const uint8_t* b, u64 n, uint8_t* out) {
+  unsigned hw = std::thread::hardware_concurrency();
+  u64 nt = hw ? (hw < 8 ? hw : 8) : 1;
+  if (nt > n / 4096) nt = n / 4096 ? n / 4096 : 1;
+  std::vector<Fr> parts(nt);
+  auto run = [&](u64 t, u64 lo, u64 hi) {
+    Fr acc; memset(acc.l, 0, 32);
+    for (u64 i = lo; i < hi; ++i)
+      acc = fr_add(acc, fr_mul(fr_read(a + 32 * i), fr_read(b + 32 * i)));
+    parts[t] = acc;
+  };
+  if (nt <= 1) run(0, 0, n);
+  else {
+    std::vector<std::thread> ts;
+    u64 chunk = (n + nt - 1) / nt;
+    for (u64 t = 0; t < nt; ++t) {
+      u64 lo = t * chunk, hi = lo + chunk > n ? n : lo + chunk;
+      ts.emplace_back(run, t, lo, hi);
+    }
+    for (auto& th : ts) th.join();
+  }
+  Fr acc; memset(acc.l, 0, 32);
+  for (u64 t = 0; t < nt; ++t) acc = fr_add(acc, parts[t]);
+  // lanes multiplied as mont_mul(a, b) = a*b*R^-1; fix with one *R^2*R^-1
+  fr_write(fr_to_mont(acc), out);
+}
+
+// Combined-row accumulation for one sparse RLC part:
+//   acc[cols[i]] += w * L[rows[i]] * (vals ? vals[i] : 1)
+// (vals may be NULL -- the one-hot fast path).  Canonical I/O; the
+// Montgomery factors ride the scalar w.
+void jolt_fr_rlc_rows(const uint32_t* rows, const uint32_t* cols,
+                      const uint8_t* vals, const uint8_t* w, u64 n,
+                      const uint8_t* L, uint8_t* acc) {
+  Fr wm = fr_to_mont(fr_read(w));
+  if (vals) wm = fr_to_mont(wm);   // two pending R^-1 factors
+  for (u64 i = 0; i < n; ++i) {
+    Fr term = fr_mul(fr_read(L + 32ull * rows[i]), wm);
+    if (vals) term = fr_mul(term, fr_read(vals + 32 * i));
+    Fr s = fr_add(fr_read(acc + 32ull * cols[i]), term);
+    fr_write(s, acc + 32ull * cols[i]);
+  }
+}
+
+}  // extern "C"
