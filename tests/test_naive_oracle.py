@@ -323,3 +323,127 @@ def test_onehot_table_eval_matches_naive(tiny):
     naive.degree = prod.degree
     assert prod.input_claim(None) == claim
     assert _roundpolys(prod) == _roundpolys(naive)
+
+
+def test_spartan_outer_matches_naive(tiny):
+    """Stage-1 post-skip sumcheck: sum_idx E * (Az*Bz - Cz) over the
+    (group, cycle) hypercube, gated against the Expr interpreter with the
+    instance's own bound matrices as dense leaves."""
+    from jolt_tpu.relations.spartan_outer import (SpartanOuterProver,
+                                                  num_stage1_rounds,
+                                                  prove_uniskip)
+    from jolt_tpu.witness.r1cs_inputs import extract_r1cs_inputs
+    tr, wit, sched, rng = tiny
+    inputs = extract_r1cs_inputs(tr)
+    log_T = inputs.T.bit_length() - 1
+    tau = [rng.randrange(P) for _ in range(2 + log_T)]
+    t_fix = Blake2bTranscript(b"naive-outer")
+    cols_dev, _c, r0, claim1, l_scale = prove_uniskip(inputs, tau, t_fix)
+    prod = SpartanOuterProver(inputs, tau[1:], r0, claim1, l_scale,
+                              cols_dev)
+    leaves = {
+        "e": _fetch(prod.E),
+        "az": _fetch(prod.AZ),
+        "bz": _fetch(prod.BZ),
+        "cz": _fetch(prod.CZ),
+    }
+    expr = Poly("e") * (Poly("az") * Poly("bz")
+                        + Const(P - 1) * Poly("cz"))
+    naive = NaiveExprProver(expr, leaves)
+    naive.degree = prod.degree
+    # the uni-skip output claim IS the hypercube sum of the bound matrices
+    assert naive.input_claim(None) == claim1 % P
+    assert _roundpolys(prod) == _roundpolys(naive)
+
+
+def test_spartan_shift_matches_naive(tiny):
+    """PC-chaining shift sumcheck: sum_j W'(r_cycle, j) * COL(j) with the
+    clamped-shift weight table as a dense leaf."""
+    from jolt_tpu.relations.shift import (SHIFT_COLUMNS, ShiftSumcheck,
+                                          shift_column_values,
+                                          shift_weight_evals)
+    from jolt_tpu.witness.bytecode import extract_bytecode_witness
+    tr, wit, sched, rng = tiny
+    bc_wit = extract_bytecode_witness(tr)
+    gamma = rng.randrange(P)
+    r_cyc = [rng.randrange(P) for _ in range(tr.log_T)]
+    cols = shift_column_values(bc_wit.table, bc_wit.pc_idx, gamma)
+    W = _fetch(shift_weight_evals(r_cyc))
+    leaves = {"w": W, "cols": [v % P for v in cols]}
+    expr = Poly("w") * Poly("cols")
+    S = sum_over_hypercube(expr, leaves, {})
+
+    prod = ShiftSumcheck(cols, r_cyc, gamma)
+    # seed the five next_* claims so the gamma combination equals S
+    acc = OpeningAccumulator()
+    for m, (name, _) in enumerate(SHIFT_COLUMNS):
+        acc.insert(("r1cs_input", name), (), S if m == 0 else 0)
+    assert prod.input_claim(acc) == S
+    t1 = Blake2bTranscript(b"naive-gate")
+    polys_p, _ = BatchedSumcheck.prove([prod], acc, t1)
+
+    naive = NaiveExprProver(expr, leaves)
+    naive.degree = prod.degree
+    assert polys_p == _roundpolys(naive)
+
+
+def test_instruction_read_raf_output_claims_bruteforce(tiny):
+    """Independent oracle for the 2^128-index instruction Shout: the
+    hypercube interpreter cannot enumerate K = 2^128, so instead every
+    OUTPUT claim of the production instance is recomputed from first
+    principles on the host -- ra_i openings as one-hot chunk MLEs,
+    lookup-table flags as eq-weighted indicator sums -- closing the same
+    kernel_naive_equivalence intent at the claim layer."""
+    from jolt_tpu.lookups import tables as LT2
+    from jolt_tpu.relations.instruction_read_raf import InstructionReadRaf
+    from jolt_tpu.witness.instruction_lookups import (
+        D as LK_D2, extract_instruction_lookup_witness)
+    from jolt_tpu.witness.r1cs_inputs import extract_r1cs_inputs
+    tr, wit, sched, rng = tiny
+    inputs = extract_r1cs_inputs(tr)
+    lk_wit = extract_instruction_lookup_witness(tr, inputs)
+    T = inputs.T
+    log_T = T.bit_length() - 1
+    r_cyc = [rng.randrange(P) for _ in range(log_T)]
+    gamma = rng.randrange(P)
+    E = _fetch(eq_mod.evals(r_cyc))
+
+    def col(name):
+        from jolt_tpu.witness.r1cs_inputs import VAR_NAMES
+        return [int(v) % P for v in inputs.col(VAR_NAMES.index(name))]
+
+    rv = sum(E[j] * v for j, v in enumerate(col("lookup_output"))) % P
+    lv = sum(E[j] * v
+             for j, v in enumerate(col("left_lookup_operand"))) % P
+    rvv = sum(E[j] * v
+              for j, v in enumerate(col("right_lookup_operand"))) % P
+
+    inst = InstructionReadRaf(lk_wit, gamma, r_cyc, rv, lv, rvv)
+    acc = OpeningAccumulator()
+    t = Blake2bTranscript(b"naive-gate")
+    BatchedSumcheck.prove([inst], acc, t)
+
+    for i in range(LK_D2):
+        pt, claim = acc.openings[("instr_ra", i)]
+        pc, pa = list(pt[:log_T]), list(pt[log_T:])
+        Ec = _fetch(eq_mod.evals(pc))
+        want = 0
+        for j in range(T):
+            k = int(lk_wit.chunks[i][j])
+            a = 1
+            for b, q in enumerate(pa):
+                bit = (k >> (len(pa) - 1 - b)) & 1
+                a = a * (q if bit else (1 - q) % P) % P
+            want = (want + Ec[j] * a) % P
+        assert claim == want, f"ra{i} opening diverges from brute force"
+
+    # lookup-table flag claims: eq-weighted indicators over cycles
+    r_lk = acc.get_point(("instr_flag", LT2.TABLE_NAMES[0]))
+    Ef = _fetch(eq_mod.evals(list(r_lk)))
+    for tname in LT2.TABLE_NAMES:
+        want = 0
+        for j in range(T):
+            if lk_wit.table_ids[j] == LT2.TABLE_NAMES.index(tname):
+                want = (want + Ef[j]) % P
+        got = acc.get_claim(("instr_flag", tname))
+        assert got == want, f"flag {tname} diverges from brute force"
