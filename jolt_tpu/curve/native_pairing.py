@@ -84,6 +84,11 @@ def load():
                 ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
                 ctypes.c_char_p, ctypes.c_uint64, ctypes.c_char_p,
                 ctypes.c_char_p]
+            lib.jolt_g1_fold_glv.argtypes = [
+                ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+                ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int,
+                ctypes.c_char_p, ctypes.c_int, ctypes.c_uint64,
+                ctypes.c_char_p, ctypes.c_char_p]
             _lib = lib
         except Exception:
             _lib = False
@@ -286,18 +291,46 @@ def g1_segment_sums(base_buf: bytes, col, seg_off):
             for i in range(ns)]
 
 
+# GLV endomorphism constants (BN254: phi(x,y) = (beta*x, y) acts as
+# multiplication by lambda; lattice basis gives |k1|,|k2| < 2^127)
+_GLV_LAM = 4407920970296243842393367215006156084916469457145843978461
+_GLV_A1, _GLV_B1 = 9931322734385697763, -147946756881789319000765030803803410728
+_GLV_A2, _GLV_B2 = 147946756881789319010696353538189108491, 9931322734385697763
+
+
+def _glv_decompose(k: int):
+    """k = k1 + k2*lambda (mod r) with short k1, k2 (signed)."""
+    k %= R
+    c1 = (_GLV_B2 * k + R // 2) // R
+    c2 = (-_GLV_B1 * k + R // 2) // R
+    k1 = k - c1 * _GLV_A1 - c2 * _GLV_A2
+    k2 = -c1 * _GLV_B1 - c2 * _GLV_B2
+    return k1, k2
+
+
 def g1_fold_batch(a, b, scalars):
-    """[a_i + s_i * b_i] over G1 lanes; None when unavailable."""
+    """[a_i + s_i * b_i] over G1 lanes; None when unavailable.
+
+    Shared-scalar calls (every Dory fold site) take the GLV fast path:
+    one lattice decomposition, then a 128-bit Shamir ladder per lane."""
     lib = load()
     if lib is None:
         return None
     n = len(a)
     ab, ai = _g1_enc_many(a)
     bb, bi = _g1_enc_many(b)
-    sc = b"".join((s % R).to_bytes(32, "little") for s in scalars)
     out = ctypes.create_string_buffer(64 * n)
     oinf = ctypes.create_string_buffer(n)
-    lib.jolt_g1_fold_batch(ab, ai, bb, bi, sc, n, out, oinf)
+    s0 = scalars[0] % R
+    if all(s % R == s0 for s in scalars):
+        k1, k2 = _glv_decompose(s0)
+        lib.jolt_g1_fold_glv(ab, ai, bb, bi,
+                             abs(k1).to_bytes(16, "little"), int(k1 < 0),
+                             abs(k2).to_bytes(16, "little"), int(k2 < 0),
+                             n, out, oinf)
+    else:
+        sc = b"".join((s % R).to_bytes(32, "little") for s in scalars)
+        lib.jolt_g1_fold_batch(ab, ai, bb, bi, sc, n, out, oinf)
     return [_g1_dec(out.raw[64 * i:64 * (i + 1)], oinf.raw[i])
             for i in range(n)]
 
@@ -358,3 +391,22 @@ def fr_combined_row(parts, L, ncols: int, sigma: int):
                              int(w % R).to_bytes(32, "little"),
                              len(pos), L_b, acc)
     return _fr_ints(acc.raw)
+
+
+def g1_msm_enc(base_buf: bytes, scalars, offset: int = 0):
+    """MSM over PRE-ENCODED affine bases (a `g1_enc_bases` buffer,
+    optionally starting at point index `offset`): skips the per-call
+    point re-encoding that dominated dense Dory commits.  Zero scalars
+    are skipped natively.  Returns (point|None,) or None when the
+    library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    n = len(scalars)
+    sc = b"".join(int(s % R).to_bytes(32, "little") for s in scalars)
+    inf = b"\x00" * n
+    out = ctypes.create_string_buffer(64)
+    oinf = ctypes.create_string_buffer(1)
+    view = base_buf[64 * offset:64 * (offset + n)]
+    lib.jolt_g1_msm(view, inf, sc, n, out, oinf)
+    return (_g1_dec(out.raw, oinf.raw[0]),)

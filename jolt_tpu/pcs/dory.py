@@ -288,21 +288,31 @@ class Dory:
 
     def commit_rows(self, coeffs: Sequence[int]) -> DoryHint:
         """Tier 1: pay-per-bit row MSMs (zero coefficients and all-zero
-        trailing rows are skipped)."""
+        trailing rows are skipped).  Uses the process-cached pre-encoded
+        generator buffer so dense commits pay scalar encoding only."""
+        from ..curve import native_pairing as npair
         s = self.setup
         cols = 1 << s.sigma
         n_rows = min(1 << s.nu, (len(coeffs) + cols - 1) // cols)
         rows: List[Optional[host.Point]] = [None] * (1 << s.nu)
+        buf = self._gamma1_buf()
         for i in range(n_rows):
             row = coeffs[i * cols:(i + 1) * cols]
+            if buf is not None:
+                got = npair.g1_msm_enc(buf, row)
+                if got is not None:
+                    rows[i] = got[0]
+                    continue
             rows[i] = host.g1_msm_pippenger(s.gamma1[:len(row)], row)
         return DoryHint(rows=rows)
 
     def commit(self, coeffs: Sequence[int]) -> Tuple[DoryCommitment, DoryHint]:
         s = self.setup
         assert len(coeffs) <= 1 << s.num_vars
-        hint = self.commit_rows(list(coeffs) + [0] * ((1 << s.num_vars)
-                                                      - len(coeffs)))
+        # NO zero-padding to 2^num_vars: commit_rows handles a short tail
+        # row, and trailing all-zero rows commit to infinity implicitly
+        # (padding made every dense commit scan ~2^10 empty rows)
+        hint = self.commit_rows(coeffs)
         return self._tier2(hint), hint
 
     def _tier2(self, hint: DoryHint) -> DoryCommitment:

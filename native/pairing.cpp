@@ -725,6 +725,71 @@ void jolt_g1_msm(const uint8_t* pts, const uint8_t* inf,
   g1j_to_affine(total, out, out_inf);
 }
 
+// out[i] = a_i + s * b_i with ONE shared scalar given in GLV-decomposed
+// form s = sgn1*k1 + sgn2*k2*lambda (|k1|,|k2| < 2^128, 16B LE each):
+// per lane a 128-bit Shamir double-and-add over (P1, P2 = phi(B)) with
+// phi(x, y) = (beta*x, y) -- ~1.9x fewer point ops than the 254-bit
+// double-and-add in jolt_g1_fold_batch.  The Python side computes the
+// lattice decomposition (native_pairing.g1_fold_batch fast path).
+void jolt_g1_fold_glv(const uint8_t* av, const uint8_t* a_inf,
+                      const uint8_t* bv, const uint8_t* b_inf,
+                      const uint8_t* k1le, int neg1,
+                      const uint8_t* k2le, int neg2, uint64_t n,
+                      uint8_t* out, uint8_t* out_inf) {
+  static const u64 BETA[4] = {0x5763473177fffffeull, 0xd4f263f1acdb5c4full,
+                              0x59e26bcea0d48bacull, 0ull};
+  Fq beta = fq_from_canonical(BETA);
+  u64 k1[2], k2[2];
+  memcpy(k1, k1le, 16);
+  memcpy(k2, k2le, 16);
+  int top = 127;
+  while (top > 0) {
+    int w = top / 64, b = top % 64;
+    if (((k1[w] >> b) & 1) || ((k2[w] >> b) & 1)) break;
+    --top;
+  }
+  bool zero_s = !(k1[0] | k1[1] | k2[0] | k2[1]);
+  unsigned hw = std::thread::hardware_concurrency();
+  uint64_t nt = hw ? (hw < 8 ? hw : 8) : 1;
+  if (nt > n) nt = n ? n : 1;
+  auto work = [&](uint64_t lo, uint64_t hi) {
+    for (uint64_t i = lo; i < hi; ++i) {
+      G1J acc = g1j_inf();
+      if (!b_inf[i] && !zero_s) {
+        Fq bx = fq_read(bv + 64 * i), by = fq_read(bv + 64 * i + 32);
+        Fq p1x = bx, p1y = neg1 ? fq_neg(by) : by;
+        Fq p2x = fq_mul(bx, beta), p2y = neg2 ? fq_neg(by) : by;
+        // T = P1 + P2 (Jacobian; distinct x since beta != 1)
+        G1J t;
+        t.x = p1x; t.y = p1y; t.z = fq_one();
+        t = g1j_madd(t, p2x, p2y);
+        for (int bit = top; bit >= 0; --bit) {
+          acc = g1j_double(acc);
+          int w = bit / 64, bb = bit % 64;
+          unsigned d = (unsigned)((k1[w] >> bb) & 1)
+                     | ((unsigned)((k2[w] >> bb) & 1) << 1);
+          if (d == 1) acc = g1j_madd(acc, p1x, p1y);
+          else if (d == 2) acc = g1j_madd(acc, p2x, p2y);
+          else if (d == 3) acc = g1j_add(acc, t);
+        }
+      }
+      if (!a_inf[i])
+        acc = g1j_madd(acc, fq_read(av + 64 * i), fq_read(av + 64 * i + 32));
+      g1j_to_affine(acc, out + 64 * i, out_inf + i);
+    }
+  };
+  if (nt <= 1) { work(0, n); }
+  else {
+    std::vector<std::thread> ts;
+    uint64_t chunk = (n + nt - 1) / nt;
+    for (uint64_t t = 0; t < nt; ++t) {
+      uint64_t lo = t * chunk, hi = lo + chunk > n ? n : lo + chunk;
+      if (lo < hi) ts.emplace_back(work, lo, hi);
+    }
+    for (auto& th : ts) th.join();
+  }
+}
+
 // Per-segment sums of base points selected by index:
 //   out[s] = sum_{i in [seg_off[s], seg_off[s+1])} base[col[i]]
 // base: nb 64-byte affine points (no infinities -- URS generators),
