@@ -138,15 +138,31 @@ def _flag_claims_kernel(e2: jnp.ndarray, table_ids1: jnp.ndarray,
 @partial(jax.jit, static_argnames=('nf', 'fp'))
 def _cycle_message_kernel(S, nf: int = D + 2, fp=FR):
     """Degree-(nf) univariate evals at X in {0,2,...,nf} of
-    sum_j prod_f S[:, f, j]; S: (L, nf, T)."""
-    ev = dense.sumcheck_eval_points_high(S, nf, fp)     # (L, nf_pts, nf, T/2)
-    ev = jnp.moveaxis(ev, 2, 0)                         # (nf, L, pts, T/2)
+    sum_j prod_f S[:, f, j]; S: (L, nf, T).
 
-    def step(acc, x):
-        return ops.mont_mul(acc, x, fp), None
+    Eval points run SEQUENTIALLY so peak transients stay (L, nf, T/2):
+    the all-points tensor (L, nf, nf, T/2) was ~3.6 GB at 2^18 -- pure
+    HBM write+read traffic that dominated the cycle rounds."""
+    half = S.shape[-1] // 2
+    lo, hi = S[..., :half], S[..., half:]
+    m = ops.sub(hi, lo, fp)
 
-    prod, _ = jax.lax.scan(step, ev[0], ev[1:])
-    return ops.sum_mod(prod, fp)                        # (L, pts, 1)
+    def prodsum(e):                                     # e: (L, nf, half)
+        ef = jnp.moveaxis(e, 1, 0)                      # (nf, L, half)
+
+        def step(acc, x):
+            return ops.mont_mul(acc, x, fp), None
+
+        prod, _ = jax.lax.scan(step, ef[0], ef[1:])
+        return ops.sum_mod(prod, fp)                    # (L, 1)
+
+    outs = [prodsum(lo)]                                # X = 0
+    cur = ops.add(hi, m, fp)                            # X = 2
+    outs.append(prodsum(cur))
+    for _ in range(3, nf + 1):
+        cur = ops.add(cur, m, fp)
+        outs.append(prodsum(cur))
+    return jnp.stack([o[..., 0] for o in outs], axis=1)[..., None]
 
 
 class InstructionReadRaf(SumcheckInstance):
