@@ -69,17 +69,46 @@ def _next_pow2(n: int) -> int:
     return m
 
 
-@dataclasses.dataclass
 class _Round:
-    even_src: jnp.ndarray   # (Epad,) int32 into previous entries; -1 absent
-    odd_src: jnp.ndarray
-    has_e: jnp.ndarray      # (Epad,) bool
-    has_o: jnp.ndarray
-    imp_e: jnp.ndarray      # (L, Epad) field: implicit even Val (odd.prev)
-    imp_o: jnp.ndarray      # (L, Epad) field: implicit odd Val (even.next)
-    rows: jnp.ndarray       # (Epad,) int32 merged row index g
-    cols: np.ndarray        # (Epad,) int64 column (K = inert pad sentinel)
-    n_real: int
+    """One cycle-phase merge round.  Implicit-Val fills are stored as RAW
+    u64 words ((2, Epad) uint32 lo/hi): the scan tier ships those and
+    lifts on device inside the round body -- the pre-lifted (L, Epad)
+    field stacks were 20x the bytes and OOM'd the 2^20 stage modules.
+    The host/fused tiers lift lazily via the imp_e/imp_o properties."""
+
+    __slots__ = ("even_src", "odd_src", "has_e", "has_o", "imp_e_u32",
+                 "imp_o_u32", "rows", "cols", "n_real",
+                 "_imp_e_dev", "_imp_o_dev")
+
+    def __init__(self, even_src, odd_src, has_e, has_o, imp_e_u32,
+                 imp_o_u32, rows, cols, n_real):
+        self.even_src = even_src    # (Epad,) int32 into previous entries
+        self.odd_src = odd_src
+        self.has_e = has_e          # (Epad,) bool
+        self.has_o = has_o
+        self.imp_e_u32 = imp_e_u32  # (2, Epad) uint32: lo/hi words
+        self.imp_o_u32 = imp_o_u32
+        self.rows = rows            # (Epad,) int32 merged row index g
+        self.cols = cols            # (Epad,) int64 column (K = pad sentinel)
+        self.n_real = n_real
+        self._imp_e_dev = None
+        self._imp_o_dev = None
+
+    @property
+    def imp_e(self):                # (L, Epad) field (lazy; host/fused tiers)
+        if self._imp_e_dev is None:
+            self._imp_e_dev = ops.from_u64(
+                jnp.asarray(self.imp_e_u32[0]), jnp.asarray(self.imp_e_u32[1]),
+                FR)
+        return self._imp_e_dev
+
+    @property
+    def imp_o(self):
+        if self._imp_o_dev is None:
+            self._imp_o_dev = ops.from_u64(
+                jnp.asarray(self.imp_o_u32[0]), jnp.asarray(self.imp_o_u32[1]),
+                FR)
+        return self._imp_o_dev
 
 
 class RamPairSchedule:
@@ -140,18 +169,17 @@ class RamPairSchedule:
             cols_pair = np.full(Epad, self.K, dtype=np.int64)
             cols_pair[gid] = col_s
 
-            def dev_u64(a):
-                lo = jnp.asarray((a & np.uint64(0xFFFFFFFF)).astype(np.uint32))
-                hi = jnp.asarray((a >> np.uint64(32)).astype(np.uint32))
-                return ops.from_u64(lo, hi, FR)
+            def u32_words(a):
+                return np.stack([(a & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+                                 (a >> np.uint64(32)).astype(np.uint32)])
 
             self.rounds.append(_Round(
                 even_src=jnp.asarray(np.maximum(even_src, 0), jnp.int32),
                 odd_src=jnp.asarray(np.maximum(odd_src, 0), jnp.int32),
                 has_e=jnp.asarray(has_e),
                 has_o=jnp.asarray(has_o),
-                imp_e=dev_u64(imp_e_u64),
-                imp_o=dev_u64(imp_o_u64),
+                imp_e_u32=u32_words(imp_e_u64),
+                imp_o_u32=u32_words(imp_o_u64),
                 rows=jnp.asarray(rows_pair, jnp.int32),
                 cols=cols_pair,
                 n_real=n_pairs,
@@ -440,8 +468,13 @@ class _SparseRamBase(ScanFusedInstance):
             "rows": jnp.stack([_padE(r.rows, Emax) for r in rounds]),
         }
         if self._s_needs_imp:
-            xs["ie"] = jnp.stack([_padE(r.imp_e, Emax) for r in rounds])
-            xs["io"] = jnp.stack([_padE(r.imp_o, Emax) for r in rounds])
+            # RAW u64 words ((rounds, 2, Emax) uint32); lifted to field
+            # form on device inside the round body -- 20x fewer bytes
+            # than the pre-lifted limb stacks
+            xs["ie"] = jnp.stack(
+                [_padE(jnp.asarray(r.imp_e_u32), Emax) for r in rounds])
+            xs["io"] = jnp.stack(
+                [_padE(jnp.asarray(r.imp_o_u32), Emax) for r in rounds])
         xs.update(self._s_xs_extra(lo, hi, Emax))
         return xs
 
@@ -687,14 +720,18 @@ class SparseRamReadWriteChecking(_SparseRamBase):
                 "INC": self.INC}
 
     def _s_cycle_message(self, bc, x, st):
+        ie = ops.from_u64(x["ie"][0], x["ie"][1], FR)
+        io = ops.from_u64(x["io"][0], x["io"][1], FR)
         return _rw_cycle_message(st["RA"], st["VAL"], st["EQ"], st["INC"],
                                  x["e"], x["o"], x["he"], x["ho"],
-                                 x["ie"], x["io"], x["rows"],
+                                 ie, io, x["rows"],
                                  bc["one_pg"], bc["g"])
 
     def _s_cycle_bind(self, bc, x, st, r):
+        ie = ops.from_u64(x["ie"][0], x["ie"][1], FR)
+        io = ops.from_u64(x["io"][0], x["io"][1], FR)
         st["VAL"] = _bind_pairs(st["VAL"], x["e"], x["o"], x["he"],
-                                x["ho"], x["ie"], x["io"], r)
+                                x["ho"], ie, io, r)
         st["EQ"] = scan.lowbind_compact(st["EQ"], r)
         st["INC"] = scan.lowbind_compact(st["INC"], r)
         return st
@@ -1571,10 +1608,12 @@ class SparseRegistersReadWriteChecking(_SparseRamBase):
 
     def scan_message(self, mode, bc, x, st):
         if mode == "cycle":
+            ie = ops.from_u64(x["ie"][0], x["ie"][1], FR)
+            io = ops.from_u64(x["io"][0], x["io"][1], FR)
             return _reg_rw_cycle_message(
                 st["WA"], st["RA1"], st["RA2"], st["VAL"], st["EQ"],
-                st["INC"], x["e"], x["o"], x["he"], x["ho"], x["ie"],
-                x["io"], x["rows"], bc["g1"], bc["g2"])
+                st["INC"], x["e"], x["o"], x["he"], x["ho"], ie,
+                io, x["rows"], bc["g1"], bc["g2"])
         msg = _reg_rw_addr_message_pairs(
             st["WA_K"], st["RA1_K"], st["RA2_K"], st["VAL_K"], st["incc"],
             bc["g1"], bc["g2"])
@@ -1584,12 +1623,14 @@ class SparseRegistersReadWriteChecking(_SparseRamBase):
         st = dict(st)
         if mode == "cycle":
             zero = ops.zeros((x["e"].shape[-1],))
+            ie = ops.from_u64(x["ie"][0], x["ie"][1], FR)
+            io = ops.from_u64(x["io"][0], x["io"][1], FR)
             bind = lambda X, fe, fo: _bind_pairs(X, x["e"], x["o"],
                                                  x["he"], x["ho"], fe, fo, r)
             st["WA"] = bind(st["WA"], zero, zero)
             st["RA1"] = bind(st["RA1"], zero, zero)
             st["RA2"] = bind(st["RA2"], zero, zero)
-            st["VAL"] = bind(st["VAL"], x["ie"], x["io"])
+            st["VAL"] = bind(st["VAL"], ie, io)
             st["EQ"] = scan.lowbind_compact(st["EQ"], r)
             st["INC"] = scan.lowbind_compact(st["INC"], r)
         else:
