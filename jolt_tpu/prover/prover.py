@@ -341,7 +341,10 @@ def prove(trace: Trace, setup=None, _transcript=None, zk: bool = False,
                 pass
             _fs_tape.append(entry)
         if _dbg:
-            print(f"[prove] {label}: {now - _t0[0]:.1f}s", flush=True)
+            from ..utils.profiling import _device_mem_bytes as _dmb
+            _hbm = _dmb()
+            _hs = f" hbm={_hbm / 2**30:.2f}G" if _hbm else ""
+            print(f"[prove] {label}: {now - _t0[0]:.1f}s{_hs}", flush=True)
         if _prof.enabled:
             # retroactive span per stage (prove is a linear pipeline)
             from ..utils.profiling import Span, _device_mem_bytes
