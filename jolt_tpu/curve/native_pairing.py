@@ -46,8 +46,15 @@ def load():
         try:
             if (not os.path.exists(_SO)
                     or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
-                subprocess.run(["g++", "-O3", "-shared", "-fPIC", "-pthread",
-                                "-o", _SO, _SRC], check=True)
+                # -march=native: BMI2/ADX carry chains ~1.3x the CIOS
+                # Montgomery cores; fall back for toolchains without it
+                try:
+                    subprocess.run(["g++", "-O3", "-march=native", "-shared",
+                                    "-fPIC", "-pthread", "-o", _SO, _SRC],
+                                   check=True)
+                except subprocess.CalledProcessError:
+                    subprocess.run(["g++", "-O3", "-shared", "-fPIC",
+                                    "-pthread", "-o", _SO, _SRC], check=True)
             lib = ctypes.CDLL(_SO)
             lib.jolt_miller_product.argtypes = [
                 ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
@@ -84,6 +91,10 @@ def load():
                 ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
                 ctypes.c_char_p, ctypes.c_uint64, ctypes.c_char_p,
                 ctypes.c_char_p]
+            lib.jolt_fr_rlc_rows_nc.argtypes = [
+                ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+                ctypes.c_char_p, ctypes.c_uint64, ctypes.c_char_p,
+                ctypes.c_char_p, ctypes.c_uint64]
             lib.jolt_g1_fold_glv.argtypes = [
                 ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
                 ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int,
@@ -387,9 +398,9 @@ def fr_combined_row(parts, L, ncols: int, sigma: int):
         rows = (pos >> sigma).astype(np.uint32)
         cols = (pos & (ncols - 1)).astype(np.uint32)
         vb = None if values is None else _fr_bytes(values)
-        lib.jolt_fr_rlc_rows(rows.tobytes(), cols.tobytes(), vb,
-                             int(w % R).to_bytes(32, "little"),
-                             len(pos), L_b, acc)
+        lib.jolt_fr_rlc_rows_nc(rows.tobytes(), cols.tobytes(), vb,
+                                int(w % R).to_bytes(32, "little"),
+                                len(pos), L_b, acc, ncols)
     return _fr_ints(acc.raw)
 
 
@@ -410,3 +421,152 @@ def g1_msm_enc(base_buf: bytes, scalars, offset: int = 0):
     view = base_buf[64 * offset:64 * (offset + n)]
     lib.jolt_g1_msm(view, inf, sc, n, out, oinf)
     return (_g1_dec(out.raw, oinf.raw[0]),)
+
+
+# ---- buffer-level vector API ----------------------------------------------
+# The Dory opening's reduce ladders call the native kernels every round.
+# Keeping the G1/G2/Fr vectors as raw encoded buffers BETWEEN rounds
+# removes the per-round Python big-int encode/decode, which measured more
+# expensive than the native ladders themselves at 2^15+ lanes (per-lane
+# int.to_bytes/from_bytes ~150us vs ~25us of native GLV ladder).
+# Encodings match the C ABI exactly: G1 64B affine + 1B inf flag lanes,
+# G2 128B + 1B, Fr canonical 32B LE.  All return None when the native
+# library is unavailable (callers fall back to the point-list tier).
+
+def g1_dec_many(buf, inf):
+    return [_g1_dec(buf[64 * i:64 * (i + 1)], inf[i])
+            for i in range(len(inf))]
+
+
+def g2_enc_many(points) -> Tuple[bytes, bytes]:
+    n = len(points)
+    buf = bytearray(128 * n)
+    inf = bytearray(n)
+    for i, p in enumerate(points):
+        pb, pi = _g2_enc(p)
+        buf[128 * i:128 * (i + 1)] = pb
+        inf[i] = pi
+    return bytes(buf), bytes(inf)
+
+
+def g2_dec_many(buf, inf):
+    return [_g2_dec(buf[128 * i:128 * (i + 1)], inf[i])
+            for i in range(len(inf))]
+
+
+def g1_fold_buf(a, ai, b, bi, n: int, s: int):
+    """buffer-level [a_i + s*b_i] over G1, one shared scalar (GLV ladder);
+    returns (out_buf, out_inf) or None."""
+    lib = load()
+    if lib is None:
+        return None
+    out = ctypes.create_string_buffer(64 * n)
+    oinf = ctypes.create_string_buffer(n)
+    k1, k2 = _glv_decompose(s % R)
+    lib.jolt_g1_fold_glv(a, ai, b, bi,
+                         abs(k1).to_bytes(16, "little"), int(k1 < 0),
+                         abs(k2).to_bytes(16, "little"), int(k2 < 0),
+                         n, out, oinf)
+    return out.raw, oinf.raw
+
+
+def g2_fold_buf(a, ai, b, bi, n: int, s: int):
+    """buffer-level [a_i + s*b_i] over G2, one shared scalar."""
+    lib = load()
+    if lib is None:
+        return None
+    out = ctypes.create_string_buffer(128 * n)
+    oinf = ctypes.create_string_buffer(n)
+    lib.jolt_g2_fold_batch(a, ai, b, bi, (s % R).to_bytes(32, "little"),
+                           n, out, oinf)
+    return out.raw, oinf.raw
+
+
+def g2_mul_buf(q, qi, scalars):
+    """buffer-level [s_i * Q_i] over G2 (lockstep batched lanes)."""
+    lib = load()
+    if lib is None:
+        return None
+    n = len(scalars)
+    sc = b"".join((s % R).to_bytes(32, "little") for s in scalars)
+    out = ctypes.create_string_buffer(128 * n)
+    oinf = ctypes.create_string_buffer(n)
+    lib.jolt_g2_mul_batch(q, sc, qi, n, out, oinf)
+    return out.raw, oinf.raw
+
+
+def g1_msm_buf(pts, inf, scalars):
+    """MSM over an encoded G1 buffer; zero scalars / infinity lanes skip
+    natively.  scalars: int list OR a raw canonical-32B-LE buffer.
+    Returns (point|None,) or None when unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    if isinstance(scalars, (bytes, bytearray)):
+        n = len(scalars) // 32
+        sc = bytes(scalars)
+    else:
+        n = len(scalars)
+        sc = b"".join(int(s % R).to_bytes(32, "little") for s in scalars)
+    if n == 0:
+        return (None,)
+    out = ctypes.create_string_buffer(64)
+    oinf = ctypes.create_string_buffer(1)
+    lib.jolt_g1_msm(pts, inf, sc, n, out, oinf)
+    return (_g1_dec(out.raw, oinf.raw[0]),)
+
+
+def pairing_product_buf(g1b, g1i, g2b, g2i, n: int):
+    """prod e(P_i, Q_i) over encoded buffers with one shared final exp
+    (skips lanes where either side is infinity); Fq12 or None."""
+    lib = load()
+    if lib is None:
+        return None
+    inf = bytes(x | y for x, y in zip(g1i, g2i))
+    out = ctypes.create_string_buffer(384)
+    lib.jolt_miller_product(g1b, g2b, inf, n, out)
+    return final_exp(_fq12_from_bytes(out.raw))
+
+
+def fr_fold_buf(a, b, alpha: int, n: int):
+    """buffer-level [alpha*a_i + b_i] mod r (canonical 32B lanes)."""
+    lib = load()
+    if lib is None:
+        return None
+    out = ctypes.create_string_buffer(32 * n)
+    lib.jolt_fr_fold(a, b, int(alpha % R).to_bytes(32, "little"), n, out)
+    return out.raw
+
+
+def fr_dot_buf(a, b, n: int):
+    """sum_i a_i * b_i mod r over canonical 32B-lane buffers."""
+    lib = load()
+    if lib is None:
+        return None
+    out = ctypes.create_string_buffer(32)
+    lib.jolt_fr_dot(a, b, n, out)
+    return int.from_bytes(out.raw, "little")
+
+
+def fr_enc(vals) -> bytes:
+    return _fr_bytes(vals)
+
+
+def fr_combined_row_buf(parts, L, ncols: int, sigma: int):
+    """`fr_combined_row` returning the raw canonical 32B-lane buffer
+    (feeds the phase-B MSMs/folds without a decode round-trip)."""
+    import numpy as np
+    lib = load()
+    if lib is None:
+        return None
+    acc = ctypes.create_string_buffer(32 * ncols)
+    L_b = _fr_bytes(L)
+    for positions, w, values in parts:
+        pos = np.ascontiguousarray(positions, np.int64)
+        rows = (pos >> sigma).astype(np.uint32)
+        cols = (pos & (ncols - 1)).astype(np.uint32)
+        vb = None if values is None else _fr_bytes(values)
+        lib.jolt_fr_rlc_rows_nc(rows.tobytes(), cols.tobytes(), vb,
+                                int(w % R).to_bytes(32, "little"),
+                                len(pos), L_b, acc, ncols)
+    return acc.raw

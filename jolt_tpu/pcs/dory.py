@@ -447,6 +447,8 @@ class Dory:
         the opening O(nnz), never O(2^num_vars)."""
         s = self.setup
         n = s.num_vars
+        from ..utils.profiling import active as _prof_active
+        prof = _prof_active()
         parts = coeffs if isinstance(coeffs, list) and coeffs \
             and isinstance(coeffs[0], tuple) and len(coeffs[0]) == 3 \
             else None
@@ -458,69 +460,135 @@ class Dory:
         R = _eq_tensor(r_col)
         cols = 1 << s.sigma
 
-        # E1 = sum_i L_i C1_i  (commits the combined row s = L^T M)
-        e1 = host.g1_msm_pippenger(hint.rows, L)
-        transcript.append_bytes(b"dory_e1", _g1_bytes(e1))
-
         # ---- phase A: Dory-reduce on (v1 = rows, v2 = L (.) g2star) ----
+        # Native tier keeps v1/v2 as raw encoded buffers BETWEEN rounds:
+        # the per-round Python point encode/decode measured more expensive
+        # than the native ladders themselves at 2^10+ lanes.  Both tiers
+        # emit identical transcript bytes (the kernels mirror the Python
+        # oracle value-for-value; tests/test_native_pairing.py).
         from ..curve import native_pairing as _np
-        v1 = list(hint.rows)
-        v2 = _np.g2_mul_batch([s.g2star] * len(L), L)
-        if v2 is None:
-            v2 = [g2_mul(s.g2star, li) for li in L]
         a_d1l, a_d1r, a_d2l, a_d2r = [], [], [], []
         a_cp, a_cm = [], []
-        for j in range(s.nu):
-            lev, nxt = s.levels[j], s.levels[j + 1]
-            m = len(v1)
-            h = m // 2
-            d1l = pairing_product(list(zip(v1[:h], nxt.g2)))
-            d1r = pairing_product(list(zip(v1[h:], nxt.g2)))
-            d2l = pairing_product(list(zip(nxt.g1, v2[:h])))
-            d2r = pairing_product(list(zip(nxt.g1, v2[h:])))
-            for x in (d1l, d1r, d2l, d2r):
-                transcript.append_bytes(b"dory_d", gt_to_bytes(x))
-            a_d1l.append(d1l)
-            a_d1r.append(d1r)
-            a_d2l.append(d2l)
-            a_d2r.append(d2r)
-            beta = transcript.challenge_scalar()
-            binv = pow(beta, -1, P)
-            v1n = _np.g1_fold_batch(v1, lev.g1, [beta] * len(v1))
-            v1 = (v1n if v1n is not None
-                  else [host.g1_add(v, host.g1_mul(g, beta))
-                        for v, g in zip(v1, lev.g1)])
-            v2n = _np.g2_fold_batch(v2, lev.g2, binv)
-            v2 = (v2n if v2n is not None
-                  else [g2_add(v, g2_mul(g, binv))
-                        for v, g in zip(v2, lev.g2)])
-            cplus = pairing_product(list(zip(v1[:h], v2[h:])))
-            cminus = pairing_product(list(zip(v1[h:], v2[:h])))
-            transcript.append_bytes(b"dory_c", gt_to_bytes(cplus))
-            transcript.append_bytes(b"dory_c", gt_to_bytes(cminus))
-            a_cp.append(cplus)
-            a_cm.append(cminus)
-            alpha = transcript.challenge_scalar()
-            ainv = pow(alpha, -1, P)
-            v1n = _np.g1_fold_batch(v1[h:], v1[:h], [alpha] * h)
-            v1 = (v1n if v1n is not None
-                  else [host.g1_add(host.g1_mul(a, alpha), b)
-                        for a, b in zip(v1[:h], v1[h:])])
-            v2n = _np.g2_fold_batch(v2[h:], v2[:h], ainv)
-            v2 = (v2n if v2n is not None
-                  else [g2_add(g2_mul(a, ainv), b)
-                        for a, b in zip(v2[:h], v2[h:])])
-        transcript.append_bytes(b"dory_fin", _g1_bytes(v1[0]))
-        transcript.append_bytes(b"dory_fin", _g2_bytes(v2[0]))
+        if _np.available():
+            v1b, v1i = _np._g1_enc_many(hint.rows)
+            with prof.span("open.e1"):
+                e1 = _np.g1_msm_buf(v1b, v1i, L)[0]
+            transcript.append_bytes(b"dory_e1", _g1_bytes(e1))
+            with prof.span("open.A.v2init"):
+                g2sb, g2si = _np.g2_enc_many([s.g2star])
+                v2b, v2i = _np.g2_mul_buf(g2sb * len(L), g2si * len(L), L)
+            lev_enc = self.__dict__.setdefault("_lev_enc", {})
+
+            def enc_level(idx):
+                if idx not in lev_enc:
+                    lev = s.levels[idx]
+                    lev_enc[idx] = (_np._g1_enc_many(lev.g1),
+                                    _np.g2_enc_many(lev.g2))
+                return lev_enc[idx]
+
+            for j in range(s.nu):
+                m = len(v1i)
+                h = m // 2
+                (n1b, n1i), (n2b, n2i) = enc_level(j + 1)
+                with prof.span("open.A.pair"):
+                    d1l = _np.pairing_product_buf(
+                        v1b[:64 * h], v1i[:h], n2b, n2i, h)
+                    d1r = _np.pairing_product_buf(
+                        v1b[64 * h:], v1i[h:], n2b, n2i, h)
+                    d2l = _np.pairing_product_buf(
+                        n1b, n1i, v2b[:128 * h], v2i[:h], h)
+                    d2r = _np.pairing_product_buf(
+                        n1b, n1i, v2b[128 * h:], v2i[h:], h)
+                for x in (d1l, d1r, d2l, d2r):
+                    transcript.append_bytes(b"dory_d", gt_to_bytes(x))
+                a_d1l.append(d1l)
+                a_d1r.append(d1r)
+                a_d2l.append(d2l)
+                a_d2r.append(d2r)
+                beta = transcript.challenge_scalar()
+                binv = pow(beta, -1, P)
+                (l1b, l1i), (l2b, l2i) = enc_level(j)
+                with prof.span("open.A.g1fold"):
+                    v1b, v1i = _np.g1_fold_buf(v1b, v1i, l1b, l1i, m, beta)
+                with prof.span("open.A.g2fold"):
+                    v2b, v2i = _np.g2_fold_buf(v2b, v2i, l2b, l2i, m, binv)
+                with prof.span("open.A.pair"):
+                    cplus = _np.pairing_product_buf(
+                        v1b[:64 * h], v1i[:h], v2b[128 * h:], v2i[h:], h)
+                    cminus = _np.pairing_product_buf(
+                        v1b[64 * h:], v1i[h:], v2b[:128 * h], v2i[:h], h)
+                transcript.append_bytes(b"dory_c", gt_to_bytes(cplus))
+                transcript.append_bytes(b"dory_c", gt_to_bytes(cminus))
+                a_cp.append(cplus)
+                a_cm.append(cminus)
+                alpha = transcript.challenge_scalar()
+                ainv = pow(alpha, -1, P)
+                with prof.span("open.A.g1fold"):
+                    v1b, v1i = _np.g1_fold_buf(v1b[64 * h:], v1i[h:],
+                                               v1b[:64 * h], v1i[:h],
+                                               h, alpha)
+                with prof.span("open.A.g2fold"):
+                    v2b, v2i = _np.g2_fold_buf(v2b[128 * h:], v2i[h:],
+                                               v2b[:128 * h], v2i[:h],
+                                               h, ainv)
+            fin_v1 = _np._g1_dec(v1b, v1i[0])
+            fin_v2 = _np._g2_dec(v2b, v2i[0])
+        else:
+            with prof.span("open.e1"):
+                e1 = host.g1_msm_pippenger(hint.rows, L)
+            transcript.append_bytes(b"dory_e1", _g1_bytes(e1))
+            v1 = list(hint.rows)
+            with prof.span("open.A.v2init"):
+                v2 = [g2_mul(s.g2star, li) for li in L]
+            for j in range(s.nu):
+                lev, nxt = s.levels[j], s.levels[j + 1]
+                m = len(v1)
+                h = m // 2
+                with prof.span("open.A.pair"):
+                    d1l = pairing_product(list(zip(v1[:h], nxt.g2)))
+                    d1r = pairing_product(list(zip(v1[h:], nxt.g2)))
+                    d2l = pairing_product(list(zip(nxt.g1, v2[:h])))
+                    d2r = pairing_product(list(zip(nxt.g1, v2[h:])))
+                for x in (d1l, d1r, d2l, d2r):
+                    transcript.append_bytes(b"dory_d", gt_to_bytes(x))
+                a_d1l.append(d1l)
+                a_d1r.append(d1r)
+                a_d2l.append(d2l)
+                a_d2r.append(d2r)
+                beta = transcript.challenge_scalar()
+                binv = pow(beta, -1, P)
+                with prof.span("open.A.g1fold"):
+                    v1 = [host.g1_add(v, host.g1_mul(g, beta))
+                          for v, g in zip(v1, lev.g1)]
+                with prof.span("open.A.g2fold"):
+                    v2 = [g2_add(v, g2_mul(g, binv))
+                          for v, g in zip(v2, lev.g2)]
+                with prof.span("open.A.pair"):
+                    cplus = pairing_product(list(zip(v1[:h], v2[h:])))
+                    cminus = pairing_product(list(zip(v1[h:], v2[:h])))
+                transcript.append_bytes(b"dory_c", gt_to_bytes(cplus))
+                transcript.append_bytes(b"dory_c", gt_to_bytes(cminus))
+                a_cp.append(cplus)
+                a_cm.append(cminus)
+                alpha = transcript.challenge_scalar()
+                ainv = pow(alpha, -1, P)
+                with prof.span("open.A.g1fold"):
+                    v1 = [host.g1_add(host.g1_mul(a, alpha), b)
+                          for a, b in zip(v1[:h], v1[h:])]
+                with prof.span("open.A.g2fold"):
+                    v2 = [g2_add(g2_mul(a, ainv), b)
+                          for a, b in zip(v2[:h], v2[h:])]
+            fin_v1 = v1[0]
+            fin_v2 = v2[0]
+        transcript.append_bytes(b"dory_fin", _g1_bytes(fin_v1))
+        transcript.append_bytes(b"dory_fin", _g2_bytes(fin_v2))
 
         # ---- phase B: fold s against (Gamma1, R) -----------------------
         # combined row s = L^T M: native mod-r kernels carry the per-entry
-        # accumulation and the per-round vector folds / inner products
-        # (the Python loops here were the dominant opening cost at 2^18)
-        sv = None
-        if parts is not None:
-            sv = _np.fr_combined_row(parts, L, cols, s.sigma)
-        if sv is None:
+        # accumulation and the per-round vector folds / inner products;
+        # sv / Rv / gam likewise stay as raw canonical buffers between
+        # rounds on the native tier (sv doubles as the MSM scalar buffer).
+        def _sv_python():
             sv = [0] * cols
             if parts is not None:
                 for positions, w, values in parts:
@@ -547,46 +615,81 @@ class Dory:
                             c = coeffs[base + jj]
                             if c:
                                 sv[jj] = (sv[jj] + li * c) % P
-        gam = list(s.gamma1)
-        Rv = list(R)
+            return sv
+
         b_xl, b_xr, b_yl, b_yr = [], [], [], []
-        while len(sv) > 1:
-            h = len(sv) // 2
-            xl = host.g1_msm_pippenger(gam[h:], sv[:h])
-            xr = host.g1_msm_pippenger(gam[:h], sv[h:])
-            yl = _np.fr_dot(sv[:h], Rv[h:])
-            if yl is None:
+        if _np.available():
+            with prof.span("open.B.row"):
+                if parts is not None:
+                    svb = _np.fr_combined_row_buf(parts, L, cols, s.sigma)
+                else:
+                    svb = _np.fr_enc(_sv_python())
+            gamb = self._gamma1_buf()
+            gami = b"\x00" * cols
+            Rb = _np.fr_enc(R)
+            nsv = cols
+            while nsv > 1:
+                h = nsv // 2
+                with prof.span("open.B.msm"):
+                    xl = _np.g1_msm_buf(gamb[64 * h:], gami[h:],
+                                        svb[:32 * h])[0]
+                    xr = _np.g1_msm_buf(gamb[:64 * h], gami[:h],
+                                        svb[32 * h:])[0]
+                yl = _np.fr_dot_buf(svb[:32 * h], Rb[32 * h:], h)
+                yr = _np.fr_dot_buf(svb[32 * h:], Rb[:32 * h], h)
+                transcript.append_bytes(b"dory_b", _g1_bytes(xl))
+                transcript.append_bytes(b"dory_b", _g1_bytes(xr))
+                transcript.append_scalar(b"dory_b", yl)
+                transcript.append_scalar(b"dory_b", yr)
+                b_xl.append(xl)
+                b_xr.append(xr)
+                b_yl.append(yl)
+                b_yr.append(yr)
+                alpha = transcript.challenge_scalar()
+                ainv = pow(alpha, -1, P)
+                svb = _np.fr_fold_buf(svb[:32 * h], svb[32 * h:], alpha, h)
+                with prof.span("open.B.g1fold"):
+                    gamb, gami = _np.g1_fold_buf(gamb[64 * h:], gami[h:],
+                                                 gamb[:64 * h], gami[:h],
+                                                 h, ainv)
+                Rb = _np.fr_fold_buf(Rb[:32 * h], Rb[32 * h:], ainv, h)
+                nsv = h
+            b_final_s = int.from_bytes(svb[:32], "little")
+        else:
+            with prof.span("open.B.row"):
+                sv = _sv_python()
+            gam = list(s.gamma1)
+            Rv = list(R)
+            while len(sv) > 1:
+                h = len(sv) // 2
+                with prof.span("open.B.msm"):
+                    xl = host.g1_msm_pippenger(gam[h:], sv[:h])
+                    xr = host.g1_msm_pippenger(gam[:h], sv[h:])
                 yl = sum(a * b for a, b in zip(sv[:h], Rv[h:])) % P
                 yr = sum(a * b for a, b in zip(sv[h:], Rv[:h])) % P
-            else:
-                yr = _np.fr_dot(sv[h:], Rv[:h])
-            transcript.append_bytes(b"dory_b", _g1_bytes(xl))
-            transcript.append_bytes(b"dory_b", _g1_bytes(xr))
-            transcript.append_scalar(b"dory_b", yl)
-            transcript.append_scalar(b"dory_b", yr)
-            b_xl.append(xl)
-            b_xr.append(xr)
-            b_yl.append(yl)
-            b_yr.append(yr)
-            alpha = transcript.challenge_scalar()
-            ainv = pow(alpha, -1, P)
-            svn = _np.fr_fold(sv[:h], sv[h:], alpha)
-            sv = (svn if svn is not None
-                  else [(alpha * a + b) % P for a, b in zip(sv[:h], sv[h:])])
-            gamn = _np.g1_fold_batch(gam[h:], gam[:h], [ainv] * h)
-            gam = (gamn if gamn is not None
-                   else [host.g1_add(host.g1_mul(a, ainv), b)
-                         for a, b in zip(gam[:h], gam[h:])])
-            Rvn = _np.fr_fold(Rv[:h], Rv[h:], ainv)
-            Rv = (Rvn if Rvn is not None
-                  else [(ainv * a + b) % P for a, b in zip(Rv[:h], Rv[h:])])
-        transcript.append_scalar(b"dory_bs", sv[0])
+                transcript.append_bytes(b"dory_b", _g1_bytes(xl))
+                transcript.append_bytes(b"dory_b", _g1_bytes(xr))
+                transcript.append_scalar(b"dory_b", yl)
+                transcript.append_scalar(b"dory_b", yr)
+                b_xl.append(xl)
+                b_xr.append(xr)
+                b_yl.append(yl)
+                b_yr.append(yr)
+                alpha = transcript.challenge_scalar()
+                ainv = pow(alpha, -1, P)
+                sv = [(alpha * a + b) % P for a, b in zip(sv[:h], sv[h:])]
+                with prof.span("open.B.g1fold"):
+                    gam = [host.g1_add(host.g1_mul(a, ainv), b)
+                           for a, b in zip(gam[:h], gam[h:])]
+                Rv = [(ainv * a + b) % P for a, b in zip(Rv[:h], Rv[h:])]
+            b_final_s = sv[0]
+        transcript.append_scalar(b"dory_bs", b_final_s)
 
         return DoryProof(e1=e1, a_d1l=a_d1l, a_d1r=a_d1r, a_d2l=a_d2l,
                          a_d2r=a_d2r, a_cplus=a_cp, a_cminus=a_cm,
-                         a_final_v1=v1[0], a_final_v2=v2[0],
+                         a_final_v1=fin_v1, a_final_v2=fin_v2,
                          b_xl=b_xl, b_xr=b_xr, b_yl=b_yl, b_yr=b_yr,
-                         b_final_s=sv[0])
+                         b_final_s=b_final_s)
 
     # ---- verify --------------------------------------------------------
 

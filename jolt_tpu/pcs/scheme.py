@@ -168,17 +168,25 @@ class DoryScheme:
                  transcript: Blake2bTranscript):
         assert len(point) == self.setup.num_vars, "setup sized for wrong N"
         from ..curve import native_pairing as _np
+        from ..utils.profiling import active as _prof_active
         nrows = 1 << self.setup.nu
         rows: List[Optional[host.Point]] = [None] * nrows
-        for name, w in weights.items():
-            hrows = self._hints[name].rows
-            folded = _np.g1_fold_batch(rows, hrows, [w] * nrows)
-            if folded is not None:
-                rows = folded
+        with _prof_active().span("open.rlc_rows"):
+            if _np.available():
+                # buffer-level ladder: the folded accumulator stays raw
+                # between per-polynomial GLV folds (decode once at end)
+                rb, ri = b"\x00" * (64 * nrows), b"\x01" * nrows
+                for name, w in weights.items():
+                    hb, hi = _np._g1_enc_many(self._hints[name].rows)
+                    rb, ri = _np.g1_fold_buf(rb, ri, hb, hi, nrows, w)
+                rows = _np.g1_dec_many(rb, ri)
             else:
-                for i, rc in enumerate(hrows):
-                    if rc is not None:
-                        rows[i] = host.g1_add(rows[i], host.g1_mul(rc, w))
+                for name, w in weights.items():
+                    hrows = self._hints[name].rows
+                    for i, rc in enumerate(hrows):
+                        if rc is not None:
+                            rows[i] = host.g1_add(rows[i],
+                                                  host.g1_mul(rc, w))
         return self.dory.open(rlc, DoryHint(rows=rows), point, value,
                               transcript)
 

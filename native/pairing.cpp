@@ -868,9 +868,11 @@ void jolt_g1_fold_batch(const uint8_t* av, const uint8_t* a_inf,
 
 // ---------------- batched G2 affine scalar multiplication ----------------
 // v2 builds / folds in the Dory reduce need thousands of independent G2
-// muls; lanes advance bit-synchronously so the affine-formula inversions
-// batch across lanes (same trick as miller_batch).  Mirrors pairing.py's
-// g2_add / g2_mul exactly (LSB-first double-and-add).
+// muls; lanes advance bit-synchronously (LSB-first double-and-add,
+// mirroring pairing.py's g2_mul) so the affine slope denominators batch
+// into ONE Fq inversion per pass via the norm map (den^-1 = conj(den) *
+// norm(den)^-1, norm in Fq) -- the same trick as miller_batch.  ~6x over
+// the previous per-add f2_inv tier; group elements are byte-identical.
 
 struct G2 { Fq2 x, y; bool inf; };
 
@@ -895,6 +897,114 @@ static G2 g2_add1(const G2& p, const G2& q) {
   return r;
 }
 
+// batched acc[i] += add[i] over the lanes in idx; exact g2_add1 case
+// analysis (copy / chord / tangent / inf), one shared Fq inversion.
+// `add` may alias `acc` (the doubling pass): per-lane reads complete
+// before the write-back.
+static void g2_lanes_add(std::vector<G2>& acc, const std::vector<G2>& add,
+                         const std::vector<uint32_t>& idx) {
+  size_t m = idx.size();
+  if (!m) return;
+  static thread_local std::vector<Fq2> dens, invs;
+  static thread_local std::vector<Fq> norms, prefix;
+  static thread_local std::vector<uint8_t> kind;
+  static thread_local std::vector<uint32_t> sel;
+  dens.clear(); sel.clear();
+  kind.assign(m, 0);   // 0 no-op, 1 copy add, 2 -> inf, 3 chord, 4 tangent
+  for (size_t t = 0; t < m; ++t) {
+    uint32_t i = idx[t];
+    const G2& a = acc[i];
+    const G2& b = add[i];
+    if (b.inf) continue;
+    if (a.inf) { kind[t] = 1; continue; }
+    Fq2 den;
+    if (fq_eq(a.x.a, b.x.a) && fq_eq(a.x.b, b.x.b)) {
+      if (f2_is_zero(f2_add(a.y, b.y))) { kind[t] = 2; continue; }
+      den = f2_add(a.y, a.y);
+      kind[t] = 4;
+    } else {
+      den = f2_sub(b.x, a.x);
+      kind[t] = 3;
+    }
+    dens.push_back(den);
+    sel.push_back((uint32_t)t);
+  }
+  size_t q = dens.size();
+  if (q) {
+    norms.resize(q); prefix.resize(q); invs.resize(q);
+    for (size_t j = 0; j < q; ++j) {
+      norms[j] = fq_add(fq_sqr(dens[j].a), fq_sqr(dens[j].b));
+      prefix[j] = j ? fq_mul(prefix[j - 1], norms[j]) : norms[j];
+    }
+    Fq run = fq_inv(prefix[q - 1]);
+    for (size_t j = q; j-- > 0;) {
+      Fq ninv = j ? fq_mul(run, prefix[j - 1]) : run;
+      run = fq_mul(run, norms[j]);
+      invs[j] = f2(fq_mul(dens[j].a, ninv), fq_neg(fq_mul(dens[j].b, ninv)));
+    }
+  }
+  for (size_t j = 0; j < q; ++j) {
+    size_t t = sel[j];
+    uint32_t i = idx[t];
+    G2& a = acc[i];
+    const G2& b = add[i];
+    Fq2 lam;
+    if (kind[t] == 4)
+      lam = f2_mul(f2_mul_fq(f2_sqr(a.x),
+                             fq_add(fq_add(fq_one(), fq_one()), fq_one())),
+                   invs[j]);
+    else
+      lam = f2_mul(f2_sub(b.y, a.y), invs[j]);
+    Fq2 x3 = f2_sub(f2_sub(f2_sqr(lam), a.x), b.x);
+    Fq2 y3 = f2_sub(f2_mul(lam, f2_sub(a.x, x3)), a.y);
+    a.x = x3; a.y = y3; a.inf = false;
+  }
+  for (size_t t = 0; t < m; ++t) {
+    uint32_t i = idx[t];
+    if (kind[t] == 1) acc[i] = add[i];
+    else if (kind[t] == 2) acc[i] = g2_inf();
+  }
+}
+
+// lockstep LSB-first ladder: acc[i] += k_i * base[i]; ks (4 limbs per
+// lane) and base are clobbered.
+static void g2_lanes_mul_acc(std::vector<G2>& acc, std::vector<G2>& base,
+                             std::vector<u64>& ks) {
+  uint64_t n = acc.size();
+  std::vector<uint32_t> idx;
+  idx.reserve(n);
+  for (;;) {
+    idx.clear();
+    for (uint64_t i = 0; i < n; ++i)
+      if ((ks[4 * i] & 1) && !base[i].inf) idx.push_back((uint32_t)i);
+    g2_lanes_add(acc, base, idx);
+    idx.clear();
+    for (uint64_t i = 0; i < n; ++i) {
+      u64* k = &ks[4 * i];
+      limbs_shr1(k);
+      if ((k[0] | k[1] | k[2] | k[3]) && !base[i].inf)
+        idx.push_back((uint32_t)i);
+    }
+    if (idx.empty()) break;
+    g2_lanes_add(base, base, idx);
+  }
+}
+
+static G2 g2_read(const uint8_t* p, uint8_t inf) {
+  G2 r;
+  r.inf = inf != 0;
+  if (r.inf) { r.x = f2_zero(); r.y = f2_zero(); }
+  else { r.x = f2_read(p); r.y = f2_read(p + 64); }
+  return r;
+}
+
+static void g2_write(const G2& p, uint8_t* out, uint8_t* out_inf) {
+  *out_inf = p.inf ? 1 : 0;
+  if (p.inf) { memset(out, 0, 128); return; }
+  f2_write(p.x, out);
+  f2_write(p.y, out + 64);
+}
+
 extern "C" {
 
 // out[i] = a_i + s * b_i over G2, one shared scalar s (the Dory reduce's
@@ -905,47 +1015,32 @@ void jolt_g2_fold_batch(const uint8_t* av, const uint8_t* a_inf,
                         uint8_t* out, uint8_t* out_inf) {
   unsigned hw = std::thread::hardware_concurrency();
   uint64_t nt = hw ? (hw < 8 ? hw : 8) : 1;
-  if (nt > n) nt = n ? n : 1;
+  if (nt > n / 64) nt = n / 64 ? n / 64 : 1;  // keep inversion batches big
   auto work = [&](uint64_t lo, uint64_t hi) {
-    for (uint64_t i = lo; i < hi; ++i) {
-      u64 k[4];
-      memcpy(k, scalar, 32);
-      G2 acc, add;
-      if (b_inf[i] || limbs_is_zero(k)) {
-        acc = g2_inf();
-      } else {
-        add.x = f2_read(bv + 128 * i);
-        add.y = f2_read(bv + 128 * i + 64);
-        add.inf = false;
-        acc = g2_inf();
-        while (!limbs_is_zero(k)) {
-          if (k[0] & 1) acc = g2_add1(acc, add);
-          limbs_shr1(k);
-          if (!limbs_is_zero(k)) add = g2_add1(add, add);
-        }
-      }
-      G2 a;
-      a.inf = a_inf[i] != 0;
-      if (!a.inf) {
-        a.x = f2_read(av + 128 * i);
-        a.y = f2_read(av + 128 * i + 64);
-      } else { a.x = f2_zero(); a.y = f2_zero(); }
-      G2 r = g2_add1(a, acc);
-      out_inf[i] = r.inf ? 1 : 0;
-      if (!r.inf) {
-        f2_write(r.x, out + 128 * i);
-        f2_write(r.y, out + 128 * i + 64);
-      } else {
-        memset(out + 128 * i, 0, 128);
-      }
+    uint64_t m = hi - lo;
+    std::vector<G2> acc(m, g2_inf()), base(m);
+    std::vector<u64> ks(4 * m);
+    std::vector<uint32_t> all;
+    all.reserve(m);
+    for (uint64_t i = 0; i < m; ++i) {
+      base[i] = g2_read(bv + 128 * (lo + i), b_inf[lo + i]);
+      memcpy(&ks[4 * i], scalar, 32);
+      all.push_back((uint32_t)i);
     }
+    g2_lanes_mul_acc(acc, base, ks);
+    // acc += a (batched; G2 abelian so a + s*b == s*b + a)
+    for (uint64_t i = 0; i < m; ++i)
+      base[i] = g2_read(av + 128 * (lo + i), a_inf[lo + i]);
+    g2_lanes_add(acc, base, all);
+    for (uint64_t i = 0; i < m; ++i)
+      g2_write(acc[i], out + 128 * (lo + i), out_inf + lo + i);
   };
   if (nt <= 1) { work(0, n); return; }
   std::vector<std::thread> ts;
   uint64_t chunk = (n + nt - 1) / nt;
   for (uint64_t t = 0; t < nt; ++t) {
     uint64_t lo = t * chunk, hi = lo + chunk > n ? n : lo + chunk;
-    ts.emplace_back(work, lo, hi);
+    if (lo < hi) ts.emplace_back(work, lo, hi);
   }
   for (auto& th : ts) th.join();
 }
@@ -957,46 +1052,33 @@ void jolt_g2_mul_batch(const uint8_t* g2s, const uint8_t* scalars,
                        uint8_t* out, uint8_t* out_inf) {
   unsigned hw = std::thread::hardware_concurrency();
   uint64_t nt = hw ? (hw < 8 ? hw : 8) : 1;
-  if (nt > n) nt = n ? n : 1;
-  std::vector<std::thread> ts;
-  uint64_t chunk = (n + nt - 1) / nt;
+  if (nt > n / 64) nt = n / 64 ? n / 64 : 1;
   auto work = [&](uint64_t lo, uint64_t hi) {
-    for (uint64_t i = lo; i < hi; ++i) {
-      u64 k[4];
-      memcpy(k, scalars + 32 * i, 32);
-      G2 acc = g2_inf(), add;
-      if (in_inf[i] || limbs_is_zero(k)) {
-        acc = g2_inf();
-      } else {
-        add.x = f2_read(g2s + 128 * i);
-        add.y = f2_read(g2s + 128 * i + 64);
-        add.inf = false;
-        while (!limbs_is_zero(k)) {
-          if (k[0] & 1) acc = g2_add1(acc, add);
-          limbs_shr1(k);
-          if (!limbs_is_zero(k)) add = g2_add1(add, add);
-        }
-      }
-      out_inf[i] = acc.inf ? 1 : 0;
-      if (!acc.inf) {
-        f2_write(acc.x, out + 128 * i);
-        f2_write(acc.y, out + 128 * i + 64);
-      } else {
-        memset(out + 128 * i, 0, 128);
-      }
+    uint64_t m = hi - lo;
+    std::vector<G2> acc(m, g2_inf()), base(m);
+    std::vector<u64> ks(4 * m);
+    for (uint64_t i = 0; i < m; ++i) {
+      base[i] = g2_read(g2s + 128 * (lo + i), in_inf[lo + i]);
+      memcpy(&ks[4 * i], scalars + 32 * (lo + i), 32);
     }
+    g2_lanes_mul_acc(acc, base, ks);
+    for (uint64_t i = 0; i < m; ++i)
+      g2_write(acc[i], out + 128 * (lo + i), out_inf + lo + i);
   };
   if (nt <= 1) { work(0, n); }
   else {
+    std::vector<std::thread> ts;
+    uint64_t chunk = (n + nt - 1) / nt;
     for (uint64_t t = 0; t < nt; ++t) {
       uint64_t lo = t * chunk, hi = lo + chunk > n ? n : lo + chunk;
-      ts.emplace_back(work, lo, hi);
+      if (lo < hi) ts.emplace_back(work, lo, hi);
     }
     for (auto& th : ts) th.join();
   }
 }
 
 }  // extern "C"
+
 
 extern "C" {
 
@@ -1167,18 +1249,50 @@ void jolt_fr_dot(const uint8_t* a, const uint8_t* b, u64 n, uint8_t* out) {
 // Combined-row accumulation for one sparse RLC part:
 //   acc[cols[i]] += w * L[rows[i]] * (vals ? vals[i] : 1)
 // (vals may be NULL -- the one-hot fast path).  Canonical I/O; the
-// Montgomery factors ride the scalar w.
+// Montgomery factors ride the scalar w.  ncols > 0 enables threading:
+// entry ranges split across threads into private length-ncols
+// accumulators, merged into acc at the end (mod-r addition commutes, so
+// the result is bit-identical to the sequential order).
+void jolt_fr_rlc_rows_nc(const uint32_t* rows, const uint32_t* cols,
+                         const uint8_t* vals, const uint8_t* w, u64 n,
+                         const uint8_t* L, uint8_t* acc, u64 ncols) {
+  Fr wm = fr_to_mont(fr_read(w));
+  if (vals) wm = fr_to_mont(wm);   // two pending R^-1 factors
+  auto run = [&](u64 lo, u64 hi, uint8_t* out) {
+    for (u64 i = lo; i < hi; ++i) {
+      Fr term = fr_mul(fr_read(L + 32ull * rows[i]), wm);
+      if (vals) term = fr_mul(term, fr_read(vals + 32 * i));
+      Fr s = fr_add(fr_read(out + 32ull * cols[i]), term);
+      fr_write(s, out + 32ull * cols[i]);
+    }
+  };
+  unsigned hw = std::thread::hardware_concurrency();
+  u64 nt = hw ? (hw < 8 ? hw : 8) : 1;
+  if (!ncols || n < 4 * ncols || nt <= 1) { run(0, n, acc); return; }
+  std::vector<std::vector<uint8_t>> priv(nt);
+  std::vector<std::thread> ts;
+  u64 chunk = (n + nt - 1) / nt;
+  for (u64 t = 0; t < nt; ++t) {
+    u64 lo = t * chunk, hi = lo + chunk > n ? n : lo + chunk;
+    if (lo >= hi) continue;
+    priv[t].assign(32 * ncols, 0);
+    ts.emplace_back([&, t, lo, hi]() { run(lo, hi, priv[t].data()); });
+  }
+  for (auto& th : ts) th.join();
+  for (u64 t = 0; t < nt; ++t) {
+    if (priv[t].empty()) continue;
+    for (u64 c = 0; c < ncols; ++c) {
+      Fr s = fr_add(fr_read(acc + 32 * c), fr_read(priv[t].data() + 32 * c));
+      fr_write(s, acc + 32 * c);
+    }
+  }
+}
+
+// back-compat single-threaded entry (no column count known)
 void jolt_fr_rlc_rows(const uint32_t* rows, const uint32_t* cols,
                       const uint8_t* vals, const uint8_t* w, u64 n,
                       const uint8_t* L, uint8_t* acc) {
-  Fr wm = fr_to_mont(fr_read(w));
-  if (vals) wm = fr_to_mont(wm);   // two pending R^-1 factors
-  for (u64 i = 0; i < n; ++i) {
-    Fr term = fr_mul(fr_read(L + 32ull * rows[i]), wm);
-    if (vals) term = fr_mul(term, fr_read(vals + 32 * i));
-    Fr s = fr_add(fr_read(acc + 32ull * cols[i]), term);
-    fr_write(s, acc + 32ull * cols[i]);
-  }
+  jolt_fr_rlc_rows_nc(rows, cols, vals, w, n, L, acc, 0);
 }
 
 }  // extern "C"
