@@ -316,10 +316,10 @@ class Dory:
         return self._tier2(hint), hint
 
     def _tier2(self, hint: DoryHint) -> DoryCommitment:
-        gamma2 = self.setup.levels[0].g2
-        c = pairing_product([(r, g) for r, g in zip(hint.rows, gamma2)
-                             if r is not None])
-        return DoryCommitment(c=c)
+        # Routed through the buffer-level pairing tier (cached encoded
+        # gamma2).  _tier2_gt lives at the END of this file so the line
+        # numbers of the traced commit path below stay unchanged
+        return DoryCommitment(c=_tier2_gt(self, hint.rows))
 
     def _gamma1_dev(self):
         if getattr(self, "_g1_dev", None) is None:
@@ -797,3 +797,23 @@ class Dory:
         if host.g1_msm_pippenger(s.gamma1, [sf * x % P for x in w]) != E:
             return False
         return True
+
+
+def _tier2_gt(dory: "Dory", rows) -> Fq12:
+    """Tier-2 AFGHO commitment GT element: prod e(rows_i, gamma2_i).
+
+    Buffer-level native tier with the encoded gamma2 cached on the Dory
+    instance (one G2 encode per setup instead of per commit); the
+    point-list tier remains the no-native fallback and computes the
+    identical GT element (reference: jolt-dory routines.rs tier-2)."""
+    from ..curve import native_pairing as _np
+    gamma2 = dory.setup.levels[0].g2
+    if not _np.available():
+        return pairing_product([(r, g) for r, g in zip(rows, gamma2)
+                                if r is not None])
+    enc = dory.__dict__.get("_g2l0_enc")
+    if enc is None:
+        enc = dory.__dict__["_g2l0_enc"] = _np.g2_enc_many(gamma2)
+    g2b, g2i = enc
+    rb, ri = _np._g1_enc_many(rows)
+    return _np.pairing_product_buf(rb, ri, g2b, g2i, len(ri))

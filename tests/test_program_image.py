@@ -163,3 +163,31 @@ def test_trusted_commitment_unit():
     assert got_b == s_b.commit("pi_check", image_words(code), bits=254)
     assert got_a != got_b
     assert len(_PI_COMMIT_CACHE) == 2
+
+
+def test_commitment_recompute_matches_prover_commit_default_tier():
+    """Default-tier guard for the verifier's trusted-commitment path
+    (ADVICE r4: the only prior coverage was the slow Dory e2e): the
+    verifier's recompute-and-cache helper must return exactly the
+    commitment the prover's commit path produces, and the cache must be
+    keyed by setup identity (two different setups in one process must
+    not share a slot)."""
+    from jolt_tpu.pcs.dory import DorySetup
+    from jolt_tpu.pcs.scheme import make_scheme
+    from jolt_tpu.verifier.verifier import _program_image_commitment
+
+    # image long enough to span multiple matrix ROWS under setup_a (the
+    # URS hash tags give both setups a shared generator prefix, so a
+    # single-row image would commit identically under both)
+    code = bytes(range(200))
+    setup_a = DorySetup.generate(6)
+    setup_b = DorySetup.generate(8, nu=3)
+    ca = _program_image_commitment(make_scheme(setup_a), code)
+    cb = _program_image_commitment(make_scheme(setup_b), code)
+    direct = make_scheme(setup_a).commit("program_image",
+                                         image_words(code), bits=254)
+    assert ca.c == direct.c
+    # different setup -> different commitment object, no stale cache hit
+    assert cb.c != ca.c
+    # cache hit returns the same commitment for the same (code, setup)
+    assert _program_image_commitment(make_scheme(setup_a), code).c == ca.c
